@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 appears here as a `queries` entry;
+  * SQL-expressible ones also carry a DuckDB oracle in `oracleSql`.
+  * Column names are aliased identically on both sides (the driver's
+  * compare sorts columns by name before hashing values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries
+
+  def oracleSql: Map[String, String] = relationalOracles
+
+  // ---------------------------------------------------------------- B block
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (Relational.q1Agg _),
+    "q3_join_agg"      -> (Relational.q3JoinAgg _),
+    "q5_multi_join"    -> (Relational.q5MultiJoin _),
+    "q_semi_anti"      -> (Relational.qSemiAnti _),
+    "q_window_topk"    -> (Relational.qWindowTopk _),
+    "q_running_sum"    -> (Relational.qRunningSum _),
+    "q_time_bucket"    -> (Relational.qTimeBucket _),
+    "q_rollup"         -> (Relational.qRollup _),
+    "q_distinct_exact" -> (Relational.qDistinctExact _),
+    "q_asof_join"      -> (Relational.qAsofJoin _),
+    "q_range_join"     -> (Relational.qRangeJoin _),
+    "q_skew_salted"    -> (Relational.qSkewSalted _),
+  )
+
+  private def relationalOracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(cast(round(l_quantity*100) as bigint))/100.0 AS sum_qty,
+        | sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS sum_base_price,
+        | sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint)))/10000.0 AS sum_disc_price,
+        | sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint)) * (100 + cast(round(l_tax*100) as bigint)))/1000000.0 AS sum_charge,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint)))/10000.0 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+        | sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint)))/10000.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_urgent' AS tag FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'no_urgent' AS tag FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey, tag""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        | sum(cast(round(value*100) as bigint)) OVER (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        | count(*) AS n, sum(cast(round(value*100) as bigint))/100.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+        | count(*) AS n_cust, sum(cast(round(c_acctbal*100) as bigint))/100.0 AS sum_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_distinct_exact" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | (SELECT arg_max(c.event_id, cast(c.ts as timestamp)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_within_30d
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT user_id, count(*) AS n_events,
+        | sum(cast(round(value*100) as bigint))/100.0 AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational / OLAP core (SURVEY.md §2 block B).
+  *
+  * Oracle-parity rule: money/measure aggregation is done on
+  * scaled-integer columns (`round(x * 100) :: long`), so partial
+  * aggregation order cannot perturb results — the same trick keeps
+  * results bit-stable on a 1000-executor shuffle as on local[32].
+  * The final division back to a double is a single deterministic
+  * IEEE op in both Spark and the DuckDB oracle.
+  */
+object Relational {
+
+  /** x (double with <=2 decimals) -> exact scaled long (cents). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  /** B1: grouped aggregation, TPC-H Q1 shape (pricing summary). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+    // disc_price = ep*(1-disc): cents(ep) * (100 - cents-scale disc)
+    // keeps every partial sum in exact int64 space.
+    val disc100 = round(col("l_discount") * 100).cast("long")
+    val tax100  = round(col("l_tax") * 100).cast("long")
+    li.select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty100"),
+        cents(col("l_extendedprice")).as("ep100"),
+        (cents(col("l_extendedprice")) * (lit(100L) - disc100)).as("disc4"),
+        (cents(col("l_extendedprice")) * (lit(100L) - disc100) * (lit(100L) + tax100)).as("charge6"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(col("qty100")) / 100.0).as("sum_qty"),
+        (sum(col("ep100")) / 100.0).as("sum_base_price"),
+        (sum(col("disc4")) / 10000.0).as("sum_disc_price"),
+        (sum(col("charge6")) / 1000000.0).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** B2: selective join + agg, TPC-H Q3 shape. Small dimension side
+    * (filtered customer) is broadcast — no shuffle of the fact table
+    * beyond the final group-by.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem.filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev4")) / 10000.0).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: 6-way star join, TPC-H Q5 shape (revenue per nation where
+    * customer and supplier share the nation). All dimension tables
+    * broadcast; only lineitem⋈orders shuffles.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = broadcast(
+      t.customer.select("c_custkey", "c_nationkey")
+        .join(t.nation.select("n_nationkey", "n_name", "n_regionkey"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t.region.filter(col("r_name") === "ASIA").select("r_regionkey"),
+          col("n_regionkey") === col("r_regionkey")))
+    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey")))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+                 col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev4")) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B4: left-semi (EXISTS) + left-anti (NOT EXISTS) in one result,
+    * tagged. Semi/anti avoid materializing the probe side.
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val withUrgent = t.customer.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_urgent").as("tag"))
+    val withoutUrgent = t.customer.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_urgent").as("tag"))
+    withUrgent.unionAll(withoutUrgent).orderBy(col("c_custkey"), col("tag"))
+  }
+
+  /** B5: per-group top-k via row_number window (top 3 orders per
+    * customer by price). One shuffle on the partition key.
+    */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** B6: ordered running aggregate per key (cumulative spend per
+    * user over the event stream). Scaled-int cumsum for parity.
+    */
+  def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("run4", sum(cents(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("run4") / 100.0).as("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B7: event-time tumbling bucket aggregation (batch form of the
+    * streaming windowed agg A10).
+    */
+  def qTimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** B8: hierarchical rollup region → nation over customer balances. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+    joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), (sum(cents(col("c_acctbal"))) / 100.0).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** B9: exact distinct counting per group (the HLL approximate twin
+    * lives in DistinctSketch and is spec-verified for error bounds).
+    */
+  def qDistinctExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B10: as-of join — for each purchase event, the nearest earlier
+    * click of the same user. Expressed as tagged-union + last()
+    * window (one shuffle on user_id, no O(n^2) self-join) — the
+    * standard Spark-native as-of composition that scales linearly.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(null: String).as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null: String).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      // clicks sort before purchases at identical ts => "<=" semantics
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id").as("event_id"), col("user_id"), col("asof_click").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B11: equi + range (banded) join: lineitems shipped within 30
+    * days of their order's date.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders.select("o_orderkey", "o_orderdate")
+    val li = t.lineitem.select("l_orderkey", "l_shipdate")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+        li("l_shipdate") >= ord("o_orderdate") &&
+        li("l_shipdate") < ord("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_within_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B12: skew-safe two-phase aggregation — salt the hot key space,
+    * partially aggregate, then merge. Result is identical to the
+    * direct group-by (the oracle), but the shuffle fans a hot key
+    * over `salts` reducers. At 100 TB this is the difference between
+    * one straggler and even reducers (AQE skew-join covers joins;
+    * this covers aggregations).
+    */
+  def qSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val salts = 8
+    t.events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pv4"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"), (sum(col("pv4")) / 100.0).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+}
