@@ -1,0 +1,70 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OGG-style change-record model.
+  *
+  * The reference consumes Oracle GoldenGate JSON from Kafka
+  * [ref: KuduManager.scala:50-66]: each line is
+  * `{"table":"SCHEMA.NAME","op_type":"I|U|D","current_ts":"...",
+  *   "after":{"ID":...,"COL":...}}`
+  * with uppercase payload keys and all primary keys named `ID`
+  * [ref: KuduManager.scala:55].
+  *
+  * Here the same record shape is a first-class Spark schema, and a
+  * deterministic change stream is derived from the `events` table so
+  * every CDC operator has a DuckDB-checkable oracle (TESTDATA has no
+  * live Kafka; the streaming path reads the same lines as files).
+  */
+object ChangeModel {
+
+  /** Typed payload schema for the events-derived stream. */
+  val afterSchema: StructType = StructType(Seq(
+    StructField("ID", LongType),
+    StructField("USER_ID", LongType),
+    StructField("EVENT_TYPE", StringType),
+    StructField("VALUE", DoubleType)))
+
+  /** Full change-record schema (typed payload). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("table", StringType),
+    StructField("op_type", StringType),
+    StructField("current_ts", StringType),
+    StructField("after", afterSchema)))
+
+  /** OGG payloads arrive stringly-typed; this variant models that and
+    * is the input to TypeMap coercion [ref: KuduManager.scala:86-108].
+    */
+  val recordSchemaRaw: StructType = StructType(Seq(
+    StructField("table", StringType),
+    StructField("op_type", StringType),
+    StructField("current_ts", StringType),
+    StructField("after", MapType(StringType, StringType))))
+
+  /** Map event_type onto an op_type the way OGG tags operations:
+    * signup = first write (I), error = tombstone (D), rest U.
+    */
+  def opTypeOf(eventType: Column): Column =
+    when(eventType === "signup", "I")
+      .when(eventType === "error", "D")
+      .otherwise("U")
+
+  /** Derive the deterministic JSON change-line stream from `events`
+    * (Tables.events). One column `line`, plus the source ts for
+    * stream-time tests.
+    */
+  def changeLines(events: DataFrame): DataFrame =
+    events.select(
+      to_json(struct(
+        lit("PUB.EVENTS").as("table"),
+        opTypeOf(col("event_type")).as("op_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("current_ts"),
+        struct(
+          col("event_id").as("ID"),
+          col("user_id").as("USER_ID"),
+          col("event_type").as("EVENT_TYPE"),
+          col("value").as("VALUE")).as("after"))).as("line"),
+      col("ts"))
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.{CdcOps, ChangeModel}
+import graft.sources.Tables
+
+/** A-block (SURVEY.md §2): the reference's CDC semantics exposed as
+  * oracle-checkable batch queries. The change stream is derived
+  * deterministically from `events` (ChangeModel.changeLines), so the
+  * DuckDB oracle can recompute every result from the raw parquet.
+  */
+object CdcQueries {
+
+  private def parsed(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.parse(ChangeModel.changeLines(Tables(spark, dir).events))
+
+  /** A1: JSON parse round-trip. */
+  def qCdcParse(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .select(col("id"), col("user_id"), col("event_type"), col("value"),
+        col("op_type"), col("current_ts"))
+      .orderBy(col("id"))
+
+  /** A5: stringly-typed payload coerced against the target schema. */
+  def qCdcTypemap(spark: SparkSession, dir: String): DataFrame = {
+    val raw = CdcOps.parseRaw(ChangeModel.changeLines(Tables(spark, dir).events))
+    CdcOps.coerce(raw, Seq(
+        "ID" -> LongType, "USER_ID" -> LongType,
+        "EVENT_TYPE" -> StringType, "VALUE" -> DoubleType))
+      .select(col("id"), col("user_id"), col("event_type"), col("value"), col("op_type"))
+      .orderBy(col("id"))
+  }
+
+  /** A3: last-write-wins upsert snapshot keyed on user_id. */
+  def qCdcUpsert(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.snapshot(parsed(spark, dir), col("user_id"))
+      .select(col("user_id"), col("id").as("last_id"), col("op_type").as("last_op"),
+        col("value").as("last_value"), col("current_ts").as("last_ts"))
+      .orderBy(col("user_id"))
+
+  /** A4: snapshot with logical deletes. */
+  def qCdcSoftdelete(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.softDeleteSnapshot(parsed(spark, dir), col("user_id"))
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** A2 + A6: route the stream to its table, emit audit rows. */
+  def qCdcAudit(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.audit(CdcOps.routeTable(parsed(spark, dir), "events"))
+      .orderBy(col("id").cast("long"))
+
+  /** A7: per-bucket sync metrics (tables, total, rec/s). */
+  def qSyncMetrics(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.syncMetrics(parsed(spark, dir))
+
+  /** A8: offset-range bookkeeping. */
+  def qOffsetLog(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.offsetLog(parsed(spark, dir))
+
+  /** A8: replay from stored offsets (ReadByAssignOffset as batch). */
+  def qCdcReplay(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.replayFromOffsets(parsed(spark, dir),
+        Map(0 -> (10L, 500L), 1 -> (0L, 250L), 2 -> (100L, 600L), 3 -> (5L, 999L)))
+      .select(col("id"), col("user_id"), col("op_type"), col("value"))
+      .orderBy(col("id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_parse"      -> (qCdcParse _),
+    "q_cdc_typemap"    -> (qCdcTypemap _),
+    "q_cdc_upsert"     -> (qCdcUpsert _),
+    "q_cdc_softdelete" -> (qCdcSoftdelete _),
+    "q_cdc_audit"      -> (qCdcAudit _),
+    "q_sync_metrics"   -> (qSyncMetrics _),
+    "q_offset_log"     -> (qOffsetLog _),
+    "q_cdc_replay"     -> (qCdcReplay _),
+  )
+
+  private val opCase =
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+  private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
+
+  val oracles: Map[String, String] = Map(
+    "q_cdc_parse" ->
+      s"""SELECT event_id AS id, user_id, event_type, value,
+         | $opCase AS op_type, $tsSec AS current_ts
+         |FROM events ORDER BY id""".stripMargin,
+
+    "q_cdc_typemap" ->
+      s"""SELECT event_id AS id, user_id, event_type, value,
+         | $opCase AS op_type
+         |FROM events ORDER BY id""".stripMargin,
+
+    "q_cdc_upsert" ->
+      s"""SELECT user_id, event_id AS last_id, $opCase AS last_op,
+         | value AS last_value, $tsSec AS last_ts
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_cdc_softdelete" ->
+      s"""SELECT user_id, event_id AS last_id,
+         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_cdc_audit" ->
+      s"""SELECT cast(event_id as varchar) AS id, 'events' AS name,
+         | $tsSec AS current_ts,
+         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         | '0' AS his_delete_state
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sync_metrics" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | count(DISTINCT event_type) AS n_tables, count(*) AS total,
+        | count(*) / 3600.0 AS rate
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_offset_log" ->
+      """SELECT 'events' AS topic, cast(user_id % 4 as int) AS partition,
+        | min(event_id) AS fromoffset, max(event_id) AS untiloffset,
+        | count(*) AS n_records
+        |FROM events GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "q_cdc_replay" ->
+      s"""SELECT event_id AS id, user_id, $opCase AS op_type, value
+         |FROM events
+         |WHERE (user_id % 4 = 0 AND event_id > 10  AND event_id <= 500)
+         |   OR (user_id % 4 = 1 AND event_id > 0   AND event_id <= 250)
+         |   OR (user_id % 4 = 2 AND event_id > 100 AND event_id <= 600)
+         |   OR (user_id % 4 = 3 AND event_id > 5   AND event_id <= 999)
+         |ORDER BY id""".stripMargin,
+  )
+}
