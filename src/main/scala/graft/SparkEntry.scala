@@ -36,6 +36,7 @@ object SparkEntry {
     "q_asof_join"      -> (Relational.qAsofJoin _),
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
+    "q_sessionize"     -> (Relational.qSessionize _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -146,5 +147,24 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        | strftime(min(tsx), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(tsx), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM (
+        | SELECT user_id, event_id, tsx,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (
+        |  SELECT user_id, event_id, cast(ts as timestamp) AS tsx,
+        |   CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER
+        |          (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) IS NULL
+        |     OR epoch_us(cast(ts as timestamp)) - lag(epoch_us(cast(ts as timestamp))) OVER
+        |          (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) > 3600000000
+        |   THEN 1 ELSE 0 END AS new_sess
+        |  FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

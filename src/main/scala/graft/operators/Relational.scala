@@ -219,6 +219,27 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** A11 (batch twin): gap-based sessionization via lag + running sum
+    * — one window shuffle on user_id; the streaming twin
+    * (EventStream.sessionize) holds one state record per active user.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600L * 1000000L
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(ord).isNull ||
+             col("us") - lag(col("us"), 1).over(ord) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A10/A11: event-stream analytics.
+  *
+  * The watermarked window agg is the streaming twin of the batch
+  * `q_time_bucket`; sessionization is `flatMapGroupsWithState` with
+  * per-user session state. Both are bounded-state: watermark discards
+  * late buckets, session state is one small record per active user.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation (A10). `events` may be a
+    * streaming or batch DataFrame with (ts, event_type, value).
+    */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionOut(user_id: Long, session_start: String, session_end: String,
+                        n_events: Long)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  private def fmt(us: Long): String = {
+    val t = new Timestamp(us / 1000)
+    new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss") {
+      setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    }.format(t)
+  }
+
+  /** A11: gap-based sessionization. Emits every *closed* session; the
+    * open tail session per user stays in state (in batch mode, where
+    * state starts empty and is processed once, the last session of
+    * each user is therefore withheld — tests account for this).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = us, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, fmt(s.startUs), fmt(s.lastUs), s.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

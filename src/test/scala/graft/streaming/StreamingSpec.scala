@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CdcOps, ChangeModel}
+import graft.sources.Tables
+
+/** A9-A12: streaming behavior against the batch ops as ground truth. */
+class StreamingSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.GraftSession.local(cores = 4, appName = "streaming-spec")
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("A9: incremental streaming upsert converges to the batch snapshot") {
+    val events = Tables(spark, sf).events
+    val lines = ChangeModel.changeLines(events).select("line")
+
+    // split the change log into two "arrivals"
+    val first = lines.filter(col("line").contains("\"ID\":1") === false)
+    val linesDir = tmp("cdc-lines")
+    val snapDir = tmp("cdc-snap")
+    val ckpt = tmp("cdc-ckpt")
+
+    first.coalesce(1).write.mode("overwrite").text(linesDir.resolve("batch0").toString)
+    val q = CdcStream.start(spark, linesDir.toString + "/*/", snapDir.toString, ckpt.toString)
+    q.processAllAvailable()
+
+    // second arrival: the remainder
+    lines.exceptAll(first).coalesce(1).write.mode("overwrite")
+      .text(linesDir.resolve("batch1").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = CdcStream.readSnapshot(spark, snapDir.toString).get
+      .select("user_id", "id", "op_type", "delete_state", "event_type", "value")
+    val batch = CdcOps.softDeleteSnapshot(
+        CdcOps.parse(ChangeModel.changeLines(events)), col("user_id"))
+      .select("user_id", "id", "op_type", "delete_state", "event_type", "value")
+
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() == events.select("user_id").distinct().count())
+  }
+
+  test("A9: restart from checkpoint does not reprocess (exactly-once)") {
+    val events = Tables(spark, sf).events
+    val lines = ChangeModel.changeLines(events).select("line")
+    val linesDir = tmp("cdc2-lines")
+    val snapDir = tmp("cdc2-snap")
+    val ckpt = tmp("cdc2-ckpt")
+
+    lines.coalesce(1).write.mode("overwrite").text(linesDir.resolve("b0").toString)
+    val q1 = CdcStream.start(spark, linesDir.toString + "/*/", snapDir.toString, ckpt.toString)
+    q1.processAllAvailable(); q1.stop()
+    val v1 = Files.readString(snapDir.resolve("LATEST"))
+
+    // restart with same checkpoint: no new input => no new snapshot version
+    val q2 = CdcStream.start(spark, linesDir.toString + "/*/", snapDir.toString, ckpt.toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(Files.readString(snapDir.resolve("LATEST")) == v1)
+  }
+
+  test("A10: streaming windowed agg equals batch time-bucket agg") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("ev-in")
+    events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(evDir.toString + "/*/")
+    val agg = EventStream.windowedAgg(streamIn)
+
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_out")
+    val want = EventStream.windowedAgg(events)
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
+  test("A11: streaming sessionization emits exactly the closed sessions") {
+    import spark.implicits._
+    val events = Tables(spark, sf).events
+    val evDir = tmp("sess-in")
+    events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[EventStream.SessionEvent]
+    val sessions = EventStream.sessionize(streamIn, gapMinutes = 60)
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_out")
+    // ground truth: the oracle-checked batch sessionize, minus each
+    // user's final (still-open) session
+    val batch = graft.operators.Relational.qSessionize(spark, sf)
+    val closedBatch = batch.withColumn("max_sid",
+        max(col("session_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("max_sid"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(sortedRows(got.select("user_id", "session_start", "session_end", "n_events"))
+      == sortedRows(closedBatch))
+    assert(got.count() > 0)
+  }
+
+  test("A12: rate listener reports per-batch totals like LoggerManager") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("rate-in")
+    events.limit(100).write.mode("overwrite").parquet(evDir.resolve("p").toString)
+
+    val listener = new RateListener
+    spark.streams.addListener(listener)
+    try {
+      val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+      val q = streamIn.groupBy(col("event_type")).count()
+        .writeStream.outputMode("complete").format("memory").queryName("rate_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.reports.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.reports.map(_.numInputRows).sum == 100)
+      assert(listener.formatted.head.contains("rec/s"))
+    } finally spark.streams.removeListener(listener)
+  }
+}
