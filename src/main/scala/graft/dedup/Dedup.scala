@@ -1,0 +1,177 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine_double, hamming64, simhash64}
+
+/** C1-C5: deduplication operators for LLM-corpus curation.
+  *
+  * Scale notes (100 TB): every family below is expressed as
+  * "compute a small key per document, shuffle once on that key,
+  * verify only within buckets" — candidate generation is linear in
+  * corpus size, never a cross join. The only exhaustive path is
+  * `embeddingNearDups`, kept for oracle-exactness at test scale; its
+  * production twin is the LSH-bucketed `Ann.lshTopK`.
+  */
+object Dedup {
+
+  /** C1: exact-duplicate classes. Group key is the text itself (the
+    * shuffle key Spark derives is its hash, so equal work to hashing
+    * ourselves, with zero collision risk).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text"))
+    docs.select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("is_canonical", (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
+  /** Distinct word-k-shingles per doc. The token array is projected
+    * once before the shingle lambda — inlining `split` there would
+    * re-split the text on every element access (O(len^2) per doc).
+    */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(0), size(col("w")) - k),
+            i => concat_ws(" ", (0 until k).map(j => col("w").getItem(i + j)): _*)))
+          .as("sh"))
+
+  /** C4: n-gram Jaccard over the inverted shingle index: candidate
+    * pairs are docs sharing >=1 shingle (one shuffle on the shingle),
+    * intersections counted by the join itself, unions from per-doc
+    * counts. Blocking: |len diff| <= `lenBand` chars (near-dups keep
+    * near-identical length; lang labels are unreliable for dups).
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double, lenBand: Int = 20): DataFrame = {
+    // the inverted index carries 8-byte shingle hashes, not shingle
+    // strings — the self-join shuffles fixed-width longs (collision
+    // odds over ~1e6 shingles: ~1e-7, and any would surface in the
+    // oracle compare)
+    val sh = shingles(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val tri = sh.select(col("doc_id"), col("n_chars"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n_chars"), xxhash64(col("g")).as("gh"))
+    val cnt = sh.select(col("doc_id"), size(col("sh")).as("c"))
+    val a = tri.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"), col("gh"))
+    val b = tri.select(col("doc_id").as("id_b"), col("n_chars").as("nc_b"), col("gh"))
+    a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("nc_a") - col("nc_b")) <= lenBand)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature columns m0..m63: one base xxhash64 per shingle
+    * folded to 31 bits, then 64 affine maps (a_j*h + b_j) mod 2^31
+    * with 31-bit constants — products stay under 2^62, so the math is
+    * exact under ANSI mode (no silent or raised overflow) while
+    * keeping the standard one-pass MinHash guarantees (31-bit hash
+    * space is ample for shingle-set sizes).
+    */
+  private val Mask31 = 0x7fffffffL
+  private val perms: Seq[(Long, Long)] = (0 until 64).map { j =>
+    def f(x: Int): Long = {
+      val bs = BigInt(x).toByteArray
+      graft.functions.HashAlgos.fnv1a(bs, 0, bs.length)
+    }
+    ((f(j) & Mask31) | 1L, f(j + 1000) & Mask31)
+  }
+
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = shingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(Mask31)))
+    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b).bitwiseAND(lit(Mask31))).as(s"m$j")
+    }
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** C2: MinHash + banded LSH (16 bands x 4 rows) -> candidate pairs
+    * sharing a band -> exact-Jaccard verification. Probability a pair
+    * with true Jaccard s becomes a candidate: 1-(1-s^4)^16 (>=99.98%
+    * at s=0.8).
+    */
+  def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until 16).map { k =>
+      struct(lit(k).as("band"),
+        xxhash64((0 until 4).map(r => col(s"m${4 * k + r}")) :+ lit(k): _*).as("bh"))
+    }
+    val cand = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = cand.alias("x").join(cand.alias("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard (hashed shingle
+    // sets: 8-byte elements intersect much faster than strings)
+    val sh = shingles(docs).select(col("doc_id"),
+      array_distinct(transform(col("sh"), g => xxhash64(g))).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C3: SimHash near-dups — 64-bit signature (custom codegen
+    * expression), bucketed by its four 16-bit chunks (hamming<=3
+    * guarantees at least one equal chunk — pigeonhole), verified by
+    * exact hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      simhash64(split(col("text"), " ")).as("sig"))
+    val expl = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("ck"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("sig"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    expl.alias("x").join(expl.alias("y"), Seq("chunk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C5: embedding near-dup pairs above a cosine threshold. Exhaustive
+    * (broadcast nested loop) — exact by construction, used as the
+    * oracle-checkable twin; production-scale candidate generation is
+    * LSH (graft.ann.Ann).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    // Norms are computed once per vector up front (not once per PAIR —
+    // an O(n) vs O(n^2) difference in norm work); the pair loop is
+    // then a single codegen'd dot product.
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.norm_double(col("embedding")).as("nrm"))
+    val a = normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.dot_double(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

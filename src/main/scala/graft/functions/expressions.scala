@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text/dedup block.
+  *
+  * Both stay inside whole-stage codegen (RollingHash64 via
+  * doGenCode; SimHash64 via a static-method call), so the hot path
+  * is a single generated loop per row — no UDF boxing, no Encoder
+  * round-trips.
+  */
+object HashAlgos {
+  /** 64-bit polynomial rolling hash over UTF-8 bytes (base 31, odd
+    * multiplier; overflow wraps, which is the point). Public-domain
+    * construction (Rabin-Karp style).
+    */
+  def rollingHash(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    var h = 1125899906842597L // large prime seed
+    var i = offset
+    val end = offset + len
+    while (i < end) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+
+  /** FNV-1a 64-bit. */
+  def fnv1a(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = offset
+    val end = offset + len
+    while (i < end) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Hash of token i of an ArrayData of strings (used by codegen). */
+  def fnv1aOfString(s: UTF8String): Long = {
+    val b = s.getBytes
+    fnv1a(b, 0, b.length)
+  }
+
+  /** SimHash-64 over a token array: per-bit majority vote of token
+    * FNV hashes (Charikar 2002).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1aOfString(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def rollingHashOfString(s: UTF8String): Long = {
+    val b = s.getBytes
+    rollingHash(b, 0, b.length)
+  }
+
+  /** Sequential left-to-right double-accumulated dot product; the
+    * accumulation order is part of the contract (bit reproducibility
+    * vs the DuckDB oracle and across partitionings).
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def dotFloatDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def dotDoubleFloat(a: ArrayData, b: ArrayData): Double = dotFloatDouble(b, a)
+}
+
+/** C11: document fingerprint — 64-bit rolling hash of the full text.
+  * Codegen emits a direct static call; no boxing.
+  */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash64 needs STRING, got ${child.dataType.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashAlgos.rollingHashOfString(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashAlgos.rollingHashOfString($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
+}
+
+/** C5/C6 hot path: dot product of two float/double array columns with
+  * double accumulation. The built-in `aggregate`/`zip_with` HOFs fall
+  * back to interpreted eval — at ~10M candidate pairs that's the
+  * bottleneck; this stays a tight generated loop.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case other           => other
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Set[DataType](org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType)
+    if (ok(elemType(left)) && ok(elemType(right)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs ARRAY<FLOAT|DOUBLE> args, got " +
+          s"(${elemType(left).sql}, ${elemType(right).sql})")
+  }
+  private def fnName: String = {
+    val lf = elemType(left) == org.apache.spark.sql.types.FloatType
+    val rf = elemType(right) == org.apache.spark.sql.types.FloatType
+    (lf, rf) match {
+      case (true, true)   => "dotFloat"
+      case (false, false) => "dotDouble"
+      case (true, false)  => "dotFloatDouble"
+      case (false, true)  => "dotDoubleFloat"
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    fnName match {
+      case "dotFloat"       => HashAlgos.dotFloat(x, y)
+      case "dotDouble"      => HashAlgos.dotDouble(x, y)
+      case "dotFloatDouble" => HashAlgos.dotFloatDouble(x, y)
+      case "dotDoubleFloat" => HashAlgos.dotDoubleFloat(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashAlgos.$fnName($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(l, r)
+}
+
+/** C3: SimHash-64 over a token array. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HashAlgos.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}

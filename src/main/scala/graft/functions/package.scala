@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine. */
+package object functions {
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  /** C11: 64-bit rolling-hash fingerprint of a string column. */
+  def rolling_hash64(c: Column): Column = toCol(RollingHash64(toExpr(c)))
+
+  /** C3: SimHash-64 of an array<string> token column. */
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+
+  /** Hamming distance between two 64-bit signatures (composed from
+    * codegen'd built-ins — no custom expression needed).
+    */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Dot product of two float/double-array columns, accumulated
+    * left-to-right in double — the summation order is part of the
+    * contract (bit reproducibility across engines and partitionings).
+    * Custom codegen expression: the equivalent aggregate/zip_with HOF
+    * chain is interpreted and ~10x slower on hot pair loops.
+    */
+  def dot_double(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** L2 norm (double). */
+  def norm_double(a: Column): Column = sqrt(dot_double(a, a))
+
+  /** Cosine similarity of two float-array columns in double math. */
+  def cosine_double(a: Column, b: Column): Column =
+    dot_double(a, b) / (norm_double(a) * norm_double(b))
+
+  /** Register SQL names for the custom expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "rolling_hash64", exprs => RollingHash64(exprs.head))
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "simhash64", exprs => SimHash64(exprs.head))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** C12: multimodal column plumbing.
+  *
+  * Media lives as an opaque `binary` column + a typed metadata
+  * struct; decode/resize/frame-sample run as partition-local batch
+  * stages over `mapPartitions` (the JVM twin of `mapInPandas`: same
+  * schema/batch discipline, no driver involvement, linear scan).
+  *
+  * The actual codec is a STUB — this container has no image/audio
+  * libraries — replaced by a deterministic fake: "decoding" computes
+  * byte stats, "resize" halves the metadata dims, "frame sampling"
+  * strides the payload. The Spark-side contract (schema, batching,
+  * partition locality) is the real, tested part; swapping in a real
+  * codec touches only `decodeBatch`.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         width: Int, height: Int, format: String)
+  case class DecodedRecord(doc_id: Long, n_bytes: Long, checksum: Long,
+                           out_w: Int, out_h: Int, sampled_len: Long)
+
+  /** Wrap documents as fake media blobs: payload = UTF-8 bytes of the
+    * text, metadata derived deterministically from doc fields.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("height"),
+      lit("fake/raw").as("format"))
+
+  /** STUB codec: deterministic fake standing in for e.g. libjpeg.
+    * Real implementation would decode `payload` here, one batch at a
+    * time; everything around it stays unchanged.
+    */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedRecord] =
+    batch.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+      val sampled = if (r.payload.isEmpty) 0L else (r.payload.length - 1) / 7 + 1
+      DecodedRecord(r.doc_id, r.payload.length.toLong, sum,
+        r.width / 2 + 1, r.height / 2 + 1, sampled)
+    }
+
+  /** The pipeline: binary in, features out, decoding in fixed-size
+    * batches per partition (batch shape = what a vectorized codec or
+    * GPU stage would want).
+    */
+  def decodePipeline(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
+      .toDF()
+  }
+}

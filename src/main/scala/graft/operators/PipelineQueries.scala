@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.rolling_hash64
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** C-block (SURVEY.md §2): LLM-training-data pipeline operators as
+  * driver-contract queries over documents/embeddings.
+  */
+object PipelineQueries {
+
+  /** C1 */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("canonical_id"), col("group_size"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+
+  /** C4: verified near-dup pairs by word-trigram Jaccard. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables(spark, dir).documents, minJaccard = 0.5, lenBand = 20)
+
+  /** C2: MinHash-LSH candidates verified at Jaccard >= 0.8. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables(spark, dir).documents, minJaccard = 0.8)
+
+  /** C3: SimHash hamming<=3 pairs (no SQL oracle: wrap-around 64-bit
+    * hashing isn't expressible in DuckDB integer semantics; verified
+    * by spec against exact near-dup ground truth instead).
+    */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3)
+
+  /** C5 */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables(spark, dir).embeddings, threshold = 0.4)
+
+  /** C6 */
+  def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+
+  /** C7 (approximate; recall vs C6 measured in spec). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 6)
+  }
+
+  /** C8 */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** C9 */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** C10 */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** C11: fingerprint dup-classes via the custom codegen expression;
+    * oracle checks the classes (hash values themselves aren't
+    * SQL-replicable, equality classes are).
+    */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(rolling_hash64(col("text")))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C12 */
+  def qMmBinary(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePipeline(Multimodal.asMedia(Tables(spark, dir).documents))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> (qDedupExact _),
+    "q_ngram_jaccard"   -> (qNgramJaccard _),
+    "q_dedup_minhash"   -> (qDedupMinhash _),
+    "q_dedup_simhash"   -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_brute"       -> (qAnnBrute _),
+    "q_ann_lsh"         -> (qAnnLsh _),
+    "q_text_langid"     -> (qTextLangid _),
+    "q_text_quality"    -> (qTextQuality _),
+    "q_text_tokens"     -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_mm_binary"       -> (qMmBinary _),
+  )
+
+  private val triCte =
+    """toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+      |tri AS (SELECT doc_id, n_chars,
+      |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                        for i in generate_series(1, len(w)-2)])) AS g FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM tri GROUP BY 1)""".stripMargin
+
+  private val embCte =
+    """ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings),
+      |nm AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM ed)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        | count(*) OVER (PARTITION BY text) AS group_size,
+        | CAST(doc_id = min(doc_id) OVER (PARTITION BY text) AS int) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | list_sum(list_transform(list_zip(a.e, b.e), s -> s[1]*s[2]))/(na.nrm*nb.nrm) AS cos
+         |FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+         | JOIN nm na ON a.vec_id = na.vec_id JOIN nm nb ON b.vec_id = nb.vec_id
+         |WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1]*s[2]))/(na.nrm*nb.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_brute" ->
+      s"""WITH $embCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  list_sum(list_transform(list_zip(q.e, c.e), s -> s[1]*s[2]))/(nq.nrm*nc.nrm) AS cos
+         | FROM ed q JOIN ed c ON q.vec_id != c.vec_id
+         |  JOIN nm nq ON q.vec_id = nq.vec_id JOIN nm nc ON c.vec_id = nc.vec_id
+         | WHERE q.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id, lang AS lang_labeled,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_pred
+        |FROM (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','a'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('der','und','die','ist','das'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','una','y'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('le','les','est','une','et'))) AS s_fr
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        | len(string_split(text,' ')) AS n_words,
+        | len(list_filter(string_split(text,' '),
+        |     t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+        | len(list_filter(string_split(text,' '),
+        |     t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+        |   / len(string_split(text,' ')) AS stopword_ratio,
+        | list_sum(list_transform(string_split(text,' '), t -> length(t))) * 1.0
+        |   / len(string_split(text,' ')) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        | count(*) OVER (PARTITION BY text) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_binary" ->
+      """SELECT doc_id, length(text)::bigint AS n_bytes,
+        | list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::bigint AS checksum,
+        | ((n_chars % 64 + 1) // 2 + 1)::int AS out_w,
+        | ((doc_id % 48 + 1) // 2 + 1)::int AS out_h,
+        | CASE WHEN length(text) = 0 THEN 0
+        |      ELSE (length(text) - 1) // 7 + 1 END::bigint AS sampled_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge.
+  *
+  * Spark 4 made the classic Column/Expression converters
+  * `private[sql]`; extension libraries that ship custom Catalyst
+  * expressions conventionally expose them through a shim in the
+  * `org.apache.spark.sql` namespace (same pattern as Delta/Sedona/
+  * frameless). Only these two converters and temp-function
+  * registration leak through — nothing else.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** C-block behavior that the SQL oracle can't check: LSH recall,
+  * SimHash detection, custom-expression codegen, multimodal batching.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "pipeline-spec")
+
+  private def docs: DataFrame = Tables(spark, sf).documents
+
+  /** Exact duplicates derived from the testdata: every doc unioned
+    * with an offset copy of itself => ground-truth dup pairs
+    * (doc_id, doc_id + 100000).
+    */
+  private def withDups: DataFrame = {
+    val d = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  test("C2: MinHash LSH finds every exact duplicate (recall 1.0 at J=1)") {
+    val n = docs.count()
+    val pairs = Dedup.minhashLsh(withDups, minJaccard = 0.99)
+      .filter(col("id_b") === col("id_a") + 100000L)
+    assert(pairs.count() == n)
+  }
+
+  test("C3: SimHash finds exact duplicates at hamming 0 and flags planted near-dups") {
+    val n = docs.count()
+    val pairs = Dedup.simhashPairs(withDups, maxHamming = 0)
+    assert(pairs.filter(col("id_b") === col("id_a") + 100000L).count() == n)
+    // near-dup pairs (trigram J>=0.9 planted in the corpus) should be
+    // within small hamming distance of each other
+    val near = Dedup.ngramJaccard(docs, minJaccard = 0.9)
+    if (near.count() > 0) {
+      val sigPairs = Dedup.simhashPairs(docs, maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+      val found = near.select("id_a", "id_b").intersect(sigPairs).count()
+      assert(found > 0, "simhash should flag at least one planted near-dup")
+    }
+  }
+
+  test("C7: LSH ANN recall/cost tradeoff vs brute force") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id")
+    def recallAt(bits: Int): Double = {
+      val lsh = Ann.lshTopK(emb, q, 5, bits = bits).select("query_id", "neighbor_id")
+      lsh.intersect(brute).count().toDouble / brute.count()
+    }
+    val coarse = recallAt(3) // 8 buckets: big candidate sets, high recall
+    val fine = recallAt(6)   // 64 buckets: ~1/8 the work, lower recall
+    assert(coarse >= 0.5, s"coarse recall=$coarse")
+    assert(fine >= 0.2, s"fine recall=$fine")
+    val bucketed = Ann.lshBucket(emb, 6).groupBy("bucket").count()
+    assert(bucketed.count() > 1, "bucketing must actually split the corpus")
+  }
+
+  test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
+    import graft.functions.rolling_hash64
+    val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))
+    assert(fp.select("fp").distinct().count() == docs.select("text").distinct().count())
+    // expression is registered for SQL too
+    graft.functions.registerAll(spark)
+    docs.createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql("SELECT rolling_hash64(text) AS fp FROM docs_v")
+    assert(viaSql.exceptAll(fp.select("fp")).count() == 0)
+    // codegen: the projection must not fall back to interpreted mode
+    // (the `*(n)` prefix in the plan string marks WholeStageCodegen)
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
+  test("C12: multimodal decode preserves batch discipline and schema") {
+    import graft.multimodal.Multimodal
+    val out = Multimodal.decodePipeline(Multimodal.asMedia(docs), batchSize = 7)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "checksum", "out_w", "out_h", "sampled_len"))
+    assert(out.count() == docs.count())
+    // deterministic fake decode: checksum equals recomputed byte sum
+    val row = out.filter(col("doc_id") === 0).head
+    val text = docs.filter(col("doc_id") === 0).head.getAs[String]("text")
+    assert(row.getAs[Long]("checksum") == text.getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+  }
+
+  test("C8: langId is deterministic and total (every doc classified)") {
+    val out = TextAnalysis.langId(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("lang_pred").isNull).count() == 0)
+    val again = TextAnalysis.langId(docs)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("B9: HLL approx distinct within 5% of exact") {
+    val li = Tables(spark, sf).lineitem
+    val both = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head
+    val exact = both.getAs[Long]("exact").toDouble
+    val approx = both.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
