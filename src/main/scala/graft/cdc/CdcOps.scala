@@ -32,6 +32,26 @@ object CdcOps {
         col("r.after.EVENT_TYPE").as("event_type"),
         col("r.after.VALUE").as("value"))
 
+  /** A1 + dead-letter: split the stream into parsed-valid rows and a
+    * quarantine of raw lines that failed to parse or lack the fields
+    * the reference treats as mandatory (table name, key) — it
+    * logs-and-skips those [ref: KuduManager.scala:59-61,117-122]; at
+    * scale a silent skip hides poison messages, so the quarantine
+    * keeps the raw line for replay. Returns the union with an
+    * `is_valid` flag; callers filter.
+    */
+  def parseWithQuarantine(lines: DataFrame): DataFrame = {
+    val parsed = lines
+      .withColumn("r", from_json(col("line"), ChangeModel.recordSchema))
+      .select(col("line"),
+        col("r.table").as("table"), col("r.op_type").as("op_type"),
+        col("r.current_ts").as("current_ts"),
+        col("r.after.ID").as("id"), col("r.after.USER_ID").as("user_id"),
+        col("r.after.EVENT_TYPE").as("event_type"), col("r.after.VALUE").as("value"))
+    parsed.withColumn("is_valid",
+      col("table").isNotNull && col("op_type").isNotNull && col("id").isNotNull)
+  }
+
   /** A1 variant: parse with a stringly-typed payload (raw OGG shape),
     * for TypeMap coercion.
     */

@@ -47,15 +47,17 @@ object Dedup {
     * near-identical length; lang labels are unreliable for dups).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double, lenBand: Int = 20): DataFrame = {
-    // the inverted index carries 8-byte shingle hashes, not shingle
-    // strings — the self-join shuffles fixed-width longs (collision
-    // odds over ~1e6 shingles: ~1e-7, and any would surface in the
-    // oracle compare)
-    val sh = shingles(docs)
+    // Inverted index on 8-byte shingle hashes (fixed-width join keys;
+    // collision odds over ~1e6 shingles ~1e-7, and any would surface
+    // in the oracle compare). Length-banding the index key was tried
+    // and measured SLOWER here: the 3x probe-side explosion costs
+    // more than the pair reduction saves on corpora whose trigram
+    // doc-frequency is moderate. Revisit only if bucket pair counts
+    // blow up (giant corpora with heavy-tailed shingle frequency).
+    val sh = hashedShingles(docs)
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-    val tri = sh.select(col("doc_id"), col("n_chars"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), col("n_chars"), xxhash64(col("g")).as("gh"))
-    val cnt = sh.select(col("doc_id"), size(col("sh")).as("c"))
+    val tri = sh.select(col("doc_id"), col("n_chars"), explode(col("shh")).as("gh"))
+    val cnt = sh.select(col("doc_id"), size(col("shh")).as("c"))
     val a = tri.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"), col("gh"))
     val b = tri.select(col("doc_id").as("id_b"), col("n_chars").as("nc_b"), col("gh"))
     a.join(b, Seq("gh"))
@@ -72,30 +74,20 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature columns m0..m63: one base xxhash64 per shingle
-    * folded to 31 bits, then 64 affine maps (a_j*h + b_j) mod 2^31
-    * with 31-bit constants — products stay under 2^62, so the math is
-    * exact under ANSI mode (no silent or raised overflow) while
-    * keeping the standard one-pass MinHash guarantees (31-bit hash
-    * space is ample for shingle-set sizes).
-    */
-  private val Mask31 = 0x7fffffffL
-  private val perms: Seq[(Long, Long)] = (0 until 64).map { j =>
-    def f(x: Int): Long = {
-      val bs = BigInt(x).toByteArray
-      graft.functions.HashAlgos.fnv1a(bs, 0, bs.length)
-    }
-    ((f(j) & Mask31) | 1L, f(j + 1000) & Mask31)
-  }
+  /** Hashed distinct shingle sets per doc (8-byte elements). */
+  def hashedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k).select(col("doc_id"),
+      array_distinct(transform(col("sh"), g => xxhash64(g))).as("shh"))
 
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ex = shingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("h", xxhash64(col("g")).bitwiseAND(lit(Mask31)))
-    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b).bitwiseAND(lit(Mask31))).as(s"m$j")
-    }
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash signature per doc: a single codegen'd pass over the
+    * hashed shingle set (MinHashSig expression) — no explode, no
+    * aggregation shuffle; signatures are a pure projection. The 64
+    * permutations are 31-bit affine maps (exact long math under
+    * ANSI mode).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    hashedShingles(docs).select(col("doc_id"),
+      graft.functions.minhash_sig(col("shh")).as("sig"))
 
   /** C2: MinHash + banded LSH (16 bands x 4 rows) -> candidate pairs
     * sharing a band -> exact-Jaccard verification. Probability a pair
@@ -103,24 +95,23 @@ object Dedup {
     * at s=0.8).
     */
   def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val withSig = hashedShingles(docs).select(col("doc_id"), col("shh"),
+      graft.functions.minhash_sig(col("shh")).as("sig"))
     val bands = (0 until 16).map { k =>
       struct(lit(k).as("band"),
-        xxhash64((0 until 4).map(r => col(s"m${4 * k + r}")) :+ lit(k): _*).as("bh"))
+        xxhash64((0 until 4).map(r => col("sig").getItem(4 * k + r)) :+ lit(k): _*).as("bh"))
     }
-    val cand = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+    val cand = withSig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val pairs = cand.alias("x").join(cand.alias("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard (hashed shingle
-    // sets: 8-byte elements intersect much faster than strings)
-    val sh = shingles(docs).select(col("doc_id"),
-      array_distinct(transform(col("sh"), g => xxhash64(g))).as("sh"))
+    // verify candidates with exact hashed-shingle Jaccard
+    val sh = withSig.select(col("doc_id"), col("shh"))
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

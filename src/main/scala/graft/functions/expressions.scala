@@ -101,6 +101,38 @@ object HashAlgos {
   }
 
   def dotDoubleFloat(a: ArrayData, b: ArrayData): Double = dotFloatDouble(b, a)
+
+  /** 64 affine MinHash permutations over 31-bit space (products stay
+    * below 2^62: exact long math, ANSI-safe). Constants derived from
+    * FNV so every executor/engine agrees with no RNG state.
+    */
+  val MinhashMask: Long = 0x7fffffffL
+  val minhashPerms: Array[(Long, Long)] = Array.tabulate(64) { j =>
+    def f(x: Int): Long = { val bs = BigInt(x).toByteArray; fnv1a(bs, 0, bs.length) }
+    ((f(j) & MinhashMask) | 1L, f(j + 1000) & MinhashMask)
+  }
+
+  /** One-pass MinHash signature: 64 mins over the hashed-shingle set
+    * in a single tight loop — replaces an explode + 64 min() aggs
+    * (and the shuffle they imply) with a per-row projection.
+    */
+  def minhashSig(shingleHashes: ArrayData): ArrayData = {
+    val sig = Array.fill(64)(Long.MaxValue)
+    val n = shingleHashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shingleHashes.getLong(i) & MinhashMask
+      var j = 0
+      while (j < 64) {
+        val p = minhashPerms(j)
+        val v = (h * p._1 + p._2) & MinhashMask
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
 }
 
 /** C11: document fingerprint — 64-bit rolling hash of the full text.
@@ -170,6 +202,27 @@ case class DotProduct(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashAlgos.$fnName($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(l, r)
+}
+
+/** C2: one-pass MinHash signature (array<long> shingle hashes ->
+  * array<long>[64]) — see HashAlgos.minhashSig.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs ARRAY<BIGINT>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HashAlgos.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
 }
 
 /** C3: SimHash-64 over a token array. */

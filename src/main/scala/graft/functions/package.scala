@@ -14,6 +14,11 @@ package object functions {
   /** C3: SimHash-64 of an array<string> token column. */
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
+  /** C2: 64-long MinHash signature of an array<bigint> hashed-shingle
+    * column, one codegen'd pass.
+    */
+  def minhash_sig(c: Column): Column = toCol(MinHashSig(toExpr(c)))
+
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).
     */

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Kafka face of the CDC ingest — the reference's KafkaManager
+  * re-expressed [ref: KafkaManager.scala:39-77].
+  *
+  * The cluster path: `format("kafka")` (needs spark-sql-kafka on the
+  * classpath; not present in this container, so this reader compiles
+  * but is exercised on a real cluster — CdcStream's file source
+  * covers the pipeline end-to-end in tests; the two produce the same
+  * `line` column and share everything downstream).
+  *
+  * Offset semantics map 1:1:
+  *  - subscribe-latest       = the reference's no-arg mode (Kafka own storage)
+  *  - resume-from-offset-log = the zk / local-file modes: the stored
+  *    `topic,partition,from,until` lines [ref: ZookeeperManager.scala:101,
+  *    files/offset.log] become a `startingOffsets` JSON assignment —
+  *    and after that first batch, the checkpoint WAL owns offsets
+  *    (subsuming the reference's three storage backends).
+  */
+object KafkaCdcSource {
+
+  /** Translate the reference's offset-log lines
+    * (`topic,partition,fromOffset,untilOffset`) into the
+    * startingOffsets JSON Structured Streaming expects; replay begins
+    * at each partition's *until* offset, exactly like
+    * ReadByAssignOffset [ref: ReadByAssignOffset.scala:57-61].
+    */
+  def offsetLogToStartingOffsets(lines: Seq[String]): String = {
+    val byTopic = lines.filter(_.nonEmpty).map { l =>
+      val Array(topic, partition, _, until) = l.split(",").map(_.trim)
+      (topic, partition.toInt, until.toLong)
+    }.groupBy(_._1)
+    byTopic.toSeq.sortBy(_._1).map { case (topic, parts) =>
+      val ps = parts.sortBy(_._2)
+        .map { case (_, p, off) => s""""$p": $off""" }.mkString(", ")
+      s""""$topic": {$ps}"""
+    }.mkString("{", ", ", "}")
+  }
+
+  /** Build the Kafka line stream (one `line` column, like the file
+    * source) from either the latest offsets or a stored offset log.
+    */
+  def readChangeLines(spark: SparkSession, brokers: String, topics: Seq[String],
+                      offsetLog: Option[Seq[String]] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics.mkString(","))
+      .option("failOnDataLoss", "false")
+    val withOffsets = offsetLog match {
+      case Some(lines) => base.option("startingOffsets", offsetLogToStartingOffsets(lines))
+      case None        => base.option("startingOffsets", "latest")
+    }
+    withOffsets.load().select(col("value").cast("string").as("line"))
+  }
+}

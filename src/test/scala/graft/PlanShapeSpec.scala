@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CdcOps, ChangeModel}
+import graft.operators.Relational
+import graft.sources.Tables
+import graft.streaming.KafkaCdcSource
+
+/** Scale contracts as assertions: the physical plans SURVEY.md §5
+  * promises (pushdown, pruning, broadcasts, no accidental cartesian
+  * products) are pinned here so a regression shows up as a red test,
+  * not as a 100 TB incident.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "plan-spec")
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan, schema pruned") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 7 needed columns are read, not all 11
+    assert(!p.contains("l_orderkey"), "pruned column still in scan:\n" + p)
+  }
+
+  test("q3/q5: dimension sides broadcast — fact table never shuffles for the join") {
+    val p3 = plan(Relational.q3JoinAgg(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p3)
+    val p5 = plan(Relational.q5MultiJoin(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"), p5)
+    assert(!p5.contains("CartesianProduct"), p5)
+  }
+
+  test("as-of join compiles to one shuffle (window), not a range self-join") {
+    val p = plan(Relational.qAsofJoin(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cdc snapshot: single hash exchange on the upsert key") {
+    val parsed = CdcOps.parse(ChangeModel.changeLines(Tables(spark, sf).events))
+    val p = plan(CdcOps.snapshot(parsed, col("user_id")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    import graft.functions.{dot_double, rolling_hash64}
+    val emb = Tables(spark, sf).embeddings
+    val p = plan(emb.select(dot_double(col("embedding"), col("embedding")).as("d")))
+    assert(p.contains("*(1) Project"), p)
+    val docs = Tables(spark, sf).documents
+    val p2 = plan(docs.select(rolling_hash64(col("text")).as("h")))
+    assert(p2.contains("*(1) Project"), p2)
+  }
+
+  test("dead-letter quarantine: corrupt lines are kept, valid lines parse") {
+    import spark.implicits._
+    val good = ChangeModel.changeLines(Tables(spark, sf).events).select("line").limit(10)
+    val bad = Seq("{not json at all", """{"table":null,"op_type":"U"}""", "")
+      .toDF("line")
+    val out = CdcOps.parseWithQuarantine(good.unionByName(bad))
+    assert(out.filter(col("is_valid")).count() == 10)
+    val quarantined = out.filter(!col("is_valid"))
+    assert(quarantined.count() == 3)
+    // raw lines survive for replay
+    assert(quarantined.select("line").as[String].collect().contains("{not json at all"))
+  }
+
+  test("kafka offset-log lines map to startingOffsets JSON (reference format)") {
+    // exact lines from the reference's files/offset.log
+    val lines = Seq("tt,3,107,107", "tt,4,94,95", "tt,1,30,30", "tt,2,40,40", "tt,0,39,39")
+    val json = KafkaCdcSource.offsetLogToStartingOffsets(lines)
+    assert(json == """{"tt": {"0": 39, "1": 30, "2": 40, "3": 107, "4": 95}}""", json)
+  }
+}
