@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CdcQueries, PipelineQueries, Relational}
+import graft.operators.{CdcQueries, Extended, PipelineQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries ++ CdcQueries.queries ++ PipelineQueries.queries
+    relationalQueries ++ CdcQueries.queries ++ PipelineQueries.queries ++
+      Extended.queries
 
   def oracleSql: Map[String, String] =
-    relationalOracles ++ CdcQueries.oracles ++ PipelineQueries.oracles
+    relationalOracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
+      Extended.oracles
 
   // ---------------------------------------------------------------- B block
 

@@ -57,13 +57,21 @@ object Ann {
     emb.withColumn("bucket", bucket)
   }
 
-  /** C7: LSH-bucketed approximate top-k: only vectors in the query's
-    * bucket are scored. Recall vs bruteTopK is measured in the spec;
-    * multi-probe (flipping one bit) would raise it at the same cost
-    * structure.
+  /** C7: LSH-bucketed approximate top-k: only vectors in buckets the
+    * query probes are scored. `multiProbe = true` additionally probes
+    * every bucket at hamming distance 1 from the query's (flip each
+    * hyperplane sign once) — (bits+1)x the candidate sets for a large
+    * recall gain; still ~corpus/2^bits per probe, never a full scan.
     */
-  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val qb = lshBucket(queries, bits).select(col("vec_id").as("query_id"), col("bucket"))
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+              multiProbe: Boolean = false): DataFrame = {
+    val qb0 = lshBucket(queries, bits).select(col("vec_id").as("query_id"), col("bucket"))
+    val qbProbed =
+      if (!multiProbe) qb0
+      else qb0.select(col("query_id"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val qb = qbProbed
       .join(normed(queries, "query_id", "qe", "nq"), "query_id")
     val cb = lshBucket(emb, bits).select(col("vec_id").as("neighbor_id"), col("bucket"))
       .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** B-block extensions: the rest of the OLAP surface a user would
+  * expect from a general analytics engine (pivot, cube, set ops,
+  * JSON extraction, moving windows, deltas, histograms, percentiles).
+  * Same parity discipline as Relational.
+  */
+object Extended {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Pivot events into per-type activity counts per user. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** CUBE over order status x priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Set algebra on nation keys: customer ∩ supplier, customer \
+    * supplier, customer ∪ supplier nations, tagged.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.select(col("c_nationkey").as("nk")).distinct()
+    val s = t.supplier.select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(s).select(col("nk"), lit("both").as("tag"))
+      .unionAll(c.except(s).select(col("nk"), lit("cust_only").as("tag")))
+      .unionAll(c.union(s).distinct().select(col("nk"), lit("any").as("tag")))
+      .orderBy(col("tag"), col("nk"))
+  }
+
+  /** JSON payload extraction + aggregation over events.props. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_big"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("user_id"))
+
+  /** Moving window aggregate: 4-row trailing mean of event value. */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("mov_sum4", sum(cents(col("value"))).over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("mov_sum4") / 100.0 / col("mov_n")).as("mov_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Ordered delta (value - previous value) per user. */
+  def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("delta4", cents(col("value")) - lag(cents(col("value")), 1).over(w))
+      .select(col("event_id"), col("user_id"), (col("delta4") / 100.0).as("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Value histogram in fixed-width buckets. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("bucket"))
+
+  /** Exact interpolated percentiles of lineitem quantity per flag. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"        -> (qPivot _),
+    "q_cube"         -> (qCube _),
+    "q_set_ops"      -> (qSetOps _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_moving_avg"   -> (qMovingAvg _),
+    "q_lag_delta"    -> (qLagDelta _),
+    "q_histogram"    -> (qHistogram _),
+    "q_percentile"   -> (qPercentile _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        | coalesce(o_orderpriority, '(all)') AS priority,
+        | count(*) AS n,
+        | sum(cast(round(o_totalprice*100) as bigint))/100.0 AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, 'both' AS tag FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'cust_only' AS tag FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'any' AS tag FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+        |ORDER BY tag, nk""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT user_id, sum(k) AS sum_k,
+        | count(*) FILTER (k > 50) AS n_big, max(k) AS max_k
+        |FROM (SELECT user_id, CAST(props->>'k' AS bigint) AS k FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_id, user_id,
+        | (sum(cast(round(value*100) as bigint)) OVER w / 100.0) / (count(*) OVER w) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_lag_delta" ->
+      """SELECT event_id, user_id,
+        | (cast(round(value*100) as bigint)
+        |   - lag(cast(round(value*100) as bigint)) OVER w) / 100.0 AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT cast(floor(value/50) as bigint) AS bucket, count(*) AS n,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5)  AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -37,10 +37,28 @@ object CdcStream {
   private def writeSnapshot(df: DataFrame, snapshotDir: String, batchId: Long): Unit = {
     val version = s"v$batchId"
     df.write.mode("overwrite").parquet(s"$snapshotDir/$version")
+    val prev = {
+      val p = Paths.get(snapshotDir, Pointer)
+      if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    }
     val tmp = Paths.get(snapshotDir, s".$Pointer.tmp")
     Files.writeString(tmp, version)
     Files.move(tmp, Paths.get(snapshotDir, Pointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // GC: keep current + immediately-previous version (in-flight
+    // readers of prev finish safely); older versions go. At cluster
+    // scale this is the table format's vacuum.
+    val keep = Set(Some(version), prev).flatten
+    val listing = Files.list(Paths.get(snapshotDir))
+    try listing.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v") && !keep(name)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    } finally listing.close()
   }
 
   /** Start the ingest: `linesDir` is watched for files of JSON change

@@ -62,6 +62,11 @@ class PipelineSpec extends AnyFunSuite {
     val fine = recallAt(6)   // 64 buckets: ~1/8 the work, lower recall
     assert(coarse >= 0.5, s"coarse recall=$coarse")
     assert(fine >= 0.2, s"fine recall=$fine")
+    // multi-probe at the same bits recovers recall without full scans
+    val probed = Ann.lshTopK(emb, q, 5, bits = 6, multiProbe = true)
+      .select("query_id", "neighbor_id")
+    val probedRecall = probed.intersect(brute).count().toDouble / brute.count()
+    assert(probedRecall > fine, s"multi-probe=$probedRecall vs single=$fine")
     val bucketed = Ann.lshBucket(emb, 6).groupBy("bucket").count()
     assert(bucketed.count() > 1, "bucketing must actually split the corpus")
   }

@@ -46,6 +46,10 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    // GC keeps at most current + previous version on disk
+    val versions = snapDir.toFile.listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, versions.mkString(","))
+
     val streamed = CdcStream.readSnapshot(spark, snapDir.toString).get
       .select("user_id", "id", "op_type", "delete_state", "event_type", "value")
     val batch = CdcOps.softDeleteSnapshot(
