@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** C-block extensions: corpus-curation operators (SURVEY.md §2
+  * C13-C16) — the steps between "deduped text" and "training set".
+  */
+object CurationQueries {
+
+  /** C13: deterministic train/val/test split. The split key is an
+    * affine hash of the doc id in small-int space (exact in any
+    * engine, no RNG, stable across reruns/backfills — the property
+    * that matters when a 100 TB corpus is re-materialized).
+    */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("split"))
+
+  /** C14: dedup keep-best — among exact duplicates keep the highest
+    * quality doc (longest, then smallest id), not blindly the first.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), (col("rk") === 1).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C15: corpus composition stats per (lang, source) — the numbers a
+    * data-mixture design reads off.
+    */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** C16: benchmark contamination — which "training" docs share a
+    * 5-gram with the held-out set (source src0 stands in for the
+    * benchmark)? Inverted-index join on hashed 5-grams: linear in
+    * corpus size, the shape that survives 100 TB.
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val grams = graft.dedup.Dedup.hashedShingles(docs, k = 5)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("shh")).as("gh"))
+    val eval = grams.filter(col("source") === "src0")
+      .select(col("gh"), col("doc_id").as("eval_id"))
+    val train = grams.filter(col("source") =!= "src0")
+      .select(col("gh"), col("doc_id").as("train_id"))
+    train.join(eval, Seq("gh"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("train_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_split"   -> (qSampleSplit _),
+    "q_dedup_keepbest" -> (qDedupKeepBest _),
+    "q_corpus_stats"   -> (qCorpusStats _),
+    "q_contamination"  -> (qContamination _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_split" ->
+      """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, sum(n_chars) AS n_chars_total
+        |FROM (SELECT ((doc_id % 100003) * 31 + 7) % 100 AS h, n_chars FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      """SELECT doc_id, CAST(rk = 1 AS int) AS keep FROM (
+        | SELECT doc_id, row_number() OVER (PARTITION BY text
+        |   ORDER BY n_chars DESC, doc_id) AS rk FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | sum(len(string_split(text,' '))) AS total_tokens,
+        | sum(n_chars) AS total_chars,
+        | max(len(string_split(text,' '))) AS max_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        for i in generate_series(1, len(w)-4)])) AS g FROM toks)
+        |SELECT t.doc_id AS train_id,
+        | count(DISTINCT e.doc_id) AS n_eval_docs, count(*) AS n_shared_grams
+        |FROM grams t JOIN grams e USING (g)
+        |WHERE t.source != 'src0' AND e.source = 'src0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TypedAggs
+import graft.sources.Tables
+
+/** SQL + typed-Dataset API surfaces. */
+class ApiSurfaceSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Separate session: extensions must come in at build time —
+    * getOrCreate() would happily return another suite's session and
+    * skip them, so clear the JVM-default session first (the
+    * SparkContext is still shared).
+    */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("api-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("GraftExtensions exposes the custom expressions to SQL") {
+    Tables(spark, sf).documents.createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, rolling_hash64(text) AS fp,
+        |  simhash64(split(text, ' ')) AS sh
+        |FROM docs ORDER BY doc_id LIMIT 5""".stripMargin)
+    assert(viaSql.count() == 5)
+    // same values as the Column API
+    import graft.functions.{rolling_hash64, simhash64}
+    val viaCol = Tables(spark, sf).documents
+      .select(col("doc_id"), rolling_hash64(col("text")).as("fp"),
+        simhash64(split(col("text"), " ")).as("sh"))
+      .orderBy(col("doc_id")).limit(5)
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head.getDouble(0)
+    assert(dp == 11.0)
+  }
+
+  test("typed Aggregator: weighted mean partial-aggregates correctly") {
+    import spark.implicits._
+    val ev = Tables(spark, sf).events
+      .select(col("value"), (col("user_id") + 1).cast("double").as("w"))
+      .as[(Double, Double)]
+    val agg = new TypedAggs.WeightedMeanCents().toColumn
+    val got = ev.select(agg).head()
+    // ground truth via exact integer math in one pass
+    val rows = ev.collect()
+    val sum4 = rows.map { case (v, w) => math.round(v * 100) * math.round(w * 100) }.sum
+    val w100 = rows.map { case (_, w) => math.round(w * 100) }.sum
+    assert(got == sum4.toDouble / 100.0 / w100.toDouble)
+  }
+
+  test("typed Aggregator: range digest merges across partitions") {
+    import spark.implicits._
+    val vals = Tables(spark, sf).events.select(col("value")).as[Double].repartition(7)
+    val d = vals.select(new TypedAggs.RangeDigest().toColumn).head()
+    val (n, mn, mx) = (vals.count(), vals.collect().min, vals.collect().max)
+    assert(d.n == n && d.min == mn && d.max == mx)
+  }
+}
