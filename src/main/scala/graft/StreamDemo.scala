@@ -62,6 +62,12 @@ object StreamDemo {
       .exceptAll(batch.select("user_id", "id", "op_type", "delete_state")).count()
     println(s"[ StreamDemo ] streamed-vs-batch snapshot diff rows: $diff")
 
+    // stream-stream interval join over the same event stream
+    val joined = graft.streaming.EventStream.purchaseClickJoin(events)
+    println(s"[ StreamDemo ] purchases with a click in the preceding hour: " +
+      s"${joined.select("purchase_id").distinct().count()} of " +
+      s"${events.filter(col("event_type") === "purchase").count()}")
+
     Thread.sleep(2000) // listener delivery is async
     listener.formatted.foreach(println)
     spark.stop()

@@ -28,6 +28,28 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream join: each purchase joined to the same user's
+    * clicks in the preceding hour. Watermarks bound both join-state
+    * buffers (Spark drops click state older than purchase watermark -
+    * 1h); in batch mode the same function is the range join, which is
+    * what the spec compares against.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionOut(user_id: Long, session_start: String, session_end: String,
                         n_events: Long)

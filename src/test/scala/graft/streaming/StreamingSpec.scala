@@ -129,6 +129,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("A10b: stream-stream join equals the batch range join") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("ssj-in")
+    events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+    val q = EventStream.purchaseClickJoin(streamIn)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ssj_out")
+    val want = EventStream.purchaseClickJoin(events)
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
+  test("robustness: core ops survive empty input") {
+    val empty = Tables(spark, sf).events.limit(0)
+    val lines = graft.cdc.ChangeModel.changeLines(empty)
+    assert(CdcOps.softDeleteSnapshot(CdcOps.parse(lines), col("user_id")).count() == 0)
+    assert(CdcOps.syncMetrics(CdcOps.parse(lines)).count() == 0)
+    assert(EventStream.windowedAgg(empty).count() == 0)
+    val emptyDocs = Tables(spark, sf).documents.limit(0)
+    assert(graft.dedup.Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(graft.dedup.Dedup.exact(emptyDocs).count() == 0)
+  }
+
   test("A12: rate listener reports per-batch totals like LoggerManager") {
     val events = Tables(spark, sf).events
     val evDir = tmp("rate-in")
