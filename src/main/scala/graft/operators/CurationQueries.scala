@@ -71,11 +71,46 @@ object CurationQueries {
       .orderBy(col("train_id"))
   }
 
+  /** C17: intra-document repetition (Gopher-style quality rule) — the
+    * most frequent word trigram's share of all trigram positions.
+    * High values flag boilerplate/spam.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tri = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", col("w").getItem(i), col("w").getItem(i + 1),
+            col("w").getItem(i + 2)))).as("g"))
+    tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("max_tri"), sum(col("cnt")).as("n_tri"))
+      .withColumn("rep_ratio", col("max_tri").cast("double") / col("n_tri"))
+      .select(col("doc_id"), col("max_tri"), col("n_tri"), col("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C18: composite quality filter (Gopher-rule shape): word count,
+    * mean word length, and stopword-presence bounds -> keep flag.
+    */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityFeatures(Tables(spark, dir).documents)
+    q.select(col("doc_id"),
+        (col("n_words").between(20, 100000) &&
+         col("mean_word_len").between(2.0, 10.0) &&
+         col("n_stopwords") >= 1).cast("int").as("keep"),
+        col("n_words"), col("n_stopwords"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sample_split"   -> (qSampleSplit _),
-    "q_dedup_keepbest" -> (qDedupKeepBest _),
-    "q_corpus_stats"   -> (qCorpusStats _),
-    "q_contamination"  -> (qContamination _),
+    "q_sample_split"    -> (qSampleSplit _),
+    "q_dedup_keepbest"  -> (qDedupKeepBest _),
+    "q_corpus_stats"    -> (qCorpusStats _),
+    "q_contamination"   -> (qContamination _),
+    "q_repetition"      -> (qRepetition _),
+    "q_quality_filter"  -> (qQualityFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +132,30 @@ object CurationQueries {
         | sum(n_chars) AS total_chars,
         | max(len(string_split(text,' '))) AS max_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tri AS (
+        | SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+        |   for i in generate_series(1, len(w)-2)]) AS g
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |cnts AS (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, max(cnt) AS max_tri, sum(cnt) AS n_tri,
+        | CAST(max(cnt) AS double) / sum(cnt) AS rep_ratio
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """SELECT doc_id,
+        | CAST(n_words BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 2.0 AND 10.0
+        |   AND n_stopwords >= 1 AS int) AS keep,
+        | n_words, n_stopwords
+        |FROM (SELECT doc_id, len(string_split(text,' ')) AS n_words,
+        |  len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+        |  list_sum(list_transform(string_split(text,' '), t -> length(t))) * 1.0
+        |    / len(string_split(text,' ')) AS mean_word_len
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),

@@ -73,6 +73,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(quarantined.select("line").as[String].collect().contains("{not json at all"))
   }
 
+  test("bucketed tables co-locate the fact-fact join: zero exchanges") {
+    // (warehouse dir is a static conf; tables land in ./spark-warehouse,
+    // dropped below and gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val t = Tables(spark, sf)
+      t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val p = plan(joined)
+      // the join itself needs no shuffle: both sides pre-bucketed on the key
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("kafka offset-log lines map to startingOffsets JSON (reference format)") {
     // exact lines from the reference's files/offset.log
     val lines = Seq("tt,3,107,107", "tt,4,94,95", "tt,1,30,30", "tt,2,40,40", "tt,0,39,39")
