@@ -48,10 +48,19 @@ object Ann {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-bucket id from `bits` hyperplanes. */
-  def lshBucket(emb: DataFrame, bits: Int): DataFrame = {
+  /** Sign-bucket id from `bits` hyperplanes (table 0). */
+  def lshBucket(emb: DataFrame, bits: Int): DataFrame =
+    lshBucketTable(emb, bits, table = 0)
+
+  /** Sign-bucket id for one of L independent hash tables: each table
+    * draws its own hyperplanes (seeded by table index), the standard
+    * multi-table LSH construction — candidate recall for collision
+    * probability p becomes 1-(1-p)^L.
+    */
+  def lshBucketTable(emb: DataFrame, bits: Int, table: Int): DataFrame = {
     val bucket = (0 until bits).map { p =>
-      val plane = array((0 until 64).map(d => lit(planeComponent(p, d))): _*)
+      val plane = array((0 until 64).map(d =>
+        lit(planeComponent(table * 1000 + p, d))): _*)
       when(dot_double(col("embedding"), plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)

@@ -150,6 +150,39 @@ object Dedup {
     * oracle-checkable twin; production-scale candidate generation is
     * LSH (graft.ann.Ann).
     */
+  /** C5 at scale: LSH-bucketed near-dup candidates — pairs only form
+    * within a random-hyperplane sign bucket, so work is
+    * sum(bucket^2) ~ n^2/2^bits instead of n^2/2. Approximate (a pair
+    * split across buckets is missed; multi-probe narrows that);
+    * recall vs the exhaustive twin is spec-measured.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, bits: Int = 6,
+                           tables: Int = 4): DataFrame = {
+    // L independent hash tables: a pair is a candidate if it collides
+    // in ANY table (recall 1-(1-p)^L); each table's buckets are
+    // disjoint keys via the table id, so one exploded join serves all.
+    val keyed = (0 until tables).map { t =>
+      graft.ann.Ann.lshBucketTable(emb, bits, t)
+        .select(col("vec_id"), struct(lit(t).as("t"), col("bucket").as("b")).as("tb"))
+    }.reduce(_ unionAll _)
+    val pairs = keyed.alias("x").join(keyed.alias("y"), Seq("tb"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.norm_double(col("embedding")).as("nrm"))
+    pairs
+      .join(normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cos",
+        graft.functions.dot_double(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     // Norms are computed once per vector up front (not once per PAIR —
     // an O(n) vs O(n^2) difference in norm work); the pair loop is

@@ -40,6 +40,10 @@ object PipelineQueries {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables(spark, dir).embeddings, threshold = 0.4)
 
+  /** C5 scale path (approximate; no oracle — recall spec-measured). */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(Tables(spark, dir).embeddings, threshold = 0.4)
+
   /** C6 */
   def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
@@ -87,6 +91,7 @@ object PipelineQueries {
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_text_langid"     -> (qTextLangid _),

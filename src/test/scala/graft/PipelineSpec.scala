@@ -71,6 +71,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(bucketed.count() > 1, "bucketing must actually split the corpus")
   }
 
+  test("C5: LSH-bucketed embedding near-dups recover most exhaustive pairs") {
+    val emb = Tables(spark, sf).embeddings
+    val exact = Dedup.embeddingNearDups(emb, 0.4).select("id_a", "id_b")
+    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.4, bits = 4).select("id_a", "id_b")
+    // every LSH pair is a true pair (verification is exact)...
+    assert(lsh.exceptAll(exact).count() == 0)
+    // ...and recall is meaningful at 4 bits
+    if (exact.count() > 0) {
+      val recall = lsh.intersect(exact).count().toDouble / exact.count()
+      assert(recall >= 0.3, s"recall=$recall")
+    }
+  }
+
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
     import graft.functions.rolling_hash64
     val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))
