@@ -19,6 +19,12 @@ package object functions {
     */
   def minhash_sig(c: Column): Column = toCol(MinHashSig(toExpr(c)))
 
+  /** Space-saving top-k heavy hitters of a string column: mergeable
+    * bounded-memory sketch (TypedImperativeAggregate).
+    */
+  def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
+    toCol(SpaceSavingTopK(toExpr(c), k, capacity).toAggregateExpression())
+
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).
     */

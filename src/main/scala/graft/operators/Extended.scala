@@ -96,7 +96,38 @@ object Extended {
         percentile(col("l_quantity"), lit(0.75)).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Ranking window functions: rank/dense_rank/percent_rank/ntile
+    * over order prices per customer segment.
+    */
+  def qRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders.join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.select(col("c_mktsegment"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rnk") <= 20)
+      .orderBy(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** first/last value + conditional aggregation per group. */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).events
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .withColumn("last_type", last(col("event_type")).over(w))
+      .groupBy(col("user_id"), col("first_type"), col("last_type"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_funcs"   -> (qRankFuncs _),
+    "q_first_last"   -> (qFirstLast _),
     "q_pivot"        -> (qPivot _),
     "q_cube"         -> (qCube _),
     "q_set_ops"      -> (qSetOps _),
@@ -108,6 +139,27 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank_funcs" ->
+      """SELECT c_mktsegment, o_orderkey, rnk, drnk, quartile FROM (
+        | SELECT c_mktsegment, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WINDOW w AS (PARTITION BY c_mktsegment
+        |              ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 20
+        |ORDER BY c_mktsegment, rnk, o_orderkey""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT user_id, first_type, last_type,
+        | count(*) FILTER (event_type = 'purchase') AS n_purchases
+        |FROM (SELECT user_id, event_type,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

@@ -80,6 +80,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters via the SpaceSavingTopK TypedImperativeAggregate;
+    * capacity exceeds the vocabulary so counts are exact and
+    * oracle-checkable (the over-capacity approximate regime is
+    * spec-tested).
+    */
+  def qTopkFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.topk_freq(col("w"), 10, capacity = 4096).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("item"), col("t.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
   /** C12 */
   def qMmBinary(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodePipeline(Multimodal.asMedia(Tables(spark, dir).documents))
@@ -99,6 +112,7 @@ object PipelineQueries {
     "q_text_tokens"     -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_binary"       -> (qMmBinary _),
+    "q_topk_freq"       -> (qTopkFreq _),
   )
 
   private val triCte =
@@ -200,6 +214,11 @@ object PipelineQueries {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
         | count(*) OVER (PARTITION BY text) AS group_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_topk_freq" ->
+      """SELECT w AS item, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
 
     "q_mm_binary" ->
       """SELECT doc_id, length(text)::bigint AS n_bytes,

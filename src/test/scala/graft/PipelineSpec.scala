@@ -119,6 +119,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("sketch: space-saving top-k matches exact counts when under capacity") {
+    import graft.functions.topk_freq
+    val ev = Tables(spark, sf).events.repartition(7) // force partial+merge
+    val got = ev.agg(topk_freq(col("event_type"), 3).as("top")).head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type"))
+      .collect().take(3).map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("sketch: over-capacity estimates respect space-saving error bounds") {
+    import graft.functions.topk_freq
+    val words = Tables(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("w")).repartition(5)
+    // capacity 8 over a ~30-word near-uniform vocabulary: identity of
+    // the top item is NOT guaranteed (no skew), but the bounds are:
+    // cnt overestimates (cnt - err <= true <= cnt) and the sketch max
+    // dominates the true max.
+    val top = words.agg(topk_freq(col("w"), 1, capacity = 8).as("top")).head
+      .getSeq[org.apache.spark.sql.Row](0).head
+    val (item, cnt, err) = (top.getString(0), top.getLong(1), top.getLong(2))
+    val exact = words.groupBy(col("w")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt >= exact.values.max, s"sketch max $cnt < true max ${exact.values.max}")
+    assert(cnt - err <= exact(item), s"lower bound ${cnt - err} > true ${exact(item)}")
+  }
+
   test("B9: HLL approx distinct within 5% of exact") {
     val li = Tables(spark, sf).lineitem
     val both = li.agg(

@@ -99,6 +99,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned writes prune partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part")
+    graft.sources.Writers.writeEventsByDay(Tables(spark, sf).events, out.toString)
+    val read = spark.read.parquet(out.toString)
+      .filter(col("event_date") === "2024-01-05")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"), p)
+    // pruned scan reads only the one day
+    val days = Tables(spark, sf).events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(read.count() == days && days > 0)
+  }
+
   test("kafka offset-log lines map to startingOffsets JSON (reference format)") {
     // exact lines from the reference's files/offset.log
     val lines = Seq("tt,3,107,107", "tt,4,94,95", "tt,1,30,30", "tt,2,40,40", "tt,0,39,39")
