@@ -13,10 +13,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * instead of hand-timing: numInputRows and processedRowsPerSecond
   * per micro-batch, with no accumulator plumbing.
   */
-final class RateListener extends StreamingQueryListener {
-
+object RateListener {
   final case class BatchRate(batchId: Long, timestamp: String,
                              numInputRows: Long, rowsPerSecond: Double)
+}
+
+final class RateListener extends StreamingQueryListener {
+  import RateListener.BatchRate
 
   private val batches = ArrayBuffer.empty[BatchRate]
 
