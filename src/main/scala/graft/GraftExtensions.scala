@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - double-accumulated dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

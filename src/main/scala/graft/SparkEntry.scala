@@ -37,6 +37,7 @@ object SparkEntry {
     "q_rollup"         -> (Relational.qRollup _),
     "q_distinct_exact" -> (Relational.qDistinctExact _),
     "q_asof_join"      -> (Relational.qAsofJoin _),
+    "q_asof_custom"    -> (Relational.qAsofCustom _),
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_sessionize"     -> (Relational.qSessionize _),
@@ -128,6 +129,14 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | (SELECT arg_max(c.event_id, cast(c.ts as timestamp)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_custom" ->
       """SELECT p.event_id, p.user_id,
         | (SELECT arg_max(c.event_id, cast(c.ts as timestamp)) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id

@@ -204,6 +204,26 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B10 (custom-operator tier): the same as-of semantics through the
+    * full Catalyst extension path — AsOfJoinPlan logical node,
+    * AsOfStrategy, and a sort-merge AsOfJoinExec (one exchange + sort
+    * per side, no window buffer). Shares q_asof_join's oracle.
+    */
+  def qAsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    graft.plans.AsOfJoin(purchases, clicks,
+        purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"))
+      .select(col("purchase_id").as("event_id"), col("p_user").as("user_id"),
+        col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** B11: equi + range (banded) join: lineitems shipped within 30
     * days of their order's date.
     */
