@@ -29,10 +29,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // two timed iterations, report the min — strips residual JIT/GC
+    // noise without hiding real cost
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

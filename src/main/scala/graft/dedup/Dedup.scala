@@ -150,6 +150,45 @@ object Dedup {
     * oracle-checkable twin; production-scale candidate generation is
     * LSH (graft.ann.Ann).
     */
+  /** Dup-cluster formation: connected components over a near-dup pair
+    * graph by iterative min-label propagation (the DataFrame form of
+    * hash-min CC; converges in O(diameter) rounds — near-dup graphs
+    * are unions of small cliques, so a handful). Each round is one
+    * join + aggregate; the driver loop only checks the convergence
+    * counter, all data stays distributed.
+    *
+    * Returns (id, cluster_id = min doc id reachable).
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = vertices.select(col("id"), col("id").as("cluster_id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** C5 at scale: LSH-bucketed near-dup candidates — pairs only form
     * within a random-hyperplane sign bucket, so work is
     * sum(bucket^2) ~ n^2/2^bits instead of n^2/2. Approximate (a pair

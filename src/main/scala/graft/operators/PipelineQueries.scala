@@ -80,6 +80,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dup clusters: connected components over the trigram-Jaccard
+    * near-dup graph (J >= 0.5), cluster id = min reachable doc id —
+    * the decision structure a dedup pipeline actually keeps (drop all
+    * non-canonical members per cluster).
+    */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.5, lenBand = 20)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+      .orderBy(col("id"))
+  }
+
   /** Heavy hitters via the SpaceSavingTopK TypedImperativeAggregate;
     * capacity exceeds the vocabulary so counts are exact and
     * oracle-checkable (the over-capacity approximate regime is
@@ -113,6 +126,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_binary"       -> (qMmBinary _),
     "q_topk_freq"       -> (qTopkFreq _),
+    "q_dup_clusters"    -> (qDupClusters _),
   )
 
   private val triCte =
@@ -214,6 +228,23 @@ object PipelineQueries {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
         | count(*) OVER (PARTITION BY text) AS group_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE i*1.0/(ca.c + cb.c - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q_topk_freq" ->
       """SELECT w AS item, count(*) AS cnt

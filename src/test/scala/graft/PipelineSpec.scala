@@ -119,6 +119,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("dup clusters: connected components closes transitive chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated 5: one cluster {1,2,3,4} labeled 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val verts = (1L to 5L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
   test("sketch: space-saving top-k matches exact counts when under capacity") {
     import graft.functions.topk_freq
     val ev = Tables(spark, sf).events.repartition(7) // force partial+merge
