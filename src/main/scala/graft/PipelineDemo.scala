@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.CurationQueries
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** End-to-end corpus-curation pipeline over `documents`: the chain a
+  * training-data team actually runs, composed from the library's
+  * stages. Prints the funnel; exits nonzero if any stage produces an
+  * inconsistent count.
+  *
+  * Usage: runMain graft.PipelineDemo [sfDir]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.local(cores = 8, appName = "graft-pipeline-demo")
+    val docs = Tables(spark, sfDir).documents
+    val raw = docs.count()
+
+    // 1. quality filter (Gopher-style bounds)
+    val quality = TextAnalysis.qualityFeatures(docs)
+      .filter(col("n_words").between(20, 100000) &&
+        col("mean_word_len").between(2.0, 10.0) && col("n_stopwords") >= 1)
+      .select("doc_id")
+    val kept = quality.count()
+
+    // 2. near-dup clusters (trigram Jaccard >= 0.5) -> keep canonical
+    val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+    val canonical = clusters.filter(col("id") === col("cluster_id")).select("id")
+    val deduped = quality.join(canonical, quality("doc_id") === canonical("id"), "left_semi")
+    val afterDedup = deduped.count()
+
+    // 3. deterministic split of the surviving corpus
+    val split = docs.join(deduped, "doc_id")
+      .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy("split").count().orderBy("split")
+    val splits = split.collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    val splitTotal = split.agg(sum("count")).head.getLong(0)
+
+    println(s"[ PipelineDemo ] raw=$raw -> quality=$kept -> deduped=$afterDedup -> splits: $splits")
+    spark.stop()
+    if (kept > raw || afterDedup > kept || splitTotal != afterDedup) sys.exit(1)
+  }
+}

@@ -28,6 +28,17 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** A15: streaming deduplication — drop repeated event_ids with
+    * bounded state: `dropDuplicatesWithinWatermark` keeps each key
+    * only until the watermark passes it (exactly-once delivery over
+    * an at-least-once transport, the Kafka-consumer reality the
+    * reference handles by idempotent Kudu upserts
+    * [ref: KuduManager.scala:72]).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream join: each purchase joined to the same user's
     * clicks in the preceding hour. Watermarks bound both join-state
     * buffers (Spark drops click state older than purchase watermark -

@@ -146,6 +146,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("A15: streaming dedup drops replayed events with bounded state") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("dedup-in")
+    // simulate an at-least-once transport: the same 200 events land twice
+    val chunk = events.limit(200)
+    chunk.write.mode("overwrite").parquet(evDir.resolve("a").toString)
+    chunk.write.mode("overwrite").parquet(evDir.resolve("b").toString)
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+    val q = EventStream.dedupStream(streamIn)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.table("dedup_out").count() == 200)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
+  }
+
   test("robustness: core ops survive empty input") {
     val empty = Tables(spark, sf).events.limit(0)
     val lines = graft.cdc.ChangeModel.changeLines(empty)
