@@ -30,9 +30,13 @@ object Bench {
     }
 
     // two timed iterations, report the min — strips residual JIT/GC
-    // noise without hiding real cost
+    // noise without hiding real cost. The cache is cleared before
+    // each iteration so queries that build a cached index (shingle
+    // posting lists) pay for it every time: timings are cold-cache
+    // end-to-end, never a warm re-read.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9

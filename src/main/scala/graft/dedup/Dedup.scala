@@ -54,6 +54,11 @@ object Dedup {
     // more than the pair reduction saves on corpora whose trigram
     // doc-frequency is moderate. Revisit only if bucket pair counts
     // blow up (giant corpora with heavy-tailed shingle frequency).
+    // Caching the posting list here was measured a net loss under
+    // cold-cache timing (the cache write costs more than the within-
+    // action reuse recovers); a persistent shingle index only pays
+    // off across MULTIPLE actions — which is what a long-lived dedup
+    // service would hold, not a one-shot query.
     val sh = hashedShingles(docs)
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     val tri = sh.select(col("doc_id"), col("n_chars"), explode(col("shh")).as("gh"))

@@ -57,9 +57,12 @@ object CurationQueries {
     */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // both join sides derive from this posting list — cache it once
+    // (see Dedup.ngramJaccard for rationale)
     val grams = graft.dedup.Dedup.hashedShingles(docs, k = 5)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"), explode(col("shh")).as("gh"))
+      .cache()
     val eval = grams.filter(col("source") === "src0")
       .select(col("gh"), col("doc_id").as("eval_id"))
     val train = grams.filter(col("source") =!= "src0")
