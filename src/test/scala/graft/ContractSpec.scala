@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: these failing means the
+  * round's gate breaks regardless of operator correctness.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "contract-spec")
+
+  test("entry(): the driver's smoke query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are unique across blocks") {
+    val qKeys = SparkEntry.queries.keySet
+    val oKeys = SparkEntry.oracleSql.keySet
+    assert((oKeys -- qKeys).isEmpty, s"oracles without queries: ${oKeys -- qKeys}")
+    // Map ++ silently drops duplicate keys between blocks — the block
+    // maps must be pairwise disjoint so no query gets shadowed
+    val blocks = Seq(
+      graft.operators.CdcQueries.queries.keySet,
+      graft.operators.PipelineQueries.queries.keySet,
+      graft.operators.Extended.queries.keySet,
+      graft.operators.CurationQueries.queries.keySet)
+    for (i <- blocks.indices; j <- blocks.indices if i < j)
+      assert((blocks(i) & blocks(j)).isEmpty,
+        s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")
+    assert(qKeys.size >= 50, s"query count dropped to ${qKeys.size}")
+  }
+
+  test("every query runs against sf0.001 without throwing") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
