@@ -167,4 +167,13 @@ class PipelineSpec extends AnyFunSuite {
     val approx = both.getAs[Long]("approx").toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("B9b: approx percentile (GK sketch) brackets the exact median") {
+    val li = Tables(spark, sf).lineitem
+    val r = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx")).head
+    val (exact, approx) = (r.getAs[Double]("exact"), r.getAs[Double]("approx"))
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
 }
