@@ -34,23 +34,32 @@ object Bench {
     // each iteration so queries that build a cached index (shingle
     // posting lists) pay for it every time: timings are cold-cache
     // end-to-end, never a warm re-read.
+    // a crashing query must NOT be reported as a fast success: track
+    // failure and emit a -1 sentinel + error list in the JSON
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // second iteration only for fast queries: noise reduction where it
     // matters, without doubling the wall time of the heavy tail
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      name -> (if (t1 < 5.0) math.min(t1, timeOnce(fn)) else t1)
+      val (t1, ok1) = timeOnce(fn)
+      if (!ok1) name -> (-1.0)
+      else if (t1 < 5.0) {
+        val (t2, ok2) = timeOnce(fn)
+        name -> (if (ok2) math.min(t1, t2) else -1.0)
+      } else name -> t1
     }
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

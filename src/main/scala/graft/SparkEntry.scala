@@ -130,7 +130,8 @@ object SparkEntry {
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id,
-        | (SELECT arg_max(c.event_id, cast(c.ts as timestamp)) FROM events c
+        | (SELECT arg_max(c.event_id, strftime(cast(c.ts as timestamp), '%Y%m%d%H%M%S%f')
+        |                             || lpad(cast(c.event_id as varchar), 12, '0')) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id
         |FROM events p
         |WHERE p.event_type = 'purchase'
@@ -138,7 +139,8 @@ object SparkEntry {
 
     "q_asof_custom" ->
       """SELECT p.event_id, p.user_id,
-        | (SELECT arg_max(c.event_id, cast(c.ts as timestamp)) FROM events c
+        | (SELECT arg_max(c.event_id, strftime(cast(c.ts as timestamp), '%Y%m%d%H%M%S%f')
+        |                             || lpad(cast(c.event_id as varchar), 12, '0')) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id
         |FROM events p
         |WHERE p.event_type = 'purchase'
@@ -166,8 +168,8 @@ object SparkEntry {
         | strftime(max(tsx), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM (
         | SELECT user_id, event_id, tsx,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM (
         |  SELECT user_id, event_id, cast(ts as timestamp) AS tsx,
         |   CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER

@@ -35,9 +35,14 @@ object Dedup {
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        array_distinct(
-          transform(sequence(lit(0), size(col("w")) - k),
-            i => concat_ws(" ", (0 until k).map(j => col("w").getItem(i + j)): _*)))
+        // guard: sequence(0, n) DESCENDS when n < 0 (docs with < k
+        // tokens), fabricating partial shingles from null-padded
+        // indices — such docs have zero k-shingles by definition
+        when(size(col("w")) >= k,
+          array_distinct(
+            transform(sequence(lit(0), size(col("w")) - k),
+              i => concat_ws(" ", (0 until k).map(j => col("w").getItem(i + j)): _*))))
+          .otherwise(array().cast("array<string>"))
           .as("sh"))
 
   /** C4: n-gram Jaccard over the inverted shingle index: candidate

@@ -83,9 +83,13 @@ object CurationQueries {
     val tri = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", col("w").getItem(i), col("w").getItem(i + 1),
-            col("w").getItem(i + 2)))).as("g"))
+        // same guard as Dedup.shingles: < 3 tokens => zero trigrams
+        // (sequence(0, n<0) would descend and fabricate partial grams)
+        explode(when(size(col("w")) >= 3,
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ", col("w").getItem(i), col("w").getItem(i + 1),
+              col("w").getItem(i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
     tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(max(col("cnt")).as("max_tri"), sum(col("cnt")).as("n_tri"))
@@ -119,7 +123,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q_sample_split" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-        | count(*) AS n_docs, sum(n_chars) AS n_chars_total
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM (SELECT ((doc_id % 100003) * 31 + 7) % 100 AS h, n_chars FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -131,8 +135,8 @@ object CurationQueries {
 
     "q_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
-        | sum(len(string_split(text,' '))) AS total_tokens,
-        | sum(n_chars) AS total_chars,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | max(len(string_split(text,' '))) AS max_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
@@ -142,7 +146,7 @@ object CurationQueries {
         |   for i in generate_series(1, len(w)-2)]) AS g
         | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
         |cnts AS (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2)
-        |SELECT doc_id, max(cnt) AS max_tri, sum(cnt) AS n_tri,
+        |SELECT doc_id, max(cnt) AS max_tri, CAST(sum(cnt) AS BIGINT) AS n_tri,
         | CAST(max(cnt) AS double) / sum(cnt) AS rep_ratio
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

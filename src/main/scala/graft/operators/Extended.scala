@@ -188,7 +188,7 @@ object Extended {
         |ORDER BY tag, nk""".stripMargin,
 
     "q_json_extract" ->
-      """SELECT user_id, sum(k) AS sum_k,
+      """SELECT user_id, CAST(sum(k) AS BIGINT) AS sum_k,
         | count(*) FILTER (k > 50) AS n_big, max(k) AS max_k
         |FROM (SELECT user_id, CAST(props->>'k' AS bigint) AS k FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -251,13 +251,31 @@ object PipelineQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
 
+    // UTF-8 BYTE semantics (the Spark side hashes the encoded payload):
+    // per code point c, byte count = 1/2/3/4 and byte sum expands the
+    // UTF-8 encoding arithmetic — exact for any text, not just ASCII.
+    // regexp option 's' so '.' also matches newlines.
     "q_mm_binary" ->
-      """SELECT doc_id, length(text)::bigint AS n_bytes,
-        | list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))::bigint AS checksum,
+      """WITH cps AS (
+        | SELECT doc_id, n_chars,
+        |  list_transform(regexp_extract_all(text, '.', 0, 's'), ch -> ord(ch)) AS cp
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, n_chars,
+        |  coalesce(list_sum(list_transform(cp, c ->
+        |    CASE WHEN c < 128 THEN 1 WHEN c < 2048 THEN 2
+        |         WHEN c < 65536 THEN 3 ELSE 4 END)), 0) AS n_bytes,
+        |  coalesce(list_sum(list_transform(cp, c ->
+        |    CASE WHEN c < 128 THEN c
+        |         WHEN c < 2048 THEN 320 + (c // 64) + (c % 64)
+        |         WHEN c < 65536 THEN 480 + (c // 4096) + ((c // 64) % 64) + (c % 64)
+        |         ELSE 624 + (c // 262144) + ((c // 4096) % 64) + ((c // 64) % 64) + (c % 64)
+        |    END)), 0) AS checksum
+        | FROM cps)
+        |SELECT doc_id, n_bytes::bigint AS n_bytes, checksum::bigint AS checksum,
         | ((n_chars % 64 + 1) // 2 + 1)::int AS out_w,
         | ((doc_id % 48 + 1) // 2 + 1)::int AS out_h,
-        | CASE WHEN length(text) = 0 THEN 0
-        |      ELSE (length(text) - 1) // 7 + 1 END::bigint AS sampled_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | CASE WHEN n_bytes = 0 THEN 0 ELSE (n_bytes - 1) // 7 + 1 END::bigint AS sampled_len
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -194,8 +194,12 @@ object Relational {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(null: String).cast("long").as("click_id"), col("event_id").as("purchase_id"))
     val w = Window.partitionBy(col("user_id"))
-      // clicks sort before purchases at identical ts => "<=" semantics
-      .orderBy(col("ts"), col("purchase_id").asc_nulls_first)
+      // clicks sort before purchases at identical ts => "<=" semantics;
+      // click_id totalizes the order so ties on ts deterministically
+      // resolve to the greatest click id (matches the custom operator
+      // and the arg_max oracle)
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionAll(purchases)
       .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
@@ -218,7 +222,8 @@ object Relational {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("c_us"))
     graft.plans.AsOfJoin(purchases, clicks,
-        purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"))
+        purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"),
+        clicks("click_id"))
       .select(col("purchase_id").as("event_id"), col("p_user").as("user_id"),
         col("click_id"))
       .orderBy(col("event_id"))

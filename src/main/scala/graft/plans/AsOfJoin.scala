@@ -29,7 +29,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        rightTieBreak: Expression)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -39,7 +40,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        rightTieBreak: Expression)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -48,11 +50,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // the right side is totally ordered: (key, time, tiebreak) — without
+  // the unique tiebreak, rows tied on time arrive in shuffle-dependent
+  // order and "last qualifying row wins" is nondeterministic
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
         SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)) ::
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)) :: Nil
+        SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey, left.output)
@@ -74,25 +80,42 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var haveLast = false
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (!keySeen || k != lastKey) {
-          keySeen = true; lastKey = k; lastRight = null; haveLast = false
+        val kAny = lKey.eval(lRow)
+        val tAny = lTime.eval(lRow)
+        if (kAny == null || tAny == null) {
+          // SQL null semantics: a null key or time matches nothing
+          // (an unchecked cast would silently unbox null to 0L and
+          // join against key 0)
+          joined(lRow, nullRight)
+          project(joined)
+        } else {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          if (!keySeen || k != lastKey) {
+            keySeen = true; lastKey = k; lastRight = null; haveLast = false
+          }
+          // advance the right cursor up to (key, time) and remember the
+          // last qualifying row; the cursor is monotone because left is
+          // sorted on exactly the same (key, time) order. Right rows
+          // with null key/time sort first (nulls-first) and are
+          // discarded — they can never qualify.
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkAny = rKey.eval(head)
+            val htAny = if (hkAny == null) null else rTime.eval(head)
+            if (hkAny == null || htAny == null) { rBuf.next() }
+            else {
+              val hk = hkAny.asInstanceOf[Long]
+              if (hk < k) { rBuf.next() }
+              else if (hk == k && htAny.asInstanceOf[Long] <= t) {
+                lastRight = rBuf.next().copy(); haveLast = true
+              } else advance = false
+            }
+          }
+          joined(lRow, if (haveLast) lastRight else nullRight)
+          project(joined)
         }
-        // advance the right cursor up to (key, time) and remember the
-        // last qualifying row; the cursor is monotone because left is
-        // sorted on exactly the same (key, time) order
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next() }
-          else if (hk == k && rTime.eval(head).asInstanceOf[Long] <= t) {
-            lastRight = rBuf.next().copy(); haveLast = true
-          } else advance = false
-        }
-        joined(lRow, if (haveLast) lastRight else nullRight)
-        project(joined)
       }
     }
   }
@@ -103,8 +126,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rtb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb) :: Nil
     case _ => Nil
   }
 }
@@ -114,9 +137,14 @@ object AsOfStrategy extends SparkStrategy {
   * born resolved and self-joins stay unambiguous.
   */
 object AsOfJoin {
+  /** `rightTieBreak` must be unique per (key, time) group on the right
+    * (an id column): it totalizes the merge order so "last qualifying
+    * row" is deterministic under any shuffle layout.
+    */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: Column, rightKey: Column,
-            leftTime: Column, rightTime: Column): DataFrame = {
+            leftTime: Column, rightTime: Column,
+            rightTieBreak: Column): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = left.sparkSession
     // self-registering: extraStrategies is the public seam for
@@ -128,6 +156,7 @@ object AsOfJoin {
     Bridge.ofRows(spark, AsOfJoinPlan(
       Bridge.logicalPlan(left), Bridge.logicalPlan(right),
       Bridge.expression(leftKey), Bridge.expression(rightKey),
-      Bridge.expression(leftTime), Bridge.expression(rightTime)))
+      Bridge.expression(leftTime), Bridge.expression(rightTime),
+      Bridge.expression(rightTieBreak)))
   }
 }

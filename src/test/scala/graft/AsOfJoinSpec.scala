@@ -29,7 +29,8 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("custom as-of join matches the oracle-checked window composition") {
     val (purchases, clicks) = sides
     val custom = AsOfJoin(purchases, clicks,
-        purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"))
+        purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"),
+        clicks("click_id"))
       .select(col("purchase_id").as("event_id"), col("p_user").as("user_id"),
         col("click_id"))
     val composed = graft.operators.Relational.qAsofJoin(spark, sf)
@@ -41,7 +42,8 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("custom as-of plan is one exchange + sort per side, no window") {
     val (purchases, clicks) = sides
     val custom = AsOfJoin(purchases, clicks,
-      purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"))
+      purchases("p_user"), clicks("c_user"), purchases("p_us"), clicks("c_us"),
+        clicks("click_id"))
     val p = custom.queryExecution.executedPlan.toString
     // SparkPlan.nodeName strips the Exec suffix in plan strings
     assert(p.contains("AsOfJoin"), p)

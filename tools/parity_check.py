@@ -48,6 +48,22 @@ def main(sf_dir, out_dir):
         if got_names != want_names:
             print(f"FAIL {name}: columns spark={got_names} duck={want_names}")
             continue
+        # Type-KIND parity: the driver hashes typed values, so an int64
+        # Spark column vs a hugeint/decimal/double DuckDB column fails
+        # there even when Python == says the values agree (500 == 500.0).
+        def kind(t):
+            import pyarrow as pa
+            if pa.types.is_integer(t): return "int"
+            if pa.types.is_floating(t): return "float"
+            if pa.types.is_decimal(t): return "decimal"
+            return str(t)
+        kinds_bad = [
+            (n, kind(spark_t.schema.field(n).type), kind(duck_t.schema.field(n).type))
+            for n in got_names
+            if kind(spark_t.schema.field(n).type) != kind(duck_t.schema.field(n).type)]
+        if kinds_bad:
+            print(f"FAIL {name}: column type kinds differ (spark vs duck): {kinds_bad}")
+            continue
         gr, wr = rows_of(got, got_names), rows_of(want, want_names)
         if len(gr) != len(wr):
             print(f"FAIL {name}: rows spark={len(gr)} duck={len(wr)}")
