@@ -59,24 +59,24 @@ object Dedup {
     // more than the pair reduction saves on corpora whose trigram
     // doc-frequency is moderate. Revisit only if bucket pair counts
     // blow up (giant corpora with heavy-tailed shingle frequency).
-    // Caching the posting list here was measured a net loss under
-    // cold-cache timing (the cache write costs more than the within-
-    // action reuse recovers); a persistent shingle index only pays
-    // off across MULTIPLE actions — which is what a long-lived dedup
-    // service would hold, not a one-shot query.
-    val sh = hashedShingles(docs)
-      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-    val tri = sh.select(col("doc_id"), col("n_chars"), explode(col("shh")).as("gh"))
-    val cnt = sh.select(col("doc_id"), size(col("shh")).as("c"))
-    val a = tri.select(col("doc_id").as("id_a"), col("n_chars").as("nc_a"), col("gh"))
-    val b = tri.select(col("doc_id").as("id_b"), col("n_chars").as("nc_b"), col("gh"))
+    //
+    // The per-doc shingle count and n_chars ride ALONG the exploded
+    // posting rows (a few extra bytes each) instead of being joined
+    // back per pair — that removes three join shuffles from the
+    // round-1 shape (docs⋈shingles, pairs⋈cnt_a, pairs⋈cnt_b).
+    val tri = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+      .select(col("doc_id"), col("n_chars"), size(col("shh")).as("c"),
+        explode(col("shh")).as("gh"))
+    val a = tri.select(col("gh"), col("doc_id").as("id_a"),
+      col("n_chars").as("nc_a"), col("c").as("ca"))
+    val b = tri.select(col("gh"), col("doc_id").as("id_b"),
+      col("n_chars").as("nc_b"), col("c").as("cb"))
     a.join(b, Seq("gh"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("nc_a") - col("nc_b")) <= lenBand)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
-      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+      .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"), max(col("cb")).as("cb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -84,10 +84,12 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Hashed distinct shingle sets per doc (8-byte elements). */
+  /** Hashed distinct shingle sets per doc (8-byte elements), one
+    * codegen'd pass (ShingleHashes expression).
+    */
   def hashedShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    shingles(docs, k).select(col("doc_id"),
-      array_distinct(transform(col("sh"), g => xxhash64(g))).as("shh"))
+    docs.select(col("doc_id"),
+      graft.functions.shingle_hashes(split(col("text"), " "), k).as("shh"))
 
   /** MinHash signature per doc: a single codegen'd pass over the
     * hashed shingle set (MinHashSig expression) — no explode, no
@@ -170,33 +172,61 @@ object Dedup {
     * Returns (id, cluster_id = min doc id reachable).
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // undirected edge list, both directions — exploded from ONE pass
+    // over `pairs` (a unionAll of two selects would evaluate the
+    // whole candidate-generation lineage twice when this cache
+    // materializes)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
-    var labels = vertices.select(col("id"), col("id").as("cluster_id")).cache()
+    // only vertices incident to an edge can ever change label: iterate
+    // on that (tiny) subgraph and union the untouched singletons back
+    // at the end — the loop's joins scale with the DUP graph, not the
+    // corpus (at 100 TB the dup graph is orders of magnitude smaller)
+    val active = edges.select(col("src").as("id")).distinct().cache()
+    var labels = active.select(col("id"), col("id").as("cluster_id")).cache()
+    // `labels` below may be a projection OVER the cached frame, so
+    // track the actually-cached frame separately for unpersisting
+    var pinned = labels
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      val tR0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // new label + change flag in one pass: the convergence count
+      // aggregates the SAME cached frame instead of re-joining next
+      // against the previous labels (one fewer shuffle per round)
+      val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
+            .cast("long").as("chg"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.agg(sum(col("chg"))).first().getLong(0)
+      pinned.unpersist()
+      pinned = step
+      labels = step.select(col("id"), col("cluster_id"))
       converged = changed == 0
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds%d changed=$changed%d ${(System.nanoTime()-tR0)/1e9}%.2f s")
     }
     edges.unpersist()
-    labels
+    active.unpersist()
+    // anti-join against the (still-cached) final labels, NOT against
+    // `active`/`edges`: those are unpersisted above, and referencing
+    // them from this lazily-evaluated result would re-run the whole
+    // candidate-generation lineage at the caller's action
+    val singletons = vertices.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionAll(singletons)
   }
 
   /** C5 at scale: LSH-bucketed near-dup candidates — pairs only form

@@ -121,6 +121,42 @@ object HashAlgos {
     * inputs agreeing in their low 31 bits (-1 vs 2^31-1), which
     * would merge unrelated shingles for non-uniform inputs.
     */
+  /** Distinct xxhash64'd k-shingles of a token array in ONE pass.
+    *
+    * Replaces the transform(sequence)+concat_ws+array_distinct+
+    * xxhash64 HOF chain: those lambda functions are interpreted
+    * (CodegenFallback), measured ~20x slower than this loop on the
+    * dedup hot path — the same lesson as MinHashSig/DotProduct.
+    * Hash values equal Spark's `xxhash64(shingle_string)` (seed 42),
+    * so signatures are unchanged. Fewer than k tokens => empty set
+    * (never fabricates partial shingles).
+    */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (tokens.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+                   else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def minhashSig(shingleHashes: ArrayData): ArrayData = {
     val sig = Array.fill(64)(Long.MaxValue)
     val n = shingleHashes.numElements()
@@ -229,6 +265,28 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.minhashSig($c)")
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** C2/C4/C16 hot path: distinct hashed k-shingles of a token array —
+  * see HashAlgos.shingleHashes.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HashAlgos.shingleHashes(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
 /** C3: SimHash-64 over a token array. */

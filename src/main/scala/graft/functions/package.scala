@@ -19,6 +19,12 @@ package object functions {
     */
   def minhash_sig(c: Column): Column = toCol(MinHashSig(toExpr(c)))
 
+  /** C2/C4/C16: distinct xxhash64'd k-shingles of an array<string>
+    * token column, one codegen'd pass (values match
+    * `xxhash64(shingle)`); < k tokens => empty array.
+    */
+  def shingle_hashes(c: Column, k: Int): Column = toCol(ShingleHashes(toExpr(c), k))
+
   /** Space-saving top-k heavy hitters of a string column: mergeable
     * bounded-memory sketch (TypedImperativeAggregate).
     */

@@ -57,12 +57,11 @@ object CurationQueries {
     */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // both join sides derive from this posting list — cache it once
-    // (see Dedup.ngramJaccard for rationale)
-    val grams = graft.dedup.Dedup.hashedShingles(docs, k = 5)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), explode(col("shh")).as("gh"))
-      .cache()
+    // source rides along the posting rows (no docs join); shingle
+    // hashing is a cheap codegen'd pass now, so computing the posting
+    // list once per branch beats paying a cache materialization
+    val grams = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
     val eval = grams.filter(col("source") === "src0")
       .select(col("gh"), col("doc_id").as("eval_id"))
     val train = grams.filter(col("source") =!= "src0")
