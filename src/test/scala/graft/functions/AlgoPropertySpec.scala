@@ -92,6 +92,39 @@ class AlgoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("shingle hashes: equals the reference string-shingle construction") {
+    // reference model: distinct xxhash64("w_i w_{i+1} ... w_{i+k-1}")
+    // in first-occurrence order; < k tokens => empty
+    def reference(tokens: List[String], k: Int): Seq[Long] = {
+      if (tokens.length < k) Seq.empty
+      else tokens.sliding(k).map { w =>
+        val s = UTF8String.fromString(w.mkString(" "))
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      }.toSeq.distinct
+    }
+    val tokenList = Gen.listOf(Gen.oneOf(
+      Gen.identifier.map(_.take(8)), Gen.const(""), Gen.const("a")))
+    check(Prop.forAll(tokenList, Gen.choose(1, 6)) { (tokens, k) =>
+      val arr = new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = HashAlgos.shingleHashes(arr, k).toLongArray().toSeq
+      val want = reference(tokens, k)
+      assert(got == want, s"k=$k tokens=$tokens got=$got want=$want")
+      true
+    })
+  }
+
+  test("shingle hashes: null tokens hash as empty strings, no crash") {
+    check(Prop.forAll(Gen.choose(1, 4), Gen.choose(0, 10)) { (k, n) =>
+      val arr = new GenericArrayData(Array.fill[Any](n)(null))
+      val got = HashAlgos.shingleHashes(arr, k)
+      // all-null arrays produce at most one distinct shingle hash
+      assert(got.numElements() == (if (n < k) 0 else 1))
+      true
+    })
+  }
+
   test("rolling hash and fnv1a: deterministic, empty-safe") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val u = UTF8String.fromString(s)
