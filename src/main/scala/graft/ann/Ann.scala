@@ -66,6 +66,80 @@ object Ann {
     emb.withColumn("bucket", bucket)
   }
 
+  /** C7b: IVF (inverted-file) ANN — the coarse-quantizer scale path:
+    * `nLists` centroids partition the corpus into lists; a query
+    * scores only its `nprobe` nearest lists (~nprobe/nLists of the
+    * corpus). Centroids are fully deterministic: seeds are the
+    * hash-least corpus vectors, one Lloyd refinement accumulates in
+    * SCALED-LONG space (sum of round(x*2^20)) so partial-aggregation
+    * order can never perturb a centroid bit. The corpus is scanned by
+    * broadcast-join passes (assign, refine-assign, score) and never
+    * pair-shuffled. nprobe == nLists degenerates to the exact scan
+    * (recall 1.0), the spec's sanity anchor.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+    val Scale = 1L << 20
+    val dims = 64
+
+    // deterministic seed pick: the nLists corpus vectors with the
+    // smallest xxhash64(vec_id). orderBy+limit plans as a distributed
+    // TakeOrdered (per-partition top-N + merge); the single-partition
+    // row_number window then runs over only nLists rows
+    val seedRows = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nLists)
+    val seeds = seedRows
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .select(col("list_id"), col("embedding").as("carr"))
+
+    def assignTo(cents: DataFrame): DataFrame = {
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("sim", dot_double(col("embedding"), col("carr")) /
+          (graft.functions.norm_double(col("embedding")) *
+            graft.functions.norm_double(col("carr"))))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("list_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+    }
+
+    // one Lloyd step in scaled-long space (deterministic mean)
+    val sumCols = (0 until dims).map(i =>
+      sum(round(col("embedding").getItem(i) * Scale).cast("long")).as(s"s$i"))
+    val refined = assignTo(seeds)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("list_id"), array((0 until dims).map(i =>
+        col(s"s$i").cast("double") / (col("n") * Scale.toDouble)): _*).as("carr"))
+
+    val lists = assignTo(refined)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+      .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+
+    // probe: each query's nprobe nearest centroids
+    val qScored = queries.crossJoin(broadcast(refined))
+      .withColumn("sim", dot_double(col("embedding"), col("carr")) /
+        (graft.functions.norm_double(col("embedding")) *
+          graft.functions.norm_double(col("carr"))))
+    val qw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("list_id"))
+    val probes = qScored.withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+      .join(normed(queries, "query_id", "qe", "nq"), "query_id")
+
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosPre("qe", "ce", "nq", "nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C7: LSH-bucketed approximate top-k: only vectors in buckets the
     * query probes are scored. `multiProbe = true` additionally probes
     * every bucket at hamming distance 1 from the query's (flip each

@@ -96,6 +96,33 @@ object CdcOps {
       .drop("rn")
   }
 
+  /** A3 at scale: incremental snapshot COMPACTION — fold a new batch
+    * of change rows into an existing snapshot without re-reading
+    * history. The delta batch is first snapshotted (one row per key,
+    * a map-side-heavy shrink), then full-outer joined against the
+    * base; per key the later row wins by (current_ts, id) — the same
+    * total order `snapshot` uses, so compact(snapshot(A), B) ==
+    * snapshot(A ∪ B) for ANY split of the change log. At 100 TB the
+    * base is a bucketed table: the only full shuffle is the (small)
+    * delta's; the reference achieves this incrementally via per-record
+    * Kudu upserts [ref: KuduManager.scala:72,112-114].
+    */
+  def compactSnapshot(base: DataFrame, deltas: DataFrame, keyCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val d = snapshot(deltas, col(keyCol))
+      .select(cols.map(c => col(c).as("d_" + c)): _*)
+    val b = base.select(cols.map(c => col(c).as("b_" + c)): _*)
+    val joined = b.join(d, col("b_" + keyCol) === col("d_" + keyCol), "full_outer")
+    // delta wins when the base key is absent or the delta row is
+    // later in (current_ts, id) order (struct compare = lexicographic)
+    val takeDelta = col("d_" + keyCol).isNotNull &&
+      (col("b_" + keyCol).isNull ||
+        struct(col("d_current_ts"), col("d_id")) >=
+          struct(col("b_current_ts"), col("b_id")))
+    joined.select(cols.map(c =>
+      when(takeDelta, col("d_" + c)).otherwise(col("b_" + c)).as(c)): _*)
+  }
+
   /** A4: soft-delete snapshot: physical deletes become logical
     * `delete_state='1'` rows whose payload is nulled (a D record only
     * carries its key [ref: KuduManager.scala:74-80]).

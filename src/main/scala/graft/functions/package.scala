@@ -31,6 +31,13 @@ package object functions {
   def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
     toCol(SpaceSavingTopK(toExpr(c), k, capacity).toAggregateExpression())
 
+  /** HyperLogLog approximate COUNT(DISTINCT): 2^p-byte mergeable
+    * sketch per group (TypedImperativeAggregate), std err
+    * ~1.04/sqrt(2^p).
+    */
+  def hll_distinct(c: Column, p: Int = 12): Column =
+    toCol(HllDistinct(toExpr(c), p).toAggregateExpression())
+
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).
     */

@@ -40,6 +40,21 @@ object CdcQueries {
         col("value").as("last_value"), col("current_ts").as("last_ts"))
       .orderBy(col("user_id"))
 
+  /** A3 (compaction tier): base snapshot + delta batch folded by
+    * compactSnapshot must equal the one-shot snapshot over the whole
+    * log — the oracle is exactly q_cdc_upsert's. The split key
+    * (id % 3) deliberately interleaves "old" and "new" rows to prove
+    * the merge is order-correct, not just append-friendly.
+    */
+  def qCdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsed(spark, dir)
+    val base = CdcOps.snapshot(p.filter(pmod(col("id"), lit(3)) =!= 0), col("user_id"))
+    CdcOps.compactSnapshot(base, p.filter(pmod(col("id"), lit(3)) === 0), "user_id")
+      .select(col("user_id"), col("id").as("last_id"), col("op_type").as("last_op"),
+        col("value").as("last_value"), col("current_ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** A4: snapshot with logical deletes. */
   def qCdcSoftdelete(spark: SparkSession, dir: String): DataFrame =
     CdcOps.softDeleteSnapshot(parsed(spark, dir), col("user_id"))
@@ -71,6 +86,7 @@ object CdcQueries {
     "q_cdc_parse"      -> (qCdcParse _),
     "q_cdc_typemap"    -> (qCdcTypemap _),
     "q_cdc_upsert"     -> (qCdcUpsert _),
+    "q_cdc_compact"    -> (qCdcCompact _),
     "q_cdc_softdelete" -> (qCdcSoftdelete _),
     "q_cdc_audit"      -> (qCdcAudit _),
     "q_sync_metrics"   -> (qSyncMetrics _),
@@ -94,6 +110,14 @@ object CdcQueries {
          |FROM events ORDER BY id""".stripMargin,
 
     "q_cdc_upsert" ->
+      s"""SELECT user_id, event_id AS last_id, $opCase AS last_op,
+         | value AS last_value, $tsSec AS last_ts
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // compaction result == one-shot snapshot over the full log
+    "q_cdc_compact" ->
       s"""SELECT user_id, event_id AS last_id, $opCase AS last_op,
          | value AS last_value, $tsSec AS last_ts
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

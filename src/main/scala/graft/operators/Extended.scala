@@ -96,6 +96,22 @@ object Extended {
         percentile(col("l_quantity"), lit(0.75)).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** B9 (sketch tier): HLL approximate distinct per group, checked
+    * END-TO-END against the exact count — the output carries the
+    * exact count plus a boolean asserting the sketch landed within
+    * 5% (~3 sigma at p=12), so the oracle verifies the estimator's
+    * accuracy, not just that it ran. Deterministic hash => the
+    * boolean is stable across runs and partitionings.
+    */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        graft.functions.hll_distinct(col("l_partkey")).as("est"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("est").cast("double") / col("n_exact") - 1.0) <= 0.05).as("hll_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Ranking window functions: rank/dense_rank/percent_rank/ntile
     * over order prices per customer segment.
     */
@@ -136,9 +152,17 @@ object Extended {
     "q_lag_delta"    -> (qLagDelta _),
     "q_histogram"    -> (qHistogram _),
     "q_percentile"   -> (qPercentile _),
+    "q_hll_distinct" -> (qHllDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle's `true` asserts the HLL estimate is within 5% of
+    // exact — a real accuracy gate, since the Spark side computes the
+    // boolean from the live sketch
+    "q_hll_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_rank_funcs" ->
       """SELECT c_mktsegment, o_orderkey, rnk, drnk, quartile FROM (
         | SELECT c_mktsegment, o_orderkey,

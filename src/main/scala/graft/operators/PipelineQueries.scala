@@ -56,6 +56,14 @@ object PipelineQueries {
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 6)
   }
 
+  /** C7b: IVF coarse-quantizer ANN (approximate; recall and the
+    * nprobe==nLists exactness anchor measured in spec).
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nLists = 8, nprobe = 2)
+  }
+
   /** C8 */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
@@ -120,6 +128,7 @@ object PipelineQueries {
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
     "q_ann_lsh"         -> (qAnnLsh _),
+    "q_ann_ivf"         -> (qAnnIvf _),
     "q_text_langid"     -> (qTextLangid _),
     "q_text_quality"    -> (qTextQuality _),
     "q_text_tokens"     -> (qTextTokens _),

@@ -71,6 +71,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(bucketed.count() > 1, "bucketing must actually split the corpus")
   }
 
+  test("C7b: IVF ANN — recall at nprobe=2, exact when probing all lists") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id")
+    val ivf = Ann.ivfTopK(emb, q, 5, nLists = 8, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val recall = ivf.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.3, s"ivf nprobe=2 recall=$recall")
+    // probing every list degenerates to the exact scan: recall 1.0
+    val full = Ann.ivfTopK(emb, q, 5, nLists = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+    val bruteR = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id", "rank")
+    assert(full.exceptAll(bruteR).count() == 0 &&
+      bruteR.exceptAll(full).count() == 0, "nprobe=nLists must equal brute force")
+  }
+
   test("C5: LSH-bucketed embedding near-dups recover most exhaustive pairs") {
     val emb = Tables(spark, sf).embeddings
     val exact = Dedup.embeddingNearDups(emb, 0.4).select("id_a", "id_b")

@@ -125,6 +125,36 @@ class AlgoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("hll: estimate within 10% for uniform-ish cardinalities, merge = union") {
+    // model the contract input (xxhash64 of values) with fnv1a-mixed
+    // longs — same reasoning as the minhash property above
+    def mix(x: Long): Long = {
+      val bs = BigInt(x).toByteArray
+      HashAlgos.fnv1a(bs, 0, bs.length)
+    }
+    val longSet: Gen[Set[Long]] =
+      Gen.chooseNum(1, 5000).flatMap(n =>
+        Gen.containerOfN[Set, Long](n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    check(Prop.forAll(longSet, longSet) { (a, b) =>
+      def sketch(s: Set[Long]): HllBuffer = {
+        val h = new HllBuffer(12)
+        s.foreach(x => h.add(mix(x)))
+        h
+      }
+      val (sa, sb) = (sketch(a), sketch(b))
+      // p=12: sigma ~1.6%; 10% is > 6 sigma, and linear counting
+      // covers the sparse regime
+      val n = a.size.toDouble
+      assert(math.abs(sa.estimate - n) / n <= 0.10,
+        s"est=${sa.estimate} true=$n")
+      // register-wise max merge == sketch of the union, bit-exact
+      sa.mergeIn(sb)
+      val su = sketch(a ++ b)
+      assert(sa.regs.toSeq == su.regs.toSeq)
+      true
+    })
+  }
+
   test("rolling hash and fnv1a: deterministic, empty-safe") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val u = UTF8String.fromString(s)
