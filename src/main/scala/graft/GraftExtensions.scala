@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, RollingHash64, SimHash64}
+import graft.functions.{DotProduct, HllDistinct, MinHashSig, RollingHash64, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
@@ -30,6 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - double-accumulated dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(array<string>, k) - distinct xxhash64'd k-shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct",
+        "hll_distinct(col[, p]) - HyperLogLog approximate count distinct"),
+      (exprs: Seq[Expression]) => HllDistinct(exprs.head,
+        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Int] else 12)
+        .toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

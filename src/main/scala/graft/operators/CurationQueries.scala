@@ -110,7 +110,31 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C20: sequence packing — greedily pack documents into fixed-size
+    * training context windows (2048 tokens), sharded so the packing
+    * window never becomes a global sort: shard = affine hash of
+    * doc_id (8 shards), docs packed in doc_id order WITHIN a shard.
+    * At 100 TB each shard's running sum is an independent partition
+    * of the window shuffle — no single-partition bottleneck — and
+    * shard count scales with the cluster.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = 2048
+    val d = Tables(spark, dir).documents
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("shard", ((col("doc_id") % 97L) * 13L + 5L) % 8L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(ctx.toDouble)).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences"  -> (qPackSequences _),
     "q_sample_split"    -> (qSampleSplit _),
     "q_dedup_keepbest"  -> (qDedupKeepBest _),
     "q_corpus_stats"    -> (qCorpusStats _),
@@ -120,6 +144,21 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH d AS (
+        | SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+        |  ((doc_id % 97) * 13 + 5) % 8 AS shard
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tok, shard,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM d)
+        |SELECT shard, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_sample_split" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total

@@ -50,6 +50,17 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val dp = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head.getDouble(0)
     assert(dp == 11.0)
+
+    // shingle_hashes from SQL == the Column API (and the string path)
+    val sh3 = spark.sql(
+      "SELECT size(shingle_hashes(split('a b c d', ' '), 2)) AS n").head.getInt(0)
+    assert(sh3 == 3)
+    // hll_distinct from SQL: exact-regime sanity on a small corpus
+    val hll = spark.sql(
+      "SELECT hll_distinct(doc_id) AS n FROM docs").head.getLong(0)
+    val exact = spark.sql(
+      "SELECT count(DISTINCT doc_id) AS n FROM docs").head.getLong(0)
+    assert(math.abs(hll - exact).toDouble / exact <= 0.05, s"hll=$hll exact=$exact")
   }
 
   test("typed Aggregator: weighted mean partial-aggregates correctly") {
