@@ -38,6 +38,13 @@ package object functions {
   def hll_distinct(c: Column, p: Int = 12): Column =
     toCol(HllDistinct(toExpr(c), p).toAggregateExpression())
 
+  /** Mergeable approximate quantile (weighted-compactor sketch,
+    * TypedImperativeAggregate): fixed memory per group, rank error
+    * ~collapses/capacity (~1% at the default 2048).
+    */
+  def approx_quantile(c: Column, q: Double, capacity: Int = 2048): Column =
+    toCol(ApproxQuantile(toExpr(c), q, capacity).toAggregateExpression())
+
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).
     */

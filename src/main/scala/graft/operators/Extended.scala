@@ -112,6 +112,23 @@ object Extended {
         (abs(col("est").cast("double") / col("n_exact") - 1.0) <= 0.05).as("hll_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** B21b (sketch tier): mergeable approximate quantile, checked
+    * end-to-end like q_hll_distinct — the output asserts the sketch's
+    * p50 lands between the exact p45 and p55 (rank error <= 5%), so
+    * the oracle verifies sketch accuracy under the driver's real
+    * partitioning.
+    */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
+        graft.functions.approx_quantile(col("l_extendedprice"), 0.5).as("est"))
+      .select(col("l_returnflag"), col("p50"),
+        (col("est") >= col("p45") && col("est") <= col("p55")).as("sketch_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Ranking window functions: rank/dense_rank/percent_rank/ntile
     * over order prices per customer segment.
     */
@@ -153,6 +170,7 @@ object Extended {
     "q_histogram"    -> (qHistogram _),
     "q_percentile"   -> (qPercentile _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +179,11 @@ object Extended {
     // boolean from the live sketch
     "q_hll_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // `true` asserts the sketch p50 is inside the exact [p45, p55]
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, true AS sketch_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_rank_funcs" ->

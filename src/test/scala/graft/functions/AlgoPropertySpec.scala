@@ -155,6 +155,37 @@ class AlgoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("quantile sketch: rank error within 5%, merge keeps the bound") {
+    // list sizes up to 3x capacity exercise the compaction path;
+    // generator cost dominates this property, so trials are capped
+    val data: Gen[List[Double]] =
+      Gen.chooseNum(100, 6000).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    val p = Prop.forAll(data, Gen.oneOf(0.1, 0.25, 0.5, 0.75, 0.9)) { (xs, q) =>
+      // a duplicated value occupies a rank INTERVAL [count(<v),
+      // count(<=v)]/n — error is the distance from q to that interval
+      def rankErr(v: Double): Double = {
+        val lo = xs.count(_ < v).toDouble / xs.size
+        val hi = xs.count(_ <= v).toDouble / xs.size
+        if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+      }
+      val whole = new QuantileBuffer(2048)
+      xs.foreach(whole.add(_))
+      assert(rankErr(whole.quantile(q)) <= 0.05,
+        s"whole: q=$q err=${rankErr(whole.quantile(q))}")
+      // split-and-merge (the partial-aggregation path) keeps the bound
+      val (l, r) = xs.splitAt(xs.size / 3)
+      val (bl, br) = (new QuantileBuffer(2048), new QuantileBuffer(2048))
+      l.foreach(bl.add(_)); r.foreach(br.add(_))
+      bl.mergeIn(br)
+      assert(rankErr(bl.quantile(q)) <= 0.05,
+        s"merged: q=$q err=${rankErr(bl.quantile(q))}")
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rolling hash and fnv1a: deterministic, empty-safe") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val u = UTF8String.fromString(s)
