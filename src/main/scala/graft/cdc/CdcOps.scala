@@ -127,9 +127,17 @@ object CdcOps {
     * `delete_state='1'` rows whose payload is nulled (a D record only
     * carries its key [ref: KuduManager.scala:74-80]).
     */
-  def softDeleteSnapshot(parsed: DataFrame, key: Column): DataFrame = {
+  def softDeleteSnapshot(parsed: DataFrame, key: Column): DataFrame =
+    decorateSoftDelete(snapshot(parsed, key))
+
+  /** The soft-delete decoration alone (idempotent): derive
+    * delete_state from op_type and null the payload of D rows. Split
+    * out so the incremental compaction path can apply it to an
+    * already-snapshotted frame.
+    */
+  def decorateSoftDelete(snap: DataFrame): DataFrame = {
     val isDel = col("op_type") === "D"
-    snapshot(parsed, key)
+    snap
       .withColumn("delete_state", when(isDel, "1").otherwise("0"))
       .withColumn("value", when(isDel, lit(null)).otherwise(col("value")))
       .withColumn("event_type", when(isDel, lit(null)).otherwise(col("event_type")))

@@ -78,14 +78,21 @@ object CdcStream {
         // after every merge; logical deletes survive because the D
         // record itself stays in the snapshot
         // [ref: KuduManager.scala:74-80].
-        val merged = readSnapshot(batch.sparkSession, snapshotDir) match {
-          case Some(existing) => existing.drop("delete_state").unionByName(parsed)
-          case None           => parsed
+        //
+        // Incremental compaction (A16): only the DELTA is snapshotted
+        // (a window over the batch), then folded into the base via a
+        // keyed full-outer merge — compact(snapshot(A), B) ==
+        // snapshot(A ∪ B), so semantics equal replaying the whole
+        // log while each batch's window shuffle is delta-sized. With
+        // a bucketed base table the merge join needs no base
+        // exchange at all.
+        val next = readSnapshot(batch.sparkSession, snapshotDir) match {
+          case Some(existing) =>
+            CdcOps.decorateSoftDelete(
+              CdcOps.compactSnapshot(
+                existing.drop("delete_state"), parsed, "user_id"))
+          case None => CdcOps.softDeleteSnapshot(parsed, col("user_id"))
         }
-        // Last-write-wins over (existing ∪ new) — identical semantics
-        // to replaying the whole log, but each batch only shuffles
-        // snapshot+delta.
-        val next = CdcOps.softDeleteSnapshot(merged, col("user_id"))
         writeSnapshot(next, snapshotDir, batchId)
       }
       .start()
