@@ -20,13 +20,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects; read it as a long and truncate to micros (matching
-    * DuckDB's ns->us cast semantics, floor division).
+  /** events.ts may be TIMESTAMP(NANOS) in parquet, which Spark's
+    * vectorized reader rejects; with nanosAsLong it surfaces as a
+    * LONG, truncated here to micros (matching DuckDB's ns->us cast,
+    * floor division). A table already written at micros reads as a
+    * plain timestamp and passes through — the loader serves both.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ rejects unix_micros & friends; session tz is UTC, so
+        // the cast is instant-preserving
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

@@ -62,6 +62,23 @@ object PerfProbe {
         graft.operators.CurationQueries.qContamination(spark, sfDir).count())
       time("full dup_clusters")(
         graft.operators.PipelineQueries.queries("q_dup_clusters")(spark, sfDir).count())
+      locally {
+        val emb = graft.sources.Tables(spark, sfDir).embeddings
+        val autoBits = math.min(12, math.max(4,
+          (math.log(math.max(1.0, emb.count() / 16.0)) / math.log(2.0)).ceil.toInt))
+        val keyed = (0 until 4).map { t =>
+          graft.ann.Ann.lshBucketTable(emb, autoBits, t)
+            .select(col("vec_id"), struct(lit(t).as("t"), col("bucket").as("b")).as("tb"))
+        }.reduce(_ unionAll _)
+        time("elsh keyed")(keyed.count())
+        val pairs = keyed.alias("x").join(keyed.alias("y"), Seq("tb"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        time("elsh raw pairs")(pairs.count())
+        time("elsh distinct pairs")(pairs.distinct().count())
+        time("full embeddingNearDupsLsh")(
+          graft.dedup.Dedup.embeddingNearDupsLsh(emb, 0.4).count())
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
