@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HllDistinct, MinHashSig, RollingHash64, ShingleHashes, SimHash64}
+import graft.functions.{ApproxQuantile, DotProduct, HllDistinct, MinHashSig, RollingHash64, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HllDistinct(exprs.head,
         if (exprs.size > 1) exprs(1).eval().asInstanceOf[Int] else 12)
         .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("approx_quantile_sketch"),
+      info("approx_quantile_sketch",
+        "approx_quantile_sketch(col, q) - mergeable compactor quantile sketch"),
+      (exprs: Seq[Expression]) => ApproxQuantile(exprs.head,
+        exprs(1).eval().asInstanceOf[Double]).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

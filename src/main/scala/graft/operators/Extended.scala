@@ -70,6 +70,35 @@ object Extended {
       .orderBy(col("event_id"))
   }
 
+  /** Time-RANGE window frame (not row-count): trailing 1-hour sum and
+    * row count per user — the frame is defined by the ORDER VALUE
+    * (event time), so ties share a frame and results are independent
+    * of physical row order. Spark needs a numeric order column for
+    * rangeBetween: event time in micros.
+    */
+  def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables(spark, dir).events
+      .withColumn("s", sum(cents(col("value"))).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("s") / 100.0).as("trail_1h_sum"), col("n").as("trail_1h_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Unpivot (melt): the per-type pivot columns folded back to rows —
+    * the inverse of q_pivot, via Spark's native unpivot operator.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables(spark, dir).events
+      .groupBy(col("user_id")).pivot("event_type", types).agg(count(lit(1)))
+      .na.fill(0, types)
+    pivoted.unpivot(Array(col("user_id")), types.map(col).toArray, "etype", "cnt")
+      .orderBy(col("user_id"), col("etype"))
+  }
+
   /** Ordered delta (value - previous value) per user. */
   def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -171,6 +200,8 @@ object Extended {
     "q_percentile"   -> (qPercentile _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_range_window" -> (qRangeWindow _),
+    "q_unpivot"      -> (qUnpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +238,31 @@ object Extended {
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin,
+    "q_range_window" ->
+      """SELECT event_id, user_id,
+        | sum(cast(round(value*100) as bigint)) OVER w / 100.0 AS trail_1h_sum,
+        | count(*) OVER w AS trail_1h_n
+        |FROM (SELECT event_id, user_id, value, cast(ts as timestamp) AS tsx FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsx
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH p AS (SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, etype, cnt FROM (
+        | SELECT user_id, 'click' AS etype, click AS cnt FROM p
+        | UNION ALL SELECT user_id, 'error', error FROM p
+        | UNION ALL SELECT user_id, 'purchase', purchase FROM p
+        | UNION ALL SELECT user_id, 'signup', signup FROM p
+        | UNION ALL SELECT user_id, 'view', view FROM p)
+        |ORDER BY user_id, etype""".stripMargin,
+
     "q_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,
