@@ -45,7 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("approx_quantile_sketch",
         "approx_quantile_sketch(col, q) - mergeable compactor quantile sketch"),
       (exprs: Seq[Expression]) => ApproxQuantile(exprs.head,
-        exprs(1).eval().asInstanceOf[Double]).toAggregateExpression()))
+        exprs(1).eval() match {
+          // SQL numeric literals surface as Decimal, not Double
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case d: java.lang.Double => d
+          case other => other.toString.toDouble
+        }).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_asof_join"      -> (Relational.qAsofJoin _),
     "q_asof_custom"    -> (Relational.qAsofCustom _),
     "q_range_join"     -> (Relational.qRangeJoin _),
+    "q_outer_join"     -> (Relational.qOuterJoin _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_sessionize"     -> (Relational.qSessionize _),
   )
@@ -145,6 +146,12 @@ object SparkEntry {
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_returned
+        |FROM orders LEFT JOIN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_within_30d

@@ -229,6 +229,21 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B4b: outer join with pushed-down join-side predicate — every
+    * order keeps a row even with zero matching 'R' lineitems
+    * (count(col) counts non-null, so empty groups read 0).
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val returned = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    t.orders.select(col("o_orderkey"))
+      .join(returned, col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_returned"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** B11: equi + range (banded) join: lineitems shipped within 30
     * days of their order's date.
     */

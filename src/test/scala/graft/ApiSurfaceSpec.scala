@@ -61,6 +61,14 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val exact = spark.sql(
       "SELECT count(DISTINCT doc_id) AS n FROM docs").head.getLong(0)
     assert(math.abs(hll - exact).toDouble / exact <= 0.05, s"hll=$hll exact=$exact")
+    // approx_quantile_sketch from SQL: under-capacity => exact median
+    val med = spark.sql(
+      "SELECT approx_quantile_sketch(n_chars * 1.0, 0.5) AS m FROM docs").head.getDouble(0)
+    val lo = spark.sql(
+      "SELECT percentile(n_chars, 0.45) AS p FROM docs").head.getDouble(0)
+    val hi = spark.sql(
+      "SELECT percentile(n_chars, 0.55) AS p FROM docs").head.getDouble(0)
+    assert(med >= lo && med <= hi, s"sketch median $med outside [$lo, $hi]")
   }
 
   test("typed Aggregator: weighted mean partial-aggregates correctly") {

@@ -31,6 +31,22 @@ class ContractSpec extends AnyFunSuite {
     assert(qKeys.size >= 50, s"query count dropped to ${qKeys.size}")
   }
 
+  test("A16: compact(snapshot(A), B) == snapshot(A ∪ B) for several splits") {
+    import org.apache.spark.sql.functions._
+    val parsed = graft.cdc.CdcOps.parse(
+      graft.cdc.ChangeModel.changeLines(
+        graft.sources.Tables(spark, "/root/testdata/sf0.001").events))
+    val full = graft.cdc.CdcOps.snapshot(parsed, col("user_id"))
+    for (m <- Seq(2L, 3L, 7L)) {
+      val base = graft.cdc.CdcOps.snapshot(
+        parsed.filter(pmod(col("id"), lit(m)) =!= 0), col("user_id"))
+      val compacted = graft.cdc.CdcOps.compactSnapshot(
+        base, parsed.filter(pmod(col("id"), lit(m)) === 0), "user_id")
+      assert(compacted.exceptAll(full).count() == 0 &&
+        full.exceptAll(compacted).count() == 0, s"split id % $m diverged")
+    }
+  }
+
   test("every query runs against sf0.001 without throwing") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }
