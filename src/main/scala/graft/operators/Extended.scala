@@ -48,6 +48,52 @@ object Extended {
       .orderBy(col("tag"), col("nk"))
   }
 
+  /** B16b: MULTISET set ops — intersectAll/exceptAll preserve
+    * duplicate multiplicity (min / difference of per-value counts),
+    * a different operator family than the distinct set ops above.
+    * Grouped to a (value, multiplicity) table for deterministic
+    * output.
+    */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    clicks.intersectAll(purchases)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).withColumn("tag", lit("min_both"))
+      .unionAll(clicks.exceptAll(purchases)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n")).withColumn("tag", lit("click_excess")))
+      .select(col("tag"), col("user_id"), col("n"))
+      .orderBy(col("tag"), col("user_id"))
+  }
+
+  /** B22b: correlation/covariance assembled from SCALED-INTEGER sums —
+    * the float-parity technique from §6 applied to second-moment
+    * statistics: every sum is exact long math (order-independent
+    * under partial aggregation), and the only floating-point ops are
+    * the final assembly, identical in any engine. quantity is ~1..50
+    * and discount ~0..0.10 (x100), so all products stay far below
+    * 2^63 at any realistic group size; larger domains would move the
+    * sums to decimal(38).
+    */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val qi = round(col("l_quantity")).cast("long")
+    val di = round(col("l_discount") * 100).cast("long")
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qi).as("sq"), sum(di).as("sd"),
+        sum(qi * di).as("sqd"), sum(qi * qi).as("sqq"), sum(di * di).as("sdd"))
+      .select(col("l_returnflag"),
+        col("n"),
+        ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+          (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+            sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+          .as("corr_qty_disc"),
+        ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("covar_pop_scaled"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** JSON payload extraction + aggregation over events.props. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -202,6 +248,8 @@ object Extended {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_range_window" -> (qRangeWindow _),
     "q_unpivot"      -> (qUnpivot _),
+    "q_set_ops_all"  -> (qSetOpsAll _),
+    "q_corr_stats"   -> (qCorrStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +286,34 @@ object Extended {
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT * FROM c INTERSECT ALL SELECT * FROM p),
+        |e AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
+        |SELECT tag, user_id, n FROM (
+        | SELECT 'min_both' AS tag, user_id, count(*) AS n FROM i GROUP BY 2
+        | UNION ALL
+        | SELECT 'click_excess', user_id, count(*) FROM e GROUP BY 2)
+        |ORDER BY tag, user_id""".stripMargin,
+
+    // all moments from exact integer sums; only the final assembly is
+    // floating point (identical operand order in both engines)
+    "q_corr_stats" ->
+      """WITH s AS (SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sd,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sqd,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sdd
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | CAST(n*sqd - sq*sd AS double) /
+        |  (sqrt(CAST(n*sqq - sq*sq AS double)) * sqrt(CAST(n*sdd - sd*sd AS double))) AS corr_qty_disc,
+        | CAST(n*sqd - sq*sd AS double) / CAST(n*n AS double) AS covar_pop_scaled
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
     "q_range_window" ->
       """SELECT event_id, user_id,
         | sum(cast(round(value*100) as bigint)) OVER w / 100.0 AS trail_1h_sum,

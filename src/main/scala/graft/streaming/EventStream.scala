@@ -28,6 +28,22 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** A10c: windowed APPROXIMATE distinct users via the HllDistinct
+    * sketch aggregate — sketches compose with streaming state exactly
+    * like sums (mergeable partials), so per-window distinct counts
+    * stay O(2^p) memory per window instead of per-key state; the
+    * scale answer to COUNT(DISTINCT) over an unbounded stream.
+    */
+  def windowedApproxUsers(events: DataFrame, window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.hll_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("approx_users"), col("n_events"))
+
   /** A15: streaming deduplication — drop repeated event_ids with
     * bounded state: `dropDuplicatesWithinWatermark` keeps each key
     * only until the watermark passes it (exactly-once delivery over

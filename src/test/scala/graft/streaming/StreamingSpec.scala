@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("A10c: streaming windowed HLL sketch equals the batch sketch") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("hll-in")
+    events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(evDir.toString + "/*/")
+    val agg = EventStream.windowedApproxUsers(streamIn)
+
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("hll_out")
+    val want = EventStream.windowedApproxUsers(events)
+    // register-max merge is order-insensitive: stream == batch exactly
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
   test("A11: streaming sessionization emits exactly the closed sessions") {
     import spark.implicits._
     val events = Tables(spark, sf).events
