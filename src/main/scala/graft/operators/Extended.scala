@@ -94,6 +94,54 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B15b: explicit GROUPING SETS (the general form of rollup/cube) —
+    * (segment, nation), (segment), and grand total in one pass.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("c_nationkey")),
+          Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1L)).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("segment"), col("nation"))
+
+  /** Scalar string-function surface, oracle-parity-checked: upper,
+    * substring, length, replace, lpad, reverse, 1-based position.
+    */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_mktsegment"), "A", "@").as("seg_sub"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        reverse(col("c_name")).as("name_rev"),
+        instr(col("c_name"), "1").as("pos1"))
+      .orderBy(col("c_custkey"))
+
+  /** Scalar date/time-function surface: year/quarter/month/day,
+    * month truncation, last day of month, day arithmetic/difference.
+    * (Week-based functions are deliberately excluded — engines
+    * disagree on week-start conventions.)
+    */
+  def qDatetimeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
   /** JSON payload extraction + aggregation over events.props. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -250,6 +298,9 @@ object Extended {
     "q_unpivot"      -> (qUnpivot _),
     "q_set_ops_all"  -> (qSetOpsAll _),
     "q_corr_stats"   -> (qCorrStats _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_string_funcs"  -> (qStringFuncs _),
+    "q_datetime_funcs" -> (qDatetimeFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,6 +337,37 @@ object Extended {
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS segment,
+        | coalesce(c_nationkey, -1) AS nation,
+        | count(*) AS n_cust,
+        | sum(cast(round(c_acctbal*100) as bigint))/100.0 AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        |ORDER BY segment, nation""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up_name,
+        | substring(c_name, 1, 8) AS name8,
+        | length(c_name) AS name_len,
+        | regexp_replace(c_mktsegment, 'A', '@', 'g') AS seg_sub,
+        | lpad(cast(c_custkey AS varchar), 10, '0') AS key_pad,
+        | reverse(c_name) AS name_rev,
+        | strpos(c_name, '1') AS pos1
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y,
+        | quarter(o_orderdate) AS q,
+        | month(o_orderdate) AS m,
+        | day(o_orderdate) AS d,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(last_day(cast(o_orderdate AS date)), '%Y-%m-%d') AS month_end,
+        | date_diff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_set_ops_all" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
