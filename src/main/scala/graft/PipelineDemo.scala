@@ -36,16 +36,33 @@ object PipelineDemo {
     val afterDedup = deduped.count()
 
     // 3. deterministic split of the surviving corpus
-    val split = docs.join(deduped, "doc_id")
+    val surviving = docs.join(deduped, "doc_id")
       .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
       .withColumn("split",
         when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
-      .groupBy("split").count().orderBy("split")
+    val split = surviving.groupBy("split").count().orderBy("split")
     val splits = split.collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     val splitTotal = split.agg(sum("count")).head.getLong(0)
 
-    println(s"[ PipelineDemo ] raw=$raw -> quality=$kept -> deduped=$afterDedup -> splits: $splits")
+    // 4. pack the train split into 2048-token context bins (8 shards)
+    val packed = surviving.filter(col("split") === "train")
+      .withColumn("n_tok",
+        size(org.apache.spark.sql.functions.split(col("text"), " ")))
+      .withColumn("shard", ((col("doc_id") % 97L) * 13L + 5L) % 8L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bins = packed.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(2048.0)).cast("long"))
+      .groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("n"))
+    val nBins = bins.count()
+    val trainDocs = packed.count()
+
+    println(s"[ PipelineDemo ] raw=$raw -> quality=$kept -> deduped=$afterDedup " +
+      s"-> splits: $splits -> packed train: $trainDocs docs into $nBins bins")
     spark.stop()
-    if (kept > raw || afterDedup > kept || splitTotal != afterDedup) sys.exit(1)
+    if (kept > raw || afterDedup > kept || splitTotal != afterDedup ||
+      (trainDocs > 0 && nBins == 0)) sys.exit(1)
   }
 }

@@ -21,6 +21,18 @@ object PerfProbe {
     val docs = graft.sources.Tables(spark, sfDir).documents
     docs.count()
 
+    locally {
+      val events = graft.sources.Tables(spark, sfDir).events
+      events.count()
+      val lines = graft.cdc.ChangeModel.changeLines(events)
+      time("cdc changeLines (to_json)")(
+        lines.agg(sum(length(col("line")))).count())
+      time("cdc parse (from_json)")(
+        graft.cdc.CdcOps.parse(lines).agg(sum(col("id"))).count())
+      time("cdc snapshot full")(
+        graft.cdc.CdcOps.snapshot(graft.cdc.CdcOps.parse(lines), col("user_id")).count())
+    }
+
     for (round <- 1 to 2) {
       println(s"== round $round")
       time("shingles k=3")(graft.dedup.Dedup.shingles(docs).count())

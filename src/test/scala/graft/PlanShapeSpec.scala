@@ -50,6 +50,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
   }
 
+  test("pack_sequences: groupBy reuses the shard window partitioning (one hash exchange)") {
+    val p = plan(graft.operators.CurationQueries.qPackSequences(spark, sf))
+    // the (shard, bin) aggregation must NOT re-shuffle: bin is derived
+    // within shard, so the window's hash partitioning covers it
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange (shard window), got $exchanges:\n$p")
+  }
+
+  test("cdc compaction: window exchanges feed the merge join directly (no extra shuffle)") {
+    val parsed = CdcOps.parse(ChangeModel.changeLines(Tables(spark, sf).events))
+    import org.apache.spark.sql.functions.pmod
+    val base = CdcOps.snapshot(parsed.filter(pmod(col("id"), lit(3)) =!= 0), col("user_id"))
+    val p = plan(CdcOps.compactSnapshot(base, parsed.filter(pmod(col("id"), lit(3)) === 0), "user_id"))
+    // one hash exchange per side's snapshot window; the full-outer
+    // sort-merge join must reuse that partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 hash exchanges (one per side), got $exchanges:\n$p")
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     import graft.functions.{dot_double, rolling_hash64}
     val emb = Tables(spark, sf).embeddings
