@@ -67,4 +67,24 @@ object ChangeModel {
           col("event_type").as("EVENT_TYPE"),
           col("value").as("VALUE")).as("after"))).as("line"),
       col("ts"))
+
+  /** A mixed MULTI-table change stream (the reference consumes one
+    * topic carrying many tables and fans out per target
+    * [ref: KuduManager.scala:66-70]): even event ids publish as
+    * PUB.EVENTS, odd as PUB.ORDERS — deterministic, so per-table
+    * routing is testable.
+    */
+  def mixedChangeLines(events: DataFrame): DataFrame =
+    events.select(
+      to_json(struct(
+        when(pmod(col("event_id"), lit(2)) === 0, "PUB.EVENTS")
+          .otherwise("PUB.ORDERS").as("table"),
+        opTypeOf(col("event_type")).as("op_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("current_ts"),
+        struct(
+          col("event_id").as("ID"),
+          col("user_id").as("USER_ID"),
+          col("event_type").as("EVENT_TYPE"),
+          col("value").as("VALUE")).as("after"))).as("line"),
+      col("ts"))
 }

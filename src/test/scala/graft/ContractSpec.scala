@@ -47,6 +47,25 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("A2: multi-table stream routes losslessly and disjointly per table") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val parsed = graft.cdc.CdcOps.parse(
+      graft.cdc.ChangeModel.mixedChangeLines(events))
+    val total = parsed.count()
+    val ev = graft.cdc.CdcOps.routeTable(parsed, "events")
+    val ord = graft.cdc.CdcOps.routeTable(parsed, "orders")
+    assert(ev.count() + ord.count() == total, "routing must partition the stream")
+    assert(ev.count() > 0 && ord.count() > 0)
+    // routed rows really belong to their table (id parity encodes it)
+    assert(ev.filter(pmod(col("id"), lit(2)) =!= 0).count() == 0)
+    assert(ord.filter(pmod(col("id"), lit(2)) === 0).count() == 0)
+    // each routed table upserts independently
+    val snap = graft.cdc.CdcOps.snapshot(ev, col("user_id"))
+    assert(snap.count() > 0 && snap.groupBy("user_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("every query runs against sf0.001 without throwing") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }
