@@ -29,7 +29,7 @@ object PipelineDemo {
     val kept = quality.count()
 
     // 2. near-dup clusters (trigram Jaccard >= 0.5) -> keep canonical
-    val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("id_a", "id_b")
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5).select("id_a", "id_b")
     val clusters = Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
     val canonical = clusters.filter(col("id") === col("cluster_id")).select("id")
     val deduped = quality.join(canonical, quality("doc_id") === canonical("id"), "left_semi")

@@ -51,7 +51,16 @@ object Dedup {
     * counts. Blocking: |len diff| <= `lenBand` chars (near-dups keep
     * near-identical length; lang labels are unreliable for dups).
     */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double, lenBand: Int = 20): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccard: Double, lenBand: Int = 20): DataFrame =
+    ngramJaccardPairs(docs, minJaccard, lenBand)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The unsorted pair set — consumers that aggregate further (e.g.
+    * connected components) use this: EliminateSorts does NOT strip a
+    * buried orderBy, so the sorted variant would pay a useless global
+    * range exchange inside their lineage.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, lenBand: Int = 20): DataFrame = {
     // Inverted index on 8-byte shingle hashes (fixed-width join keys;
     // collision odds over ~1e6 shingles ~1e-7, and any would surface
     // in the oracle compare). Length-banding the index key was tried
@@ -81,7 +90,6 @@ object Dedup {
         col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Hashed distinct shingle sets per doc (8-byte elements), one

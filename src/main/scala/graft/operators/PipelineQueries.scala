@@ -95,7 +95,7 @@ object PipelineQueries {
     */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.5, lenBand = 20)
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, lenBand = 20)
       .select("id_a", "id_b")
     Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
       .orderBy(col("id"))
