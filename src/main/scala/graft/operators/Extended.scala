@@ -269,6 +269,20 @@ object Extended {
       .orderBy(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
   }
 
+  /** D3b: distribution window functions — percent_rank and cume_dist
+    * are exact rationals ((rank-1)/(n-1), peers/n) computed with the
+    * same operand order in both engines, so doubles match bitwise.
+    */
+  def qRankDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir).customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** first/last value + conditional aggregation per group. */
   def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -301,6 +315,7 @@ object Extended {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_string_funcs"  -> (qStringFuncs _),
     "q_datetime_funcs" -> (qDatetimeFuncs _),
+    "q_rank_dist"     -> (qRankDist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +352,14 @@ object Extended {
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin,
+    "q_rank_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, '(all)') AS segment,
         | coalesce(c_nationkey, -1) AS nation,
