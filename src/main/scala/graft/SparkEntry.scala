@@ -40,6 +40,7 @@ object SparkEntry {
     "q_asof_custom"    -> (Relational.qAsofCustom _),
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_outer_join"     -> (Relational.qOuterJoin _),
+    "q_asof_forward"   -> (Relational.qAsofForward _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_sessionize"     -> (Relational.qSessionize _),
   )
@@ -143,6 +144,15 @@ object SparkEntry {
         | (SELECT arg_max(c.event_id, strftime(cast(c.ts as timestamp), '%Y%m%d%H%M%S%f')
         |                             || lpad(cast(c.event_id as varchar), 12, '0')) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)) AS click_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        | (SELECT arg_min(c.event_id, strftime(cast(c.ts as timestamp), '%Y%m%d%H%M%S%f')
+        |                             || lpad(cast(c.event_id as varchar), 12, '0')) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) >= cast(p.ts as timestamp)) AS click_id
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,

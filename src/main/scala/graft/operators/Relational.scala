@@ -208,6 +208,33 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B10b: FORWARD as-of join — nearest click at or after each
+    * purchase (smallest ts >= p.ts, tie -> smallest click_id): the
+    * symmetric composition over DESCENDING time, so the running
+    * `last` at each purchase row is the earliest qualifying click.
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(null: String).as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null: String).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      // descending time; at equal ts clicks sort before purchases
+      // (">=" semantics) and larger click ids first so the LAST seen
+      // is the smallest qualifying id
+      .orderBy(col("ts").desc, col("purchase_id").asc_nulls_first,
+        col("click_id").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("next_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+        col("next_click").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** B10 (custom-operator tier): the same as-of semantics through the
     * full Catalyst extension path — AsOfJoinPlan logical node,
     * AsOfStrategy, and a sort-merge AsOfJoinExec (one exchange + sort
