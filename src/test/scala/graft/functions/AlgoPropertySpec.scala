@@ -189,6 +189,29 @@ class AlgoPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sketch serialization round-trips preserve state (shuffle-path safety)") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-1e5, 1e5)),
+        Gen.chooseNum(0L, 100000L)) { (xs, seed) =>
+      // HLL: serialize/deserialize == identity on registers
+      val h = new HllBuffer(8)
+      xs.foreach(x => h.add(HashAlgos.fnv1a(BigInt(x.toLong + seed).toByteArray, 0,
+        BigInt(x.toLong + seed).toByteArray.length)))
+      val hAgg = HllDistinct(null, 8)
+      val h2 = hAgg.deserialize(hAgg.serialize(h))
+      assert(h2.regs.toSeq == h.regs.toSeq)
+      // Quantile: round-trip preserves every (value, weight) pair and
+      // therefore every quantile answer
+      val q = new QuantileBuffer(64)
+      xs.foreach(q.add(_))
+      val qAgg = ApproxQuantile(null, 0.5, 64)
+      val q2 = qAgg.deserialize(qAgg.serialize(q))
+      if (xs.nonEmpty)
+        Seq(0.1, 0.5, 0.9).foreach(p =>
+          assert(q.quantile(p) == q2.quantile(p), s"quantile $p diverged"))
+      true
+    })
+  }
+
   test("rolling hash and fnv1a: deterministic, empty-safe") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val u = UTF8String.fromString(s)
