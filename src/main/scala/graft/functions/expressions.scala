@@ -157,6 +157,61 @@ object HashAlgos {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** C17 hot path: per-document k-shingle repetition stats in ONE
+    * pass — returns [max_count, total_count] of the document's
+    * k-shingle multiset. Repetition is an intra-document statistic,
+    * so there is nothing to shuffle: this replaces an
+    * explode + (doc,gram) groupBy + doc groupBy pipeline (two
+    * aggregation exchanges over every trigram occurrence in the
+    * corpus) with a pure projection. Counting is done on the same
+    * xxhash64 values as [[shingleHashes]] in an open-addressing
+    * table (no per-gram allocation); a 64-bit in-document collision
+    * (~1e-13 for a 1e4-gram doc) is the accepted trade.
+    */
+  def repetitionStats(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L))
+    // power-of-two capacity >= 2m keeps load factor <= 0.5
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](k)
+    var maxC = 0
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (tokens.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+                   else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L)
+      var slot = ((h ^ (h >>> 33)).toInt) & mask
+      var done = false
+      while (!done) {
+        if (cnts(slot) == 0) { // empty slot (occupancy tracked by count, not key)
+          keys(slot) = h; cnts(slot) = 1
+          if (maxC < 1) maxC = 1
+          done = true
+        } else if (keys(slot) == h) {
+          cnts(slot) += 1
+          if (cnts(slot) > maxC) maxC = cnts(slot)
+          done = true
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(maxC.toLong, m.toLong))
+  }
+
   def minhashSig(shingleHashes: ArrayData): ArrayData = {
     val sig = Array.fill(64)(Long.MaxValue)
     val n = shingleHashes.numElements()
@@ -287,6 +342,29 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.shingleHashes($c, $k)")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** C17: per-document repetition stats ([max_count, total_count] of
+  * the k-shingle multiset) — see HashAlgos.repetitionStats.
+  */
+case class RepetitionStats(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_stats needs ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HashAlgos.repetitionStats(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.repetitionStats($c, $k)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
 }
 
 /** C3: SimHash-64 over a token array. */

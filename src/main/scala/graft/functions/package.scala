@@ -25,6 +25,13 @@ package object functions {
     */
   def shingle_hashes(c: Column, k: Int): Column = toCol(ShingleHashes(toExpr(c), k))
 
+  /** C17: [max_count, total_count] of a document's k-shingle multiset
+    * in one codegen'd pass — repetition is intra-document, so no
+    * shuffle is ever needed to compute it.
+    */
+  def repetition_stats(c: Column, k: Int): Column =
+    toCol(RepetitionStats(toExpr(c), k))
+
   /** Space-saving top-k heavy hitters of a string column: mergeable
     * bounded-memory sketch (TypedImperativeAggregate).
     */

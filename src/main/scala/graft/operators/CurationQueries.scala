@@ -78,22 +78,22 @@ object CurationQueries {
     * High values flag boilerplate/spam.
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val tri = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // Repetition is an intra-document statistic, so the whole
+    // count/max/total runs inside ONE codegen'd projection
+    // (RepetitionStats expression) — no shuffle at all. The previous
+    // shape (explode every trigram occurrence, (doc,gram) groupBy,
+    // doc groupBy) paid two aggregation exchanges over the corpus'
+    // full trigram stream and string group keys; at 100 TB that is
+    // the difference between a map-only pass and the biggest shuffle
+    // in the pipeline. Docs with < 3 tokens have no trigrams and are
+    // excluded (same as the unnest-based oracle).
+    Tables(spark, dir).documents
       .select(col("doc_id"),
-        // same guard as Dedup.shingles: < 3 tokens => zero trigrams
-        // (sequence(0, n<0) would descend and fabricate partial grams)
-        explode(when(size(col("w")) >= 3,
-          transform(sequence(lit(0), size(col("w")) - 3),
-            i => concat_ws(" ", col("w").getItem(i), col("w").getItem(i + 1),
-              col("w").getItem(i + 2))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("max_tri"), sum(col("cnt")).as("n_tri"))
+        graft.functions.repetition_stats(split(col("text"), " "), 3).as("rs"))
+      .select(col("doc_id"),
+        col("rs").getItem(0).as("max_tri"), col("rs").getItem(1).as("n_tri"))
+      .filter(col("n_tri") > 0)
       .withColumn("rep_ratio", col("max_tri").cast("double") / col("n_tri"))
-      .select(col("doc_id"), col("max_tri"), col("n_tri"), col("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 

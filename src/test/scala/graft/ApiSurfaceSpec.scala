@@ -71,6 +71,33 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(med >= lo && med <= hi, s"sketch median $med outside [$lo, $hi]")
   }
 
+  test("SQL arg handling: BIGINT literals accepted, column args rejected cleanly") {
+    // BIGINT literal (java.lang.Long at eval time) must not ClassCastException
+    val n = spark.sql(
+      "SELECT size(shingle_hashes(split('a b c d', ' '), CAST(2 AS BIGINT))) AS n")
+      .head.getInt(0)
+    assert(n == 3)
+    val hll = spark.sql(
+      "SELECT hll_distinct(doc_id, CAST(12 AS BIGINT)) AS n FROM docs").head.getLong(0)
+    assert(hll > 0)
+    // a non-constant (column) argument must fail with a clean message,
+    // not a ClassCastException or a bogus unbound-attribute eval
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split(text, ' '), doc_id) FROM docs").collect()
+    }
+    assert(err.getMessage.contains("constant integer"), err.getMessage)
+  }
+
+  test("approx_quantile_sketch: all-null group returns NULL like exact percentile") {
+    val r = spark.sql(
+      """SELECT g, approx_quantile_sketch(v, 0.5) AS sk, percentile(v, 0.5) AS ex
+        |FROM VALUES (1, 10.0), (1, 20.0), (2, CAST(NULL AS DOUBLE)) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(!r(0).isNullAt(1) && !r(0).isNullAt(2))
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2),
+      s"all-null group: sketch=${r(1).get(1)} exact=${r(1).get(2)}")
+  }
+
   test("typed Aggregator: weighted mean partial-aggregates correctly") {
     import spark.implicits._
     val ev = Tables(spark, sf).events

@@ -145,6 +145,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
   }
 
+  test("dup clusters: empty pair set yields all singletons (no NPE)") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val verts = (1L to 3L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("dup clusters: releasable variant frees its cache after materialization") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val verts = (1L to 3L).toDF("id")
+    val (res, release) = Dedup.connectedComponentsReleasable(pairs, verts)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    release() // must not throw; frees the internally-pinned frame
+  }
+
   test("sketch: space-saving top-k matches exact counts when under capacity") {
     import graft.functions.topk_freq
     val ev = Tables(spark, sf).events.repartition(7) // force partial+merge
