@@ -263,18 +263,47 @@ object Dedup {
     * split across buckets is missed; multi-probe narrows that);
     * recall vs the exhaustive twin is spec-measured.
     */
+  /** Verification strategies for [[embeddingNearDupsLsh]]:
+    * - `"broadcast"` — candidates are NOT deduped before verification:
+    *   on cluster-structured corpora the candidate set is tens of
+    *   millions of rows, and the dedup shuffle (measured 24s of a 22s
+    *   query at 10k x 5-dup vectors) costs far more than re-verifying
+    *   the ~2x duplicated candidates through broadcast joins (no
+    *   shuffle) + a codegen'd dot product; only the thresholded
+    *   output — orders of magnitude smaller — is deduped. Requires
+    *   the (vec_id, embedding, norm) corpus to fit in one executor.
+    * - `"shuffle"` — billion-vector path: distinct the candidate ids
+    *   FIRST (pay one dedup exchange to halve the verify work), then
+    *   fetch embeddings through partitioned hash joins. No driver or
+    *   single-executor memory requirement; everything shuffles on
+    *   vec_id.
+    */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, bits: Int = -1,
-                           tables: Int = 4): DataFrame = {
+                           tables: Int = 4,
+                           verify: String = "broadcast"): DataFrame = {
+    require(verify == "broadcast" || verify == "shuffle",
+      s"verify must be 'broadcast' or 'shuffle', got '$verify'")
     // bits sizes the bucket space: too few buckets degenerates to
     // within-bucket quadratic blowup (measured: 6 bits on a 10k-vector
     // 5x-duplicated corpus -> 43M candidate pairs, a 33s distinct).
     // Auto mode targets ~16 vectors per bucket — true near-dups
     // (cos ~ 1) collide at ANY bits, so recall loss concentrates on
-    // borderline pairs, which multi-table probing recovers.
-    val b =
-      if (bits > 0) bits
-      else math.min(12, math.max(4,
-        (math.log(math.max(1.0, emb.count() / 16.0)) / math.log(2.0)).ceil.toInt))
+    // borderline pairs, which multi-table probing recovers. The row
+    // count comes from Catalyst statistics (exact when available,
+    // else plan sizeInBytes over the schema's row width) — NEVER a
+    // driver-side count() action: that would scan the full corpus a
+    // second time before the query even runs.
+    val b = if (bits > 0) bits else {
+      val stats = emb.queryExecution.optimizedPlan.stats
+      val estRows: Double = stats.rowCount match {
+        case Some(rc) => rc.toDouble
+        case None =>
+          val width = math.max(1, emb.schema.defaultSize)
+          (stats.sizeInBytes / width).toDouble
+      }
+      math.min(12, math.max(4,
+        (math.log(math.max(1.0, estRows / 16.0)) / math.log(2.0)).ceil.toInt))
+    }
     // L independent hash tables: a pair is a candidate if it collides
     // in ANY table (recall 1-(1-p)^L); each table's buckets are
     // disjoint keys via the table id, so one exploded join serves all.
@@ -282,30 +311,29 @@ object Dedup {
       graft.ann.Ann.lshBucketTable(emb, b, t)
         .select(col("vec_id"), struct(lit(t).as("t"), col("bucket").as("b")).as("tb"))
     }.reduce(_ unionAll _)
-    // Candidates are NOT deduped before verification: on cluster-
-    // structured corpora the candidate set is tens of millions of
-    // rows, and the dedup shuffle (measured 24s of a 22s query at
-    // 10k x 5-dup vectors) costs far more than re-verifying the
-    // ~2x duplicated candidates through BROADCAST joins (no shuffle)
-    // + a codegen'd dot product (~2G flops/s per core). Only the
-    // thresholded output — orders of magnitude smaller — is deduped.
-    // At billion-vector scale, where the corpus can't broadcast,
-    // flip back to distinct-first + shuffle verification.
-    val pairs = keyed.alias("x").join(keyed.alias("y"), Seq("tb"))
+    val rawPairs = keyed.alias("x").join(keyed.alias("y"), Seq("tb"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
     val normed = emb.select(col("vec_id"), col("embedding"),
       graft.functions.norm_double(col("embedding")).as("nrm"))
-    pairs
-      .join(broadcast(normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))), "id_a")
-      .join(broadcast(normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))), "id_b")
+    val na = normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val nb = normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val verified = verify match {
+      case "broadcast" =>
+        rawPairs.join(broadcast(na), "id_a").join(broadcast(nb), "id_b")
+      case "shuffle" =>
+        rawPairs.distinct().join(na, "id_a").join(nb, "id_b")
+    }
+    val out = verified
       .withColumn("cos",
         graft.functions.dot_double(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .distinct()
+    // broadcast path re-verifies duplicated candidates, so its (small)
+    // output still needs the dedup; the shuffle path deduped up front
+    (if (verify == "broadcast") out.distinct() else out)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -98,6 +98,21 @@ class PipelineSpec extends AnyFunSuite {
       val recall = lsh.intersect(exact).count().toDouble / exact.count()
       assert(recall >= 0.3, s"recall=$recall")
     }
+    // the billion-vector shuffle-verify branch returns the SAME pairs
+    // (strategy changes the physical plan, never the result)
+    val shuffled = Dedup.embeddingNearDupsLsh(emb, 0.4, bits = 4,
+      verify = "shuffle").select("id_a", "id_b")
+    assert(shuffled.exceptAll(lsh).count() == 0 &&
+      lsh.exceptAll(shuffled).count() == 0)
+  }
+
+  test("C5: auto-bits sizing uses plan statistics, not a driver-side scan") {
+    val emb = Tables(spark, sf).embeddings
+    // auto mode (bits = -1) must build a valid plan and return the
+    // same verified-exact property as explicit bits
+    val auto = Dedup.embeddingNearDupsLsh(emb, 0.4)
+    val exact = Dedup.embeddingNearDups(emb, 0.4).select("id_a", "id_b")
+    assert(auto.select("id_a", "id_b").exceptAll(exact).count() == 0)
   }
 
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {

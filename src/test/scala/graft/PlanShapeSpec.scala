@@ -70,6 +70,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("cdc compaction over a bucketed base shuffles ONLY the delta side") {
+    // CdcOps.compactSnapshot's 100 TB contract: when the base snapshot
+    // is stored bucketed on the merge key, folding a delta costs one
+    // delta-sized exchange — the (huge) base is never re-shuffled.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // match bucket count
+    try {
+      val parsed = CdcOps.parse(ChangeModel.changeLines(Tables(spark, sf).events))
+      val base = CdcOps.snapshot(parsed.filter(pmod(col("id"), lit(3)) =!= 0), col("user_id"))
+      base.write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("cdc_base_b")
+      val delta = parsed.filter(pmod(col("id"), lit(3)) === 0)
+      val merged = CdcOps.compactSnapshot(spark.table("cdc_base_b"), delta, "user_id")
+      val p = plan(merged)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected 1 exchange (delta only), got $exchanges:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(b_user_id"),
+        "base side of the merge must not shuffle:\n" + p)
+      assert(p.contains("FullOuter"), p)
+      // and the result is still the correct full-log snapshot
+      val expected = CdcOps.snapshot(parsed, col("user_id"))
+      assert(merged.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(merged).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdc_base_b")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     import graft.functions.{dot_double, rolling_hash64}
     val emb = Tables(spark, sf).embeddings

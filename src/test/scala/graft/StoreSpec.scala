@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CdcOps, ChangeModel}
+import graft.sources.Tables
+import graft.store.SnapshotStore
+
+/** The table-format seam (SnapshotStore): merge-fold correctness
+  * against the one-shot snapshot semantics (q_cdc_upsert's oracle),
+  * snapshot isolation, manifest key-range pruning, vacuum retention.
+  */
+class StoreSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "store-spec")
+
+  private def parsedLog: DataFrame =
+    CdcOps.parse(ChangeModel.changeLines(Tables(spark, sf).events))
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-store").toString
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val cols = a.columns.sorted.map(col).toSeq
+    assert(a.select(cols: _*).exceptAll(b.select(cols: _*)).count() == 0 &&
+      b.select(cols: _*).exceptAll(a.select(cols: _*)).count() == 0)
+  }
+
+  test("merge fold: read-after-N-merges equals the one-shot snapshot of the log") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id")
+    val log = parsedLog
+    // fold the log in three arbitrary chunks — compact(snapshot(A), B)
+    // == snapshot(A ∪ B) must hold for ANY split
+    (0L until 3L).foreach { i =>
+      store.merge(log.filter(pmod(col("id"), lit(3)) === i))
+    }
+    val expected = CdcOps.softDeleteSnapshot(log, col("user_id"))
+    assertSameRows(store.read().get, expected)
+    assert(store.currentVersion.contains(2L))
+  }
+
+  test("snapshot isolation: a reader resolved before a merge keeps its version") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id")
+    val log = parsedLog
+    store.merge(log.filter(col("id") < 5000))
+    val before = store.read().get // file list resolved NOW, from v0
+    val v0Rows = before.count()
+    store.merge(log.filter(col("id") >= 5000))
+    // the in-flight reader still sees v0 (its files are retained by
+    // the vacuum window); a fresh reader sees the merged table
+    assert(before.count() == v0Rows)
+    assert(store.currentVersion.contains(1L))
+    assertSameRows(before, store.readVersion(0L))
+    assertSameRows(store.read().get, CdcOps.softDeleteSnapshot(log, col("user_id")))
+  }
+
+  test("manifest key-range index prunes data files on range reads") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 8)
+    val log = parsedLog
+    store.merge(log)
+    val all = store.manifest(store.currentVersion.get)
+    assert(all.size > 1, "need multiple files for pruning to mean anything")
+    // files are range-clustered at commit, so a narrow key range must
+    // plan a strict subset of files
+    val lo = all.map(_.minKey).min
+    val planned = store.plannedFiles(lo, lo)
+    assert(planned.nonEmpty && planned.size < all.size,
+      s"planned ${planned.size} of ${all.size} files")
+    // and the pruned read returns exactly the filtered full read
+    val full = store.read().get.filter(col("user_id").between(lo, lo))
+    assertSameRows(store.readRange(lo, lo), full)
+    // an empty range reads zero rows without error
+    val none = store.readRange(Long.MaxValue - 1, Long.MaxValue)
+    assert(none.count() == 0)
+  }
+
+  test("vacuum retains only the versions in-flight readers can need") {
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "user_id", keepVersions = 2)
+    val log = parsedLog
+    (0L until 4L).foreach { i =>
+      store.merge(log.filter(pmod(col("id"), lit(4)) === i))
+    }
+    assert(store.currentVersion.contains(3L))
+    // keepVersions=2 => versions 2 and 3 readable, 0 and 1 vacuumed
+    assert(store.readVersion(3L).count() > 0)
+    assert(store.readVersion(2L).count() > 0)
+    intercept[Exception] { store.manifest(0L) }
+    intercept[Exception] { store.manifest(1L) }
+    // final content is still the full-log snapshot
+    assertSameRows(store.read().get,
+      CdcOps.softDeleteSnapshot(log, col("user_id")))
+  }
+}

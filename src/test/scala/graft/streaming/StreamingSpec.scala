@@ -46,9 +46,10 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // GC keeps at most current + previous version on disk
-    val versions = snapDir.toFile.listFiles().map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length <= 2, versions.mkString(","))
+    // the store's vacuum keeps a bounded number of versions on disk
+    val versions = snapDir.resolve("data").toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 3, versions.mkString(","))
 
     val streamed = CdcStream.readSnapshot(spark, snapDir.toString).get
       .select("user_id", "id", "op_type", "delete_state", "event_type", "value")
@@ -76,6 +77,44 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = CdcStream.start(spark, linesDir.toString + "/*/", snapDir.toString, ckpt.toString)
     q2.processAllAvailable(); q2.stop()
     assert(Files.readString(snapDir.resolve("LATEST")) == v1)
+  }
+
+  test("A13b: maxFilesPerTrigger bounds per-batch rows under an input burst") {
+    val events = Tables(spark, sf).events
+    val lines = ChangeModel.changeLines(events).select("line")
+    val linesDir = tmp("rl-lines")
+    val snapDir = tmp("rl-snap")
+    val ckpt = tmp("rl-ckpt")
+    // burst: four files are already waiting when the query starts —
+    // without rate limiting they'd form ONE giant micro-batch
+    val perFile = (0 until 4).map { i =>
+      val part = lines.filter(pmod(xxhash64(col("line")), lit(4)) === i)
+      part.coalesce(1).write.mode("overwrite").text(linesDir.resolve(s"f$i").toString)
+      part.count()
+    }
+    val listener = new RateListener
+    spark.streams.addListener(listener)
+    try {
+      val q = CdcStream.start(spark, linesDir.toString + "/*/", snapDir.toString,
+        ckpt.toString, maxFilesPerTrigger = 1)
+      q.processAllAvailable(); q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.reports.count(_.numInputRows > 0) < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val batches = listener.reports.filter(_.numInputRows > 0)
+      // the burst was consumed as >= 4 bounded batches, none larger
+      // than a single file
+      assert(batches.size >= 4, s"expected >=4 batches, got ${batches.size}")
+      assert(batches.map(_.numInputRows).max <= perFile.max,
+        s"per-batch rows ${batches.map(_.numInputRows).max} > file max ${perFile.max}")
+    } finally spark.streams.removeListener(listener)
+    // sliced consumption converges to the same snapshot as one batch
+    val streamed = CdcStream.readSnapshot(spark, snapDir.toString).get
+      .select("user_id", "id", "op_type", "delete_state")
+    val batch = CdcOps.softDeleteSnapshot(
+        CdcOps.parse(ChangeModel.changeLines(events)), col("user_id"))
+      .select("user_id", "id", "op_type", "delete_state")
+    assert(sortedRows(streamed) == sortedRows(batch))
   }
 
   test("A10: streaming windowed agg equals batch time-bucket agg") {
