@@ -83,14 +83,17 @@ object Ann {
     val dims = 64
 
     // deterministic seed pick: the nLists corpus vectors with the
-    // smallest xxhash64(vec_id). orderBy+limit plans as a distributed
+    // smallest affine hash of vec_id (exact integer math, replicable
+    // in any engine — the SQL oracle recomputes it; products stay
+    // below 2^62, ANSI-safe). orderBy+limit plans as a distributed
     // TakeOrdered (per-partition top-N + merge); the single-partition
     // row_number window then runs over only nLists rows
+    val seedOrd = pmod(col("vec_id") * lit(2654435761L), lit(1000003L))
     val seedRows = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nLists)
+      .orderBy(seedOrd, col("vec_id")).limit(nLists)
     val seeds = seedRows
       .withColumn("list_id",
-        row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+        row_number().over(Window.orderBy(seedOrd, col("vec_id"))))
       .select(col("list_id"), col("embedding").as("carr"))
 
     def assignTo(cents: DataFrame): DataFrame = {

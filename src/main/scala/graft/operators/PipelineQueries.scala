@@ -29,9 +29,12 @@ object PipelineQueries {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir).documents, minJaccard = 0.8)
 
-  /** C3: SimHash hamming<=3 pairs (no SQL oracle: wrap-around 64-bit
-    * hashing isn't expressible in DuckDB integer semantics; verified
-    * by spec against exact near-dup ground truth instead).
+  /** C3: SimHash hamming<=3 pairs. Fully oracle-checked: FNV-1a's
+    * 64-bit wraparound is replicated in DuckDB as HUGEINT arithmetic
+    * mod 2^64, the per-bit majority votes and the hamming filter in
+    * plain SQL (the pigeonhole bucketing emits exactly ALL pairs at
+    * hamming <= 3, so brute-force SQL pair generation is the same
+    * set).
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3)
@@ -40,9 +43,16 @@ object PipelineQueries {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables(spark, dir).embeddings, threshold = 0.4)
 
-  /** C5 scale path (approximate; no oracle — recall spec-measured). */
+  /** C5 scale path. bits is pinned (not auto-sized) so the oracle can
+    * replicate the exact bucket structure: the deterministic
+    * hyperplanes are inlined into the SQL as their integer hash
+    * constants and the sign-bucket join is recomputed in DuckDB —
+    * a FULL oracle for the approximate operator (recall is still
+    * spec-measured against the exhaustive twin).
+    */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupsLsh(Tables(spark, dir).embeddings, threshold = 0.4)
+    Dedup.embeddingNearDupsLsh(Tables(spark, dir).embeddings, threshold = 0.4,
+      bits = 6)
 
   /** C6 */
   def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -50,14 +60,21 @@ object PipelineQueries {
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
-  /** C7 (approximate; recall vs C6 measured in spec). */
+  /** C7 (approximate — recall vs C6 measured in spec — yet fully
+    * oracle-checked: the deterministic hyperplane buckets are
+    * replicated in SQL, so DuckDB reproduces the exact candidate
+    * sets and ranks).
+    */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 6)
   }
 
   /** C7b: IVF coarse-quantizer ANN (approximate; recall and the
-    * nprobe==nLists exactness anchor measured in spec).
+    * nprobe==nLists exactness anchor measured in spec). Fully
+    * oracle-checked: seeds, the scaled-long Lloyd step, probe
+    * selection and list scoring are all deterministic and replicated
+    * in the SQL oracle.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
@@ -150,6 +167,36 @@ object PipelineQueries {
       |       FROM embeddings),
       |nm AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM ed)""".stripMargin
 
+  /** The deterministic LSH hyperplanes as SQL list literals: component
+    * d of plane p is fnv1a("plane:p:d") interpreted as a SIGNED 64-bit
+    * value divided by Long.MaxValue — we inline the integer hash (not
+    * a printed double) so both engines perform the identical IEEE
+    * long->double conversion and division (bit-exact signs).
+    * [mirrors Ann.planeComponent]
+    */
+  private def planeSql(p: Int): String =
+    (0 until 64).map { d =>
+      val bytes = s"plane:$p:$d".getBytes("UTF-8")
+      val h = graft.functions.HashAlgos.fnv1a(bytes, 0, bytes.length)
+      s"(CAST($h AS DOUBLE) / 9223372036854775807.0)"
+    }.mkString("[", ", ", "]")
+
+  /** Sign-bucket expression over the double-cast embedding column `e`
+    * for hash table `table` with `bits` hyperplanes — the SQL twin of
+    * Ann.lshBucketTable (dot products accumulate left-to-right in
+    * double on both engines).
+    */
+  private def bucketSql(table: Int, bits: Int): String =
+    (0 until bits).map { p =>
+      s"(CASE WHEN list_sum(list_transform(list_zip(e, ${planeSql(table * 1000 + p)}), " +
+        s"s -> s[1]*s[2])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> s[1]*s[2]))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x*x)))"
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
@@ -200,6 +247,111 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // FNV-1a 64-bit with wraparound as HUGEINT arithmetic mod 2^64
+    // (text is hashed byte-wise; the corpus is ASCII so ascii() ==
+    // the UTF-8 byte), per-bit majority votes, brute-force pairs at
+    // hamming <= 3 — exactly the set the pigeonhole bucketing emits.
+    "q_dedup_simhash" ->
+      """WITH RECURSIVE bits(b, pw) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b+1, pw*2 FROM bits WHERE b < 63),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        | SELECT doc_id, list_reduce(
+        |   list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |     list_transform(range(1, length(tok)+1),
+        |       i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+        |   (h, x) -> (xor(h, x) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        | FROM toks),
+        |votes AS (
+        | SELECT doc_id, b, pw, sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        | FROM th CROSS JOIN bits GROUP BY doc_id, b, pw),
+        |sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS s
+        |        FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the exact bucket structure of the 4-table sign-LSH is
+    // recomputed in SQL (hyperplane constants inlined), candidates
+    // joined per (table, bucket), then the same exact cosine verify.
+    "q_dedup_embedding_lsh" -> {
+      val keyed = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS t, ${bucketSql(t, 6)} AS bucket FROM ed")
+        .mkString("\n UNION ALL ")
+      s"""WITH $embCte,
+         |keyed AS ($keyed),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM keyed x JOIN keyed y
+         |  ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         | SELECT id_a, id_b, ${dotSql("ea.e", "eb.e")}/(na.nrm*nb.nrm) AS cos
+         | FROM cand JOIN ed ea ON id_a = ea.vec_id JOIN ed eb ON id_b = eb.vec_id
+         |  JOIN nm na ON id_a = na.vec_id JOIN nm nb ON id_b = nb.vec_id)
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // single-table sign-LSH buckets (constants inlined), candidates
+    // ranked by the bit-identical cosine — DuckDB reproduces the
+    // exact approximate result, not just a containment check.
+    "q_ann_lsh" ->
+      s"""WITH $embCte,
+         |cb AS (SELECT vec_id, ${bucketSql(0, 6)} AS bucket FROM ed),
+         |scored AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")}/(nq.nrm*nc.nrm) AS cos
+         | FROM cb q JOIN cb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         |  JOIN ed qe ON q.vec_id = qe.vec_id JOIN ed ce ON c.vec_id = ce.vec_id
+         |  JOIN nm nq ON q.vec_id = nq.vec_id JOIN nm nc ON c.vec_id = nc.vec_id
+         | WHERE q.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the full IVF pipeline replayed in SQL: affine-hash seed pick,
+    // nearest-seed assignment, one Lloyd step in scaled-long space
+    // (exact integer sums — partial-agg order can't perturb it),
+    // reassignment, nprobe probe selection, list scoring, final rank.
+    "q_ann_ivf" -> {
+      val cent = (0 until 64).map(i =>
+        s"CAST(CAST(sum(CAST(round(e[${i + 1}]*1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
+          s" / (count(*) * 1048576.0)").mkString("[", ",\n   ", "]")
+      def simRank(corpus: String, cents: String, filter: String) =
+        s"""SELECT c.vec_id, c.e, s.list_id,
+           |   row_number() OVER (PARTITION BY c.vec_id
+           |     ORDER BY (${dotSql("c.e", "s.carr")} / (${normSql("c.e")} * ${normSql("s.carr")})) DESC,
+           |       s.list_id) AS rn
+           |  FROM $corpus c CROSS JOIN $cents s$filter""".stripMargin
+      s"""WITH $embCte,
+         |seeds0 AS (SELECT vec_id, e FROM ed
+         |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 8),
+         |seeds AS (SELECT row_number() OVER
+         |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS list_id,
+         |  e AS carr FROM seeds0),
+         |a1 AS (SELECT vec_id, e, list_id FROM (
+         | ${simRank("ed", "seeds", "")}) WHERE rn = 1),
+         |lloyd AS (SELECT list_id, $cent AS carr FROM a1 GROUP BY list_id),
+         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+         | ${simRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM (
+         | ${simRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+         |scored AS (
+         | SELECT p.query_id, a2.neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM probes p JOIN a2 USING (list_id)
+         |  JOIN ed qe ON p.query_id = qe.vec_id JOIN ed ce ON a2.neighbor_id = ce.vec_id
+         |  JOIN nm nq ON p.query_id = nq.vec_id JOIN nm nc ON a2.neighbor_id = nc.vec_id
+         | WHERE p.query_id != a2.neighbor_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_text_langid" ->
       """SELECT doc_id, lang AS lang_labeled,
