@@ -99,6 +99,84 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.shingle_hashes(split(col("text"), " "), k).as("shh"))
 
+  /** Shingle document-frequency skew: (sum df^2 / sum df) — the df of
+    * the average POSTING, i.e. how hot the list a random posting sits
+    * on is — divided by the mean df (sum df / #distinct shingles).
+    * ~1 on uniform corpora; >> 1 under a Zipfian tail, where the
+    * candidate-pair bound sum(df^2) explodes and prefix filtering
+    * starts to pay. One small stats job (two linear shuffles over
+    * 8-byte keys) — the adaptive-dispatch analogue of AQE's runtime
+    * statistics.
+    */
+  def shingleDfSkew(docs: DataFrame, k: Int = 3): Double = {
+    val df = hashedShingles(docs, k)
+      .select(explode(col("shh")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val r = df.agg(
+      coalesce(sum(col("df")), lit(0L)).as("p"),
+      coalesce(sum(col("df").cast("double") * col("df").cast("double")), lit(0.0)).as("s2"),
+      count(lit(1)).as("g")).first()
+    val (p, s2, g) = (r.getLong(0).toDouble, r.getDouble(1), r.getLong(2).toDouble)
+    if (p == 0.0) 0.0 else (s2 / p) / (p / g)
+  }
+
+  /** C4 under a Zipfian tail: PPJoin-style prefix filtering, exact.
+    * Shingles are canonically ordered rarest-first (global df, then
+    * hash); a pair with Jaccard >= t must share a shingle within each
+    * doc's first c - ceil(t*c) + 1 shingles (if all shared shingles
+    * sat in the last ceil(t*c) - 1 positions, the overlap would be
+    * < t*c <= |a ∩ b| — contradiction), so posting lists are built
+    * on prefixes only and the hot tail-end shingles never join.
+    * Costs two extra linear passes (df + rank window); wins when
+    * sum(df^2) is df-skew-dominated, loses on flat corpora — use
+    * [[ngramJaccardAdaptive]] to dispatch on the measured skew.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, minJaccard: Double,
+                              lenBand: Int = 20): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+      .withColumn("c", size(col("shh")))
+    val posting = sh.select(col("doc_id"), col("n_chars"), col("c"),
+      explode(col("shh")).as("gh"))
+    val dfTab = posting.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    val prefix = posting.join(dfTab, "gh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("c") - ceil(col("c") * lit(minJaccard)) + 1)
+      .select(col("gh"), col("doc_id"), col("n_chars"))
+    val a = prefix.select(col("gh"), col("doc_id").as("id_a"), col("n_chars").as("nc_a"))
+    val b = prefix.select(col("gh"), col("doc_id").as("id_b"), col("n_chars").as("nc_b"))
+    val cand = a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("nc_a") - col("nc_b")) <= lenBand)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = sh.select(col("doc_id"), col("shh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Skew-adaptive n-gram Jaccard: measure the shingle df skew with a
+    * small stats job, then run the plain inverted-index join (flat
+    * corpora — fewer passes wins) or the prefix-filtered join
+    * (Zipfian corpora — hot posting lists never pair). Both paths are
+    * exact; the threshold default sits well above flat-corpus skew
+    * (~1-2 measured) and well below Zipfian skew (>100 measured).
+    */
+  def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double, lenBand: Int = 20,
+                           skewThreshold: Double = 8.0): DataFrame = {
+    val pairs =
+      if (shingleDfSkew(docs) > skewThreshold)
+        ngramJaccardPairsPrefix(docs, minJaccard, lenBand)
+      else ngramJaccardPairs(docs, minJaccard, lenBand)
+    pairs.orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash signature per doc: a single codegen'd pass over the
     * hashed shingle set (MinHashSig expression) — no explode, no
     * aggregation shuffle; signatures are a pure projection. The 64

@@ -25,6 +25,16 @@ object PipelineQueries {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables(spark, dir).documents, minJaccard = 0.5, lenBand = 20)
 
+  /** C4-adaptive: same exact semantics as q_ngram_jaccard, but the
+    * plan is chosen at runtime from the measured shingle df skew
+    * (plain inverted-index join on flat corpora, PPJoin prefix
+    * filtering under a Zipfian tail). The oracle is path-independent
+    * because both paths are exact.
+    */
+  def qNgramAdaptive(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardAdaptive(Tables(spark, dir).documents, minJaccard = 0.5,
+      lenBand = 20)
+
   /** C2: MinHash-LSH candidates verified at Jaccard >= 0.8. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir).documents, minJaccard = 0.8)
@@ -139,6 +149,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
+    "q_ngram_adaptive"  -> (qNgramAdaptive _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -205,6 +216,19 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical to q_ngram_jaccard's oracle: the adaptive dispatch
+    // changes the physical plan, never the (exact) result
+    "q_ngram_adaptive" ->
       s"""WITH $triCte,
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
          |  FROM tri a JOIN tri b USING (g)

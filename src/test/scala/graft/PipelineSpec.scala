@@ -115,6 +115,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(auto.select("id_a", "id_b").exceptAll(exact).count() == 0)
   }
 
+  test("C4b: prefix-filtered Jaccard is exact; the df-skew trigger routes correctly") {
+    val flat = docs
+    val plain = Dedup.ngramJaccardPairs(flat, 0.5).orderBy(col("id_a"), col("id_b"))
+    val pref = Dedup.ngramJaccardPairsPrefix(flat, 0.5).orderBy(col("id_a"), col("id_b"))
+    assert(plain.exceptAll(pref).count() == 0 && pref.exceptAll(plain).count() == 0)
+    // the testdata corpus is near-uniform: skew sits well under the
+    // threshold, so the adaptive path uses the plain join
+    val flatSkew = Dedup.shingleDfSkew(flat)
+    assert(flatSkew < 8.0, s"flat skew=$flatSkew")
+    // a Zipfian corpus sits far above it
+    val zipf = graft.tools.Corpora.zipf(spark, nDocs = 1500, vocab = 8000, docLen = 40)
+      .cache()
+    zipf.count()
+    val zipfSkew = Dedup.shingleDfSkew(zipf)
+    assert(zipfSkew > 8.0, s"zipf skew=$zipfSkew")
+    // both paths agree on the Zipfian corpus too (planted dups => non-empty)
+    val zPlain = Dedup.ngramJaccardPairs(zipf, 0.5)
+    val zPref = Dedup.ngramJaccardPairsPrefix(zipf, 0.5)
+    assert(zPlain.count() > 0)
+    assert(zPlain.exceptAll(zPref).count() == 0 && zPref.exceptAll(zPlain).count() == 0)
+    // and the adaptive dispatcher returns the same exact pairs either way
+    val ad = Dedup.ngramJaccardAdaptive(zipf, 0.5)
+    assert(ad.exceptAll(zPlain).count() == 0 && zPlain.exceptAll(ad).count() == 0)
+    zipf.unpersist()
+  }
+
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
     import graft.functions.rolling_hash64
     val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))
