@@ -100,28 +100,35 @@ final class SnapshotStore(
     base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
-  /** Commit a full snapshot as the next version. Data files are
-    * range-clustered on the key (tight per-file key spans -> the
-    * manifest index prunes); stats are collected in one small job
-    * over the just-written files (what real formats do at write
-    * time). The pointer flip is last and atomic.
+  /** Write `df` as version `v`'s NEW data files (range-clustered on
+    * the key) and return their manifest entries. One small stats job
+    * over the just-written files collects the key-range index (what
+    * real formats do at write time).
     */
-  def commit(next: DataFrame): Long = {
-    val v = currentVersion.map(_ + 1L).getOrElse(0L)
+  private def writeDataFiles(df: DataFrame, v: Long): Seq[DataFileEntry] = {
     val dataDir = Paths.get(root, "data", s"v$v")
-    next.repartitionByRange(filesPerCommit, col(keyCol))
+    df.repartitionByRange(filesPerCommit, col(keyCol))
       .write.mode("overwrite").parquet(dataDir.toString)
-    val entries = spark.read.parquet(dataDir.toString)
+    spark.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"),
         min(col(keyCol)).cast("long").as("mn"),
         max(col(keyCol)).cast("long").as("mx"))
       .collect()
       .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_.minKey)
+      .toSeq
+  }
+
+  /** Publish a manifest (new + carried-over entries) as version `v`
+    * and flip the pointer — data files first, manifest second,
+    * pointer last and atomic, so a crash leaves the previous version
+    * intact.
+    */
+  private def publish(v: Long, entries: Seq[DataFileEntry]): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
     val body = (s"# graft-manifest v1 key=$keyCol" +:
-      entries.map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}"))
+      entries.sortBy(e => (e.minKey, e.path))
+        .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}"))
       .mkString("\n")
     val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
     Files.writeString(tmpM, body)
@@ -135,45 +142,73 @@ final class SnapshotStore(
     v
   }
 
-  /** The Kudu-role MERGE: fold a batch of parsed CDC change rows into
-    * the stored snapshot via the incremental compaction fold
-    * (compact(snapshot(A), B) == snapshot(A ∪ B) for any log split)
-    * and commit the result. Soft-delete decoration is recomputed
-    * after every fold (delete_state derives from op_type; D rows'
-    * payloads are nulled) [ref: KuduManager.scala:72-114].
+  /** Commit a full snapshot as the next version (every file
+    * rewritten). The streaming sink uses [[merge]] instead, which
+    * rewrites only delta-affected files.
     */
-  def merge(deltas: DataFrame): Long = {
-    val next = read() match {
-      case Some(base) =>
-        CdcOps.decorateSoftDelete(
-          CdcOps.compactSnapshot(base.drop("delete_state"), deltas, keyCol))
-      case None =>
-        CdcOps.softDeleteSnapshot(deltas, col(keyCol))
-    }
-    commit(next)
+  def commit(next: DataFrame): Long = {
+    val v = currentVersion.map(_ + 1L).getOrElse(0L)
+    publish(v, writeDataFiles(next, v))
   }
 
-  /** Drop data + manifests older than the retention window. Current
-    * and previous `keepVersions` versions stay so in-flight
-    * snapshot-isolated readers finish safely — the table format's
-    * vacuum.
+  /** The Kudu-role MERGE, file-level copy-on-write: fold a batch of
+    * parsed CDC change rows into the stored snapshot via the
+    * incremental compaction fold (compact(snapshot(A), B) ==
+    * snapshot(A ∪ B) for any log split). Only data files whose key
+    * range intersects a delta key are read, merged and rewritten;
+    * every other file CARRIES OVER into the new manifest by
+    * reference — merge cost scales with the delta's key locality,
+    * never with table size (the reference achieves the same
+    * incrementality via per-record Kudu upserts
+    * [ref: KuduManager.scala:72-114]). Soft-delete decoration is
+    * recomputed for merged rows (delete_state derives from op_type;
+    * D rows' payloads are nulled) [ref: KuduManager.scala:74-80].
+    */
+  def merge(deltas: DataFrame): Long = {
+    // NOTE: `deltas` is evaluated twice (key-set collection, then the
+    // fold) — callers with an expensive delta lineage should persist
+    // it first (the streaming sink does).
+    currentVersion match {
+      case None =>
+        commit(CdcOps.softDeleteSnapshot(deltas, col(keyCol)))
+      case Some(cur) =>
+        val v = cur + 1L
+        val all = manifest(cur)
+        // the delta's distinct keys are delta-sized (tiny vs the
+        // table): collect their per-range hit set against the
+        // manifest index. At a billion files this join would itself
+        // be distributed; the manifest is driver-resident here.
+        val deltaKeys = deltas.select(col(keyCol).cast("long").as("k"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        def hit(f: DataFileEntry): Boolean = {
+          // binary search: any delta key within [minKey, maxKey]?
+          val i = java.util.Arrays.binarySearch(deltaKeys, f.minKey)
+          val from = if (i >= 0) i else -i - 1
+          from < deltaKeys.length && deltaKeys(from) <= f.maxKey
+        }
+        val (affected, carried) = all.partition(hit)
+        val baseAffected =
+          if (affected.isEmpty) {
+            // no file covers any delta key (all-new keys): merge the
+            // delta against an empty keyed base of the stored schema
+            readVersion(cur).limit(0)
+          } else spark.read.parquet(affected.map(_.path): _*)
+        val merged = CdcOps.decorateSoftDelete(
+          CdcOps.compactSnapshot(baseAffected.drop("delete_state"), deltas, keyCol))
+        publish(v, writeDataFiles(merged, v) ++ carried)
+    }
+  }
+
+  /** Reference-counting vacuum: drop manifests older than the
+    * retention window, then delete any data file no retained
+    * manifest references (files are shared across versions by the
+    * copy-on-write merge, so version-directory deletion would break
+    * carried-over references). Current + `keepVersions` prior
+    * versions stay readable so in-flight snapshot-isolated readers
+    * finish safely.
     */
   private def vacuum(current: Long): Unit = {
     val cutoff = current - keepVersions
-    val dataRoot = Paths.get(root, "data")
-    if (Files.exists(dataRoot)) {
-      val listing = Files.list(dataRoot)
-      try listing.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
-            name.drop(1).toLong <= cutoff) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        }
-      } finally listing.close()
-    }
     val mlisting = Files.list(manifestDir)
     try mlisting.forEach { p =>
       val name = p.getFileName.toString
@@ -182,5 +217,64 @@ final class SnapshotStore(
           name.stripPrefix("m").stripSuffix(".tsv").toLong <= cutoff)
         Files.deleteIfExists(p)
     } finally mlisting.close()
+    // union of paths still referenced by any retained manifest
+    val retained: Set[String] = {
+      val ml = Files.list(manifestDir)
+      try {
+        val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ml.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("m") && name.endsWith(".tsv") &&
+              name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit))
+            versions += name.stripPrefix("m").stripSuffix(".tsv").toLong
+        }
+        versions.flatMap(manifest(_).map(e => normalizePath(e.path))).toSet
+      } finally ml.close()
+    }
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      // pass 1: delete unreferenced parquet files (+ checksum
+      // siblings). Materialize the listing BEFORE deleting — a lazy
+      // walk throws NoSuchFileException when entries vanish under it.
+      val files = {
+        val walk = Files.walk(dataRoot)
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          walk.forEach(p => buf += p)
+          buf.toSeq
+        } finally walk.close()
+      }
+      files.foreach { f =>
+        val name = f.getFileName.toString
+        if (name.endsWith(".parquet") && Files.isRegularFile(f) &&
+            !retained(normalizePath(f.toUri.toString))) {
+          Files.deleteIfExists(f)
+          Files.deleteIfExists(f.resolveSibling(s".$name.crc"))
+        }
+      }
+      // pass 2: a version dir with no parquet left holds only write
+      // markers — remove it entirely
+      val dirs = Files.list(dataRoot)
+      try dirs.forEach { d =>
+        if (Files.isDirectory(d)) {
+          val ls = Files.list(d)
+          val hasParquet =
+            try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+            finally ls.close()
+          if (!hasParquet) {
+            val w = Files.walk(d)
+            try w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally w.close()
+          }
+        }
+      } finally dirs.close()
+    }
   }
+
+  /** input_file_name() and Path.toUri render the same file as
+    * file:/... vs file:///... — normalize for set membership.
+    */
+  private def normalizePath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
 }

@@ -60,7 +60,12 @@ object CdcStream {
         // deletes survive because the D record itself stays in the
         // snapshot [ref: KuduManager.scala:74-80].
         val store = new SnapshotStore(batch.sparkSession, snapshotDir, snapshotKey)
-        store.merge(CdcOps.parse(batch))
+        // persist: the copy-on-write merge evaluates the delta twice
+        // (key-set for file pruning, then the fold) — without a cache
+        // the source micro-batch would be re-scanned per pass
+        val parsed = CdcOps.parse(batch).persist()
+        try store.merge(parsed)
+        finally parsed.unpersist()
         ()
       }
       .start()

@@ -77,6 +77,39 @@ class StoreSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("copy-on-write merge rewrites only delta-affected files") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 8)
+    val log = parsedLog
+    store.merge(log)
+    val v0 = store.manifest(0L)
+    assert(v0.size > 1)
+    // a delta touching ONE existing key: exactly the files covering
+    // that key get rewritten, everything else carries over by path
+    val oneKey = log.orderBy(col("user_id")).limit(1)
+      .select(col("user_id")).head.getLong(0)
+    val delta = log.filter(col("user_id") === oneKey)
+      .withColumn("current_ts", lit("2099-01-01 00:00:00.000000"))
+      .limit(1)
+    store.merge(delta)
+    val v1 = store.manifest(1L)
+    val carried = v1.map(_.path).toSet.intersect(v0.map(_.path).toSet)
+    val coveringV0 = v0.count(f => f.minKey <= oneKey && oneKey <= f.maxKey)
+    assert(carried.size == v0.size - coveringV0,
+      s"carried ${carried.size} of ${v0.size} (covering=$coveringV0)")
+    assert(carried.nonEmpty, "a localized delta must not rewrite the whole table")
+    // and the merged table still equals the one-shot snapshot
+    val expected = CdcOps.softDeleteSnapshot(log.unionByName(delta), col("user_id"))
+    assertSameRows(store.read().get, expected)
+    // an all-new-key delta carries over EVERY old file
+    val newKeys = log.limit(5).withColumn("user_id", col("user_id") + 1000000L)
+    store.merge(newKeys)
+    val v2 = store.manifest(2L)
+    assert(v1.map(_.path).toSet.subsetOf(v2.map(_.path).toSet),
+      "new-key merge must not rewrite any existing file")
+    assertSameRows(store.read().get,
+      CdcOps.softDeleteSnapshot(log.unionByName(delta).unionByName(newKeys), col("user_id")))
+  }
+
   test("vacuum retains only the versions in-flight readers can need") {
     val root = newRoot()
     val store = new SnapshotStore(spark, root, "user_id", keepVersions = 2)
