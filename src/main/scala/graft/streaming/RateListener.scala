@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -18,16 +20,35 @@ object RateListener {
                              numInputRows: Long, rowsPerSecond: Double)
 }
 
-final class RateListener extends StreamingQueryListener {
+/** @param logDir optional sync-log sink: every batch line is also
+  *   appended to `<logDir>/sync-<yyyyMMdd>.log` — the reference's
+  *   local-FS/HDFS batch log with daily rotation
+  *   [ref: LoggerManager.scala:62-100]. On a cluster the same path
+  *   points at HDFS-backed storage; the listener runs on the driver
+  *   either way, exactly like the reference's logger.
+  */
+final class RateListener(logDir: Option[String] = None) extends StreamingQueryListener {
   import RateListener.BatchRate
+
+  def this() = this(None)
 
   private val batches = ArrayBuffer.empty[BatchRate]
 
   def reports: Seq[BatchRate] = batches.synchronized(batches.toSeq)
 
   /** The reference's log line, reconstructed per batch. */
-  def formatted: Seq[String] = reports.map { b =>
+  def formatted: Seq[String] = reports.map(line)
+
+  private def line(b: BatchRate): String =
     f"[ graft ] batch=${b.batchId} time=${b.timestamp} total=${b.numInputRows} rate=${b.rowsPerSecond}%.4f rec/s"
+
+  /** Today's sync-log file under `logDir` (daily rotation like the
+    * reference's dated log names).
+    */
+  def logFile: Option[Path] = logDir.map { d =>
+    val day = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    Paths.get(d, s"sync-$day.log")
   }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
@@ -36,8 +57,12 @@ final class RateListener extends StreamingQueryListener {
     val p = event.progress
     if (p.numInputRows > 0) {
       val rate = Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0)
-      batches.synchronized {
-        batches += BatchRate(p.batchId, p.timestamp, p.numInputRows, rate)
+      val b = BatchRate(p.batchId, p.timestamp, p.numInputRows, rate)
+      batches.synchronized { batches += b }
+      logFile.foreach { f =>
+        Files.createDirectories(f.getParent)
+        Files.writeString(f, line(b) + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
     }
   }

@@ -236,6 +236,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.exact(emptyDocs).count() == 0)
   }
 
+  test("A12b: sync-log sink appends the batch log lines to a dated file") {
+    import scala.jdk.CollectionConverters._
+    val events = Tables(spark, sf).events
+    val evDir = tmp("slog-in")
+    events.limit(150).write.mode("overwrite").parquet(evDir.resolve("p").toString)
+    val logDir = tmp("slog-out")
+    val listener = new RateListener(logDir = Some(logDir.toString))
+    spark.streams.addListener(listener)
+    try {
+      val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+      val q = streamIn.groupBy(col("event_type")).count()
+        .writeStream.outputMode("complete").format("memory").queryName("slog_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.reports.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val f = listener.logFile.get
+      assert(Files.exists(f), s"missing $f")
+      val lines = Files.readAllLines(f).asScala
+      assert(lines.nonEmpty)
+      assert(lines.forall(_.matches(
+        """\[ graft \] batch=\d+ time=\S+ total=\d+ rate=\d+\.\d{4} rec/s""")),
+        lines.mkString("\n"))
+      // the logged totals are the listener's reports verbatim
+      assert(lines.map(_.split("total=")(1).split(" ")(0).toLong).sum ==
+        listener.reports.map(_.numInputRows).sum)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("A12: rate listener reports per-batch totals like LoggerManager") {
     val events = Tables(spark, sf).events
     val evDir = tmp("rate-in")
