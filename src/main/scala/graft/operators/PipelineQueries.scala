@@ -62,7 +62,7 @@ object PipelineQueries {
     */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables(spark, dir).embeddings, threshold = 0.4,
-      bits = 6)
+      bits = 8)
 
   /** C6 */
   def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -303,7 +303,7 @@ object PipelineQueries {
     // joined per (table, bucket), then the same exact cosine verify.
     "q_dedup_embedding_lsh" -> {
       val keyed = (0 until 4).map(t =>
-        s"SELECT vec_id, $t AS t, ${bucketSql(t, 6)} AS bucket FROM ed")
+        s"SELECT vec_id, $t AS t, ${bucketSql(t, 8)} AS bucket FROM ed")
         .mkString("\n UNION ALL ")
       s"""WITH $embCte,
          |keyed AS ($keyed),
