@@ -77,6 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case d: java.lang.Double => d
           case other => other.toString.toDouble
         }).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("tdigest_quantile"),
+      info("tdigest_quantile",
+        "tdigest_quantile(col, q) - mergeable t-digest quantile (tail-accurate)"),
+      (exprs: Seq[Expression]) => graft.functions.TDigestQuantile(exprs.head,
+        exprs(1).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case d: java.lang.Double => d
+          case other => other.toString.toDouble
+        }).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

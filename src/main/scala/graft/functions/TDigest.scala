@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
+  * Quantiles Using t-Digests", 2019 — public algorithm): centroids
+  * sized by the k1 scale function k(q) = (delta/2pi)·asin(2q-1), so
+  * cluster capacity shrinks toward the tails — rank error is
+  * O(q(1-q)/delta), much tighter at p99/p1 than the uniform-capacity
+  * compactor sketch (QuantileSketch.scala). Fully deterministic
+  * given an input order (greedy left-to-right merge pass, no coin
+  * flips); like every mergeable summary its exact state depends on
+  * merge order, so accuracy assertions must hold under ANY
+  * partitioning.
+  */
+final class TDigestBuffer(val compression: Double) {
+  private val capacity = math.max(32, (4 * compression).toInt)
+  var means: Array[Double] = new Array[Double](capacity + 1)
+  var weights: Array[Long] = new Array[Long](capacity + 1)
+  var size: Int = 0
+  var total: Long = 0L
+
+  def add(x: Double, w: Long = 1L): Unit = {
+    means(size) = x; weights(size) = w; size += 1; total += w
+    if (size > capacity) compress()
+  }
+
+  /** One merge pass: sort by mean (ties by weight for determinism),
+    * then greedily coalesce adjacent clusters while the merged
+    * cluster stays within the k1 scale budget (k(q_right) - k(q_left)
+    * <= 1).
+    */
+  def compress(): Unit = {
+    if (size <= 1) return
+    val idx = (0 until size).sortBy(i => (means(i), weights(i)))
+    val nm = new Array[Double](capacity + 1)
+    val nw = new Array[Long](capacity + 1)
+    var out = 0
+    var accMean = means(idx(0))
+    var accW = weights(idx(0))
+    var cumLeft = 0L // total weight emitted before the current cluster
+    var i = 1
+    while (i < size) {
+      val (m, w) = (means(idx(i)), weights(idx(i)))
+      val qLeft = cumLeft.toDouble / total
+      val qRight = (cumLeft + accW + w).toDouble / total
+      if (kScale(qRight) - kScale(qLeft) <= 1.0) {
+        // weighted mean update (numerically stable incremental form)
+        accMean += (m - accMean) * w / (accW + w)
+        accW += w
+      } else {
+        nm(out) = accMean; nw(out) = accW; out += 1
+        cumLeft += accW
+        accMean = m; accW = w
+      }
+      i += 1
+    }
+    nm(out) = accMean; nw(out) = accW; out += 1
+    means = nm; weights = nw; size = out
+  }
+
+  private def kScale(q: Double): Double = {
+    val clamped = math.min(1.0, math.max(0.0, q))
+    compression / (2 * math.Pi) * math.asin(2 * clamped - 1)
+  }
+
+  def mergeIn(o: TDigestBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.means(i), o.weights(i)); i += 1 }
+  }
+
+  /** Quantile estimate: centroids sorted by mean, each treated as
+    * centered mass; linear interpolation between adjacent centroid
+    * means (the standard t-digest readout).
+    */
+  def quantile(q: Double): Double = {
+    if (size == 0) return Double.NaN
+    compress()
+    val idx = (0 until size).sortBy(i => means(i))
+    if (size == 1) return means(idx(0))
+    val target = q * total
+    var cum = 0.0
+    var i = 0
+    while (i < size) {
+      val w = weights(idx(i)).toDouble
+      val center = cum + w / 2
+      if (target < center) {
+        if (i == 0) return means(idx(0))
+        val prevCenter = cum - weights(idx(i - 1)).toDouble / 2
+        val frac = (target - prevCenter) / (center - prevCenter)
+        return means(idx(i - 1)) + frac * (means(idx(i)) - means(idx(i - 1)))
+      }
+      cum += w
+      i += 1
+    }
+    means(idx(size - 1))
+  }
+}
+
+/** B21c: t-digest quantile as a TypedImperativeAggregate — the
+  * tail-accurate member of the sketch tier (fixed memory per group,
+  * map-side partials, mergeable).
+  */
+case class TDigestQuantile(
+    child: Expression,
+    q: Double,
+    compression: Double = 100.0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] {
+  require(q > 0.0 && q < 1.0, "quantile q must be in (0, 1)")
+  require(compression >= 20.0, "compression must be >= 20")
+
+  override def children: Seq[Expression] = Seq(child)
+  // all-null group => empty digest => SQL NULL (matches exact percentile)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(compression)
+
+  override def update(b: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => other.toString.toDouble
+    })
+    b
+  }
+
+  override def merge(b: TDigestBuffer, o: TDigestBuffer): TDigestBuffer = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: TDigestBuffer): Any =
+    if (b.size == 0) null else b.quantile(q)
+
+  override def serialize(b: TDigestBuffer): Array[Byte] = {
+    b.compress()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeDouble(b.compression); out.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      out.writeDouble(b.means(i)); out.writeLong(b.weights(i)); i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new TDigestBuffer(in.readDouble())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.add(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestQuantile =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestQuantile =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TDigestQuantile = copy(child = cs.head)
+}

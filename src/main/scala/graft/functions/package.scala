@@ -52,6 +52,13 @@ package object functions {
   def approx_quantile(c: Column, q: Double, capacity: Int = 2048): Column =
     toCol(ApproxQuantile(toExpr(c), q, capacity).toAggregateExpression())
 
+  /** Mergeable t-digest quantile (TypedImperativeAggregate): k1-scale
+    * centroid sizing concentrates resolution at the tails — rank
+    * error O(q(1-q)/compression), the sketch to reach for at p99.
+    */
+  def tdigest_quantile(c: Column, q: Double, compression: Double = 100.0): Column =
+    toCol(TDigestQuantile(toExpr(c), q, compression).toAggregateExpression())
+
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).
     */

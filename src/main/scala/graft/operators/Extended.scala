@@ -252,6 +252,27 @@ object Extended {
         (col("est") >= col("p45") && col("est") <= col("p55")).as("sketch_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** B21c: t-digest quantiles — same accuracy-gate shape as
+    * q_quantile_sketch, but ALSO gated at the p95 tail, where the k1
+    * scale function's shrinking clusters are the whole point (the
+    * uniform-capacity compactor can't honor a +/-1pp band there with
+    * the same memory).
+    */
+  def qQuantileTdigest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
+        percentile(col("l_extendedprice"), lit(0.94)).as("p94"),
+        percentile(col("l_extendedprice"), lit(0.96)).as("p96"),
+        graft.functions.tdigest_quantile(col("l_extendedprice"), 0.5).as("est50"),
+        graft.functions.tdigest_quantile(col("l_extendedprice"), 0.95).as("est95"))
+      .select(col("l_returnflag"), col("p50"),
+        (col("est50") >= col("p45") && col("est50") <= col("p55")).as("mid_ok"),
+        (col("est95") >= col("p94") && col("est95") <= col("p96")).as("tail_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Ranking window functions: rank/dense_rank/percent_rank/ntile
     * over order prices per customer segment.
     */
@@ -308,6 +329,7 @@ object Extended {
     "q_percentile"   -> (qPercentile _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_quantile_tdigest" -> (qQuantileTdigest _),
     "q_range_window" -> (qRangeWindow _),
     "q_unpivot"      -> (qUnpivot _),
     "q_set_ops_all"  -> (qSetOpsAll _),
@@ -329,6 +351,13 @@ object Extended {
     // `true` asserts the sketch p50 is inside the exact [p45, p55]
     "q_quantile_sketch" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, true AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // `true` x2 asserts the t-digest p50/p95 land inside the exact
+    // [p45,p55] / [p94,p96] bands under the driver's partitioning
+    "q_quantile_tdigest" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        | true AS mid_ok, true AS tail_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_rank_funcs" ->

@@ -71,6 +71,19 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(med >= lo && med <= hi, s"sketch median $med outside [$lo, $hi]")
   }
 
+  test("tdigest_quantile from SQL: mid and tail estimates inside exact bands") {
+    val r = spark.sql(
+      """SELECT tdigest_quantile(n_chars * 1.0, 0.5) AS m,
+        |  tdigest_quantile(n_chars * 1.0, 0.95) AS t,
+        |  percentile(n_chars, 0.45) AS lo, percentile(n_chars, 0.55) AS hi,
+        |  percentile(n_chars, 0.93) AS tlo, percentile(n_chars, 0.97) AS thi
+        |FROM docs""".stripMargin).head
+    assert(r.getDouble(0) >= r.getDouble(2) && r.getDouble(0) <= r.getDouble(3),
+      s"median ${r.getDouble(0)} outside [${r.getDouble(2)}, ${r.getDouble(3)}]")
+    assert(r.getDouble(1) >= r.getDouble(4) && r.getDouble(1) <= r.getDouble(5),
+      s"p95 ${r.getDouble(1)} outside [${r.getDouble(4)}, ${r.getDouble(5)}]")
+  }
+
   test("SQL arg handling: BIGINT literals accepted, column args rejected cleanly") {
     // BIGINT literal (java.lang.Long at eval time) must not ClassCastException
     val n = spark.sql(

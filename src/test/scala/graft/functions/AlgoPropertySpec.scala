@@ -132,10 +132,15 @@ class AlgoPropertySpec extends AnyFunSuite {
       val bs = BigInt(x).toByteArray
       HashAlgos.fnv1a(bs, 0, bs.length)
     }
+    // floor at 50: below that a single legal (register, rho)
+    // collision exceeds ANY relative bound (observed: n=2 with one
+    // collision -> est 1.0, a 50% "error" that is correct HLL
+    // behavior). forAllNoShrink because the shrinker ignores the
+    // generator floor and reintroduces tiny sets.
     val longSet: Gen[Set[Long]] =
-      Gen.chooseNum(1, 5000).flatMap(n =>
+      Gen.chooseNum(50, 5000).flatMap(n =>
         Gen.containerOfN[Set, Long](n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
-    check(Prop.forAll(longSet, longSet) { (a, b) =>
+    check(Prop.forAllNoShrink(longSet, longSet) { (a, b) =>
       def sketch(s: Set[Long]): HllBuffer = {
         val h = new HllBuffer(12)
         s.foreach(x => h.add(mix(x)))
@@ -189,6 +194,52 @@ class AlgoPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("t-digest: rank error bounded at mid and tail under arbitrary merges") {
+    val input = Gen.chooseNum(200, 800).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    // forAllNoShrink: the default shrinker ignores the generator's
+    // size floor and hands back 1-element lists where a 5% rank
+    // bound is meaningless
+    val p = Prop.forAllNoShrink(input, Gen.chooseNum(1, 8)) { (xs, parts) =>
+      val sorted = xs.sorted
+      // tie-aware rank error: a value v occupies the rank interval
+      // [count(< v), count(<= v)] / n; the error of estimating
+      // quantile q with v is the distance from q to that interval
+      // (zero when ties make any rank in it correct)
+      def rankErr(v: Double, q: Double): Double = {
+        val lo = sorted.count(_ < v).toDouble / xs.size
+        val hi = sorted.count(_ <= v).toDouble / xs.size
+        if (q >= lo && q <= hi) 0.0 else math.min(math.abs(q - lo), math.abs(q - hi))
+      }
+      // partition the stream arbitrarily, digest each part, merge —
+      // the accuracy contract must hold for ANY partitioning
+      val digests = xs.grouped(math.max(1, xs.size / parts)).map { chunk =>
+        val d = new TDigestBuffer(100.0)
+        chunk.foreach(d.add(_))
+        d
+      }.toList
+      val merged = digests.head
+      digests.tail.foreach(merged.mergeIn)
+      Seq(0.5, 0.95, 0.99).foreach { q =>
+        val err = rankErr(merged.quantile(q), q)
+        assert(err <= 0.05, s"q=$q rank err $err")
+      }
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("t-digest: tail clusters are smaller than mid clusters (k1 scale)") {
+    val d = new TDigestBuffer(50.0)
+    (1 to 20000).foreach(i => d.add(i.toDouble))
+    d.compress()
+    val byMean = (0 until d.size).sortBy(i => d.means(i)).map(i => d.weights(i))
+    val edge = (byMean.take(3) ++ byMean.takeRight(3)).max
+    val mid = byMean(byMean.size / 2)
+    assert(edge < mid, s"edge max $edge !< mid $mid — k1 sizing broken")
+  }
+
   test("sketch serialization round-trips preserve state (shuffle-path safety)") {
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(-1e5, 1e5)),
         Gen.chooseNum(0L, 100000L)) { (xs, seed) =>
@@ -208,6 +259,15 @@ class AlgoPropertySpec extends AnyFunSuite {
       if (xs.nonEmpty)
         Seq(0.1, 0.5, 0.9).foreach(p =>
           assert(q.quantile(p) == q2.quantile(p), s"quantile $p diverged"))
+      // t-digest: round-trip preserves every centroid and therefore
+      // every quantile answer
+      val t = new TDigestBuffer(50.0)
+      xs.foreach(t.add(_))
+      val tAgg = TDigestQuantile(null, 0.5, 50.0)
+      val t2 = tAgg.deserialize(tAgg.serialize(t))
+      if (xs.nonEmpty)
+        Seq(0.1, 0.5, 0.9).foreach(p =>
+          assert(t.quantile(p) == t2.quantile(p), s"tdigest quantile $p diverged"))
       true
     })
   }
