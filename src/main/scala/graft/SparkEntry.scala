@@ -43,6 +43,7 @@ object SparkEntry {
     "q_asof_forward"   -> (Relational.qAsofForward _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_sessionize"     -> (Relational.qSessionize _),
+    "q_session_window" -> (Relational.qSessionWindow _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -197,5 +198,27 @@ object SparkEntry {
         |  FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // native session_window semantics: >= gap starts a new session,
+    // end = last event + gap
+    "q_session_window" ->
+      """SELECT user_id,
+        | strftime(min(tsx), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(tsx) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | count(*) AS n_events
+        |FROM (
+        | SELECT user_id, event_id, tsx,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM (
+        |  SELECT user_id, event_id, cast(ts as timestamp) AS tsx,
+        |   CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER
+        |          (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) IS NULL
+        |     OR epoch_us(cast(ts as timestamp)) - lag(epoch_us(cast(ts as timestamp))) OVER
+        |          (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) >= 3600000000
+        |   THEN 1 ELSE 0 END AS new_sess
+        |  FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -307,6 +307,24 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B13b: gap sessionization via the NATIVE `session_window` operator
+    * — the Spark-idiomatic form (one aggregation, merging session
+    * state inside the operator; also valid under `groupBy` in a
+    * stream). Boundary semantics differ from the lag/cumsum form:
+    * an event exactly `gap` after its predecessor starts a NEW
+    * session (extension requires ts < session end), and the window
+    * end is last-event + gap — the oracle encodes both.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
