@@ -199,6 +199,37 @@ final class SnapshotStore(
     }
   }
 
+  /** Committed versions still readable (oldest first) — time travel
+    * surface: `readVersion(v)` on any of these is snapshot-isolated.
+    */
+  def versions(): Seq[Long] = {
+    val ml = Files.list(manifestDir)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ml.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("m") && name.endsWith(".tsv") &&
+            name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit))
+          buf += name.stripPrefix("m").stripSuffix(".tsv").toLong
+      }
+      buf.sorted.toSeq
+    } finally ml.close()
+  }
+
+  /** Table maintenance (the OPTIMIZE/compact command of a table
+    * format): the copy-on-write merge accretes one file set per
+    * delta, so long-running ingest fragments the table; this rewrites
+    * the CURRENT snapshot into `filesPerCommit` freshly
+    * range-clustered files as a new version. Readers of prior
+    * versions are unaffected (snapshot isolation); the rewrite cost
+    * is one full pass, paid when the operator chooses, not per merge.
+    */
+  def optimize(): Long = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version in $root"))
+    commit(readVersion(v))
+  }
+
   /** Reference-counting vacuum: drop manifests older than the
     * retention window, then delete any data file no retained
     * manifest references (files are shared across versions by the

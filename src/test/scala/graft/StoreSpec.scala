@@ -110,6 +110,34 @@ class StoreSpec extends AnyFunSuite {
       CdcOps.softDeleteSnapshot(log.unionByName(delta).unionByName(newKeys), col("user_id")))
   }
 
+  test("optimize rewrites the fragmented table into the target file count") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 4)
+    val log = parsedLog
+    // fragment: a base merge, then three new-key deltas — each
+    // carries every existing file and ADDS its own file set (the
+    // copy-on-write accretion pattern of a long-running ingest)
+    store.merge(log)
+    (1L to 3L).foreach { i =>
+      store.merge(log.limit(40).withColumn("user_id",
+        col("user_id") + lit(1000000L * i)))
+    }
+    val fragmented = store.manifest(store.currentVersion.get)
+    assert(fragmented.size > 4, s"expected fragmentation, got ${fragmented.size} files")
+    val before = store.read().get.collect().map(_.toString).sorted.toSeq
+    store.optimize()
+    val compacted = store.manifest(store.currentVersion.get)
+    assert(compacted.size <= 4, s"optimize left ${compacted.size} files")
+    // content identical, ranges re-clustered (disjoint after optimize)
+    assert(store.read().get.collect().map(_.toString).sorted.toSeq == before)
+    val sorted = compacted.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey <= b.minKey, s"overlap: $a / $b")
+      case _ =>
+    }
+    // and versions() exposes the retained time-travel surface
+    assert(store.versions().max == store.currentVersion.get)
+  }
+
   test("vacuum retains only the versions in-flight readers can need") {
     val root = newRoot()
     val store = new SnapshotStore(spark, root, "user_id", keepVersions = 2)

@@ -160,6 +160,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("A11b: native session_window aggregation — stream equals batch") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("sw-in")
+    events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+    val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+    val agg = streamIn
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sw_out")
+    val want = graft.operators.Relational.qSessionWindow(spark, sf)
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
   test("A11: streaming sessionization emits exactly the closed sessions") {
     import spark.implicits._
     val events = Tables(spark, sf).events
