@@ -41,6 +41,7 @@ object SparkEntry {
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_outer_join"     -> (Relational.qOuterJoin _),
     "q_asof_forward"   -> (Relational.qAsofForward _),
+    "q_asof_nearest"   -> (Relational.qAsofNearest _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
@@ -154,6 +155,23 @@ object SparkEntry {
         | (SELECT arg_min(c.event_id, strftime(cast(c.ts as timestamp), '%Y%m%d%H%M%S%f')
         |                             || lpad(cast(c.event_id as varchar), 12, '0')) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND cast(c.ts as timestamp) >= cast(p.ts as timestamp)) AS click_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    // nearest in either direction: arg_min over a composite key —
+    // abs µs distance, then direction (earlier wins ties), then the
+    // per-direction id rule (backward: greatest id, encoded inverted;
+    // forward: smallest id)
+    "q_asof_nearest" ->
+      """SELECT p.event_id, p.user_id,
+        | (SELECT arg_min(c.event_id,
+        |    lpad(cast(abs(epoch_us(cast(c.ts as timestamp)) - epoch_us(cast(p.ts as timestamp))) as varchar), 16, '0')
+        |    || CASE WHEN cast(c.ts as timestamp) <= cast(p.ts as timestamp) THEN '0' ELSE '1' END
+        |    || CASE WHEN cast(c.ts as timestamp) <= cast(p.ts as timestamp)
+        |         THEN lpad(cast(999999999999 - c.event_id as varchar), 12, '0')
+        |         ELSE lpad(cast(c.event_id as varchar), 12, '0') END)
+        |  FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click') AS click_id
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,

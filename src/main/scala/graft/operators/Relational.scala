@@ -235,6 +235,47 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B10c: NEAREST as-of join — the closest click in EITHER direction
+    * (min |Δts|; ties prefer the earlier side, then the backward
+    * rule's greatest click id / forward rule's smallest). Composed
+    * from the backward and forward passes over ONE user_id exchange
+    * (two sorts share the shuffle), carrying the matched click's ts
+    * through the window so the final pick is a pure projection.
+    */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null: String).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null: String).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"))
+    val u = clicks.unionAll(purchases)
+      .withColumn("cinfo", when(col("click_id").isNotNull,
+        struct(col("ts").as("cts"), col("click_id").as("cid"))))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("purchase_id").asc_nulls_first,
+        col("click_id").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("b", last(col("cinfo"), ignoreNulls = true).over(wb))
+      .withColumn("f", last(col("cinfo"), ignoreNulls = true).over(wf))
+      .filter(col("purchase_id").isNotNull)
+      .withColumn("bd", abs(unix_micros(col("ts")) - unix_micros(col("b.cts"))))
+      .withColumn("fd", abs(unix_micros(col("f.cts")) - unix_micros(col("ts"))))
+      .withColumn("click_id",
+        when(col("b").isNull, col("f.cid"))
+          .when(col("f").isNull, col("b.cid"))
+          .when(col("bd") <= col("fd"), col("b.cid"))
+          .otherwise(col("f.cid")))
+      .select(col("purchase_id").as("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** B10 (custom-operator tier): the same as-of semantics through the
     * full Catalyst extension path — AsOfJoinPlan logical node,
     * AsOfStrategy, and a sort-merge AsOfJoinExec (one exchange + sort

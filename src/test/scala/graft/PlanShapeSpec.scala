@@ -43,6 +43,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("nearest as-of: both direction windows share ONE user_id exchange") {
+    val p = plan(Relational.qAsofNearest(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cdc snapshot: single hash exchange on the upsert key") {
     val parsed = CdcOps.parse(ChangeModel.changeLines(Tables(spark, sf).events))
     val p = plan(CdcOps.snapshot(parsed, col("user_id")))
