@@ -120,6 +120,29 @@ object Dedup {
     if (p == 0.0) 0.0 else (s2 / p) / (p / g)
   }
 
+  /** C4c: shingle CONTAINMENT pairs — |A ∩ B| / |A| >= t, the
+    * asymmetric cousin of Jaccard: catches a document EMBEDDED in a
+    * larger one (quotes, concatenations, page wrappers), which
+    * symmetric Jaccard misses because the big doc's union term
+    * swamps it. Same single-shuffle inverted-index shape as
+    * [[ngramJaccardPairs]]; no length band (the whole point is
+    * size-asymmetric pairs). Emits (id_small, id_big, containment).
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
+    val tri = docs.select(col("doc_id"),
+        graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+      .select(col("doc_id"), size(col("shh")).as("c"), explode(col("shh")).as("gh"))
+    val a = tri.select(col("gh"), col("doc_id").as("id_a"), col("c").as("ca"))
+    val b = tri.select(col("gh"), col("doc_id").as("id_b"), col("c").as("cb"))
+    a.join(b, Seq("gh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"))
+      .withColumn("containment", col("inter").cast("double") / col("ca"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** C4 under a Zipfian tail: PPJoin-style prefix filtering, exact.
     * Shingles are canonically ordered rarest-first (global df, then
     * hash); a pair with Jaccard >= t must share a shingle within each

@@ -110,6 +110,52 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C21: per-stratum deterministic sampling at DIFFERENT rates — the
+    * mixture-rebalancing primitive (upweight rare languages, downsample
+    * dominant sources). The keep decision is an affine hash of doc_id
+    * in percent space, so any engine reproduces it and re-materializing
+    * a 100 TB corpus keeps the identical sample.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val pct = ((col("doc_id") % 100003L) * 31L + 7L) % 100L
+    val rate = when(col("lang") === "en", 25)
+      .when(col("lang") === "de", 50)
+      .otherwise(100)
+    Tables(spark, dir).documents
+      .withColumn("keep", (pct < rate).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(when(col("keep") === 1, col("n_chars")).otherwise(0L)).cast("long")
+          .as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** C22: token-budget mixture plan — given per-(lang, source) target
+    * weights and a global token budget, the per-group sampling rate
+    * that hits the budget: rate_g = min(1, budget * w_g / tokens_g).
+    * This is the table a data-mixture design feeds back into C21;
+    * computing it is one aggregation over the corpus (the 100 TB
+    * version reads precomputed corpus stats instead).
+    */
+  def qMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 200000L
+    val d = Tables(spark, dir).documents
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val stats = d.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).cast("long").as("tokens"))
+    // equal weight per language (the design input; any weights work)
+    val nLangs = lit(4)
+    stats
+      .withColumn("target_tokens", lit(budget) / nLangs)
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens").cast("double") / col("tokens")))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("tokens")).cast("long"))
+      .select(col("lang"), col("tokens"), col("rate"), col("planned_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** C20: sequence packing — greedily pack documents into fixed-size
     * training context windows (2048 tokens), sharded so the packing
     * window never becomes a global sort: shard = affine hash of
@@ -140,6 +186,8 @@ object CurationQueries {
     "q_corpus_stats"    -> (qCorpusStats _),
     "q_contamination"   -> (qContamination _),
     "q_repetition"      -> (qRepetition _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_mixture_plan"    -> (qMixturePlan _),
     "q_quality_filter"  -> (qQualityFilter _),
   )
 
@@ -187,6 +235,25 @@ object CurationQueries {
         |SELECT doc_id, max(cnt) AS max_tri, CAST(sum(cnt) AS BIGINT) AS n_tri,
         | CAST(max(cnt) AS double) / sum(cnt) AS rep_ratio
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(keep) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (
+        | SELECT lang, n_chars,
+        |  CAST(((doc_id % 100003) * 31 + 7) % 100 <
+        |    CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 50 ELSE 100 END
+        |    AS int) AS keep
+        | FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_mixture_plan" ->
+      """SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        | least(1.0, (200000 / 4) / CAST(sum(n_tok) AS BIGINT)) AS rate,
+        | CAST(least(200000 / 4, CAST(sum(n_tok) AS BIGINT)) AS BIGINT) AS planned_tokens
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality_filter" ->
       """SELECT doc_id,

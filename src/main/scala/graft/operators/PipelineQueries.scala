@@ -35,6 +35,13 @@ object PipelineQueries {
     Dedup.ngramJaccardAdaptive(Tables(spark, dir).documents, minJaccard = 0.5,
       lenBand = 20)
 
+  /** C4c: asymmetric containment pairs (|A∩B|/|A| >= 0.6) — catches
+    * docs embedded in larger ones, which symmetric Jaccard misses.
+    */
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir).documents, minContainment = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** C2: MinHash-LSH candidates verified at Jaccard >= 0.8. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir).documents, minJaccard = 0.8)
@@ -150,6 +157,7 @@ object PipelineQueries {
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
     "q_ngram_adaptive"  -> (qNgramAdaptive _),
+    "q_containment_pairs" -> (qContainmentPairs _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -224,6 +232,18 @@ object PipelineQueries {
          |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // asymmetric: i / |A| with no length band, both orientations
+    "q_containment_pairs" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i*1.0/ca.c AS containment
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id
+         |WHERE i*1.0/ca.c >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
 
     // identical to q_ngram_jaccard's oracle: the adaptive dispatch
