@@ -135,7 +135,11 @@ object Dedup {
     val a = tri.select(col("gh"), col("doc_id").as("id_a"), col("c").as("ca"))
     val b = tri.select(col("gh"), col("doc_id").as("id_b"), col("c").as("cb"))
     a.join(b, Seq("gh"))
-      .filter(col("id_a") =!= col("id_b"))
+      // exact size prune BEFORE the pair aggregation: the
+      // intersection can't exceed |B|, so containment >= t forces
+      // |B| >= t*|A| — size-incompatible pairs never aggregate
+      .filter(col("id_a") =!= col("id_b") &&
+        col("cb").cast("double") >= col("ca") * minContainment)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"))
       .withColumn("containment", col("inter").cast("double") / col("ca"))
