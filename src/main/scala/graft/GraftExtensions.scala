@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case d: java.lang.Double => d
           case other => other.toString.toDouble
         }).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(array<string>, k) - [max_count, total_count] of the k-shingle multiset"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head,
+        intArg("repetition_stats", exprs(1)))))
     ext.injectFunction((FunctionIdentifier("tdigest_quantile"),
       info("tdigest_quantile",
         "tdigest_quantile(col, q) - mergeable t-digest quantile (tail-accurate)"),

@@ -55,6 +55,12 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val sh3 = spark.sql(
       "SELECT size(shingle_hashes(split('a b c d', ' '), 2)) AS n").head.getInt(0)
     assert(sh3 == 3)
+    // repetition_stats from SQL: "a b a b a" has trigrams
+    // (a b a), (b a b), (a b a) -> max 2 of 3
+    val rs = spark.sql(
+      "SELECT repetition_stats(split('a b a b a', ' '), 3) AS r").head
+      .getSeq[Long](0)
+    assert(rs == Seq(2L, 3L), rs.toString)
     // hll_distinct from SQL: exact-regime sanity on a small corpus
     val hll = spark.sql(
       "SELECT hll_distinct(doc_id) AS n FROM docs").head.getLong(0)
