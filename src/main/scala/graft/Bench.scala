@@ -58,12 +58,17 @@ object Bench {
         name -> (if (ok2) math.min(t1, t2) else -1.0)
       }
     }
+    // the driver parses this line out of a bounded stdout TAIL: with
+    // ~80 queries at full double precision the line exceeds the tail
+    // window and gets truncated mid-JSON (observed twice). Millisecond
+    // precision is ample for wall times and roughly halves the line.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: the driver parses the stdout tail, which
     // has been observed truncated mid-JSON — the file is the reliable copy

@@ -403,8 +403,18 @@ object Dedup {
       val estRows: Double = stats.rowCount match {
         case Some(rc) => rc.toDouble
         case None =>
+          // sizeInBytes for a parquet scan is the ON-DISK (compressed)
+          // size, so rows/width underestimates by the compression
+          // ratio — and underestimating biases bits LOW, toward
+          // exactly the within-bucket quadratic blowup this sizing
+          // exists to avoid. Apply a 4x decompression fudge: an
+          // OVER-estimate only adds buckets (recall loss on borderline
+          // pairs, recovered by multi-table probing) — the cheap
+          // direction to be wrong in. Exact CBO rowCount (ANALYZE /
+          // spark.sql.statistics) is preferred above when present;
+          // benchmarked queries pin bits explicitly.
           val width = math.max(1, emb.schema.defaultSize)
-          (stats.sizeInBytes / width).toDouble
+          (stats.sizeInBytes / width).toDouble * 4.0
       }
       math.min(12, math.max(4,
         (math.log(math.max(1.0, estRows / 16.0)) / math.log(2.0)).ceil.toInt))

@@ -168,9 +168,23 @@ final class SnapshotStore(
     // NOTE: `deltas` is evaluated twice (key-set collection, then the
     // fold) — callers with an expensive delta lineage should persist
     // it first (the streaming sink does).
+    //
+    // Null-key policy: a row whose key is null (or fails the long
+    // cast — e.g. from_json on a malformed line nulls the field) has
+    // no primary key to upsert against, so it is DROPPED here, like
+    // the reference's log-and-skip of invalid records
+    // [ref: KuduManager.scala:117-122]. Without this guard one poison
+    // message would NPE the micro-batch and checkpoint replay would
+    // re-deliver it forever, wedging the stream. Callers who need the
+    // bad rows routed (not just skipped) should split them off with
+    // CdcOps.parseWithQuarantine BEFORE merging.
+    val keyed = deltas.filter(col(keyCol).cast("long").isNotNull)
     currentVersion match {
       case None =>
-        commit(CdcOps.softDeleteSnapshot(deltas, col(keyCol)))
+        // first batch all-poison: nothing to commit (an empty v0
+        // would trip publish's non-empty invariant); report no-version
+        if (keyed.isEmpty) -1L
+        else commit(CdcOps.softDeleteSnapshot(keyed, col(keyCol)))
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
@@ -178,8 +192,9 @@ final class SnapshotStore(
         // table): collect their per-range hit set against the
         // manifest index. At a billion files this join would itself
         // be distributed; the manifest is driver-resident here.
-        val deltaKeys = deltas.select(col(keyCol).cast("long").as("k"))
+        val deltaKeys = keyed.select(col(keyCol).cast("long").as("k"))
           .distinct().collect().map(_.getLong(0)).sorted
+        if (deltaKeys.isEmpty) return cur // empty fold: no version churn
         def hit(f: DataFileEntry): Boolean = {
           // binary search: any delta key within [minKey, maxKey]?
           val i = java.util.Arrays.binarySearch(deltaKeys, f.minKey)
@@ -194,7 +209,7 @@ final class SnapshotStore(
             readVersion(cur).limit(0)
           } else spark.read.parquet(affected.map(_.path): _*)
         val merged = CdcOps.decorateSoftDelete(
-          CdcOps.compactSnapshot(baseAffected.drop("delete_state"), deltas, keyCol))
+          CdcOps.compactSnapshot(baseAffected.drop("delete_state"), keyed, keyCol))
         publish(v, writeDataFiles(merged, v) ++ carried)
     }
   }
@@ -234,9 +249,9 @@ final class SnapshotStore(
     * retention window, then delete any data file no retained
     * manifest references (files are shared across versions by the
     * copy-on-write merge, so version-directory deletion would break
-    * carried-over references). Current + `keepVersions` prior
-    * versions stay readable so in-flight snapshot-isolated readers
-    * finish safely.
+    * carried-over references). The most recent `keepVersions`
+    * versions — the current one plus `keepVersions - 1` prior — stay
+    * readable so in-flight snapshot-isolated readers finish safely.
     */
   private def vacuum(current: Long): Unit = {
     val cutoff = current - keepVersions

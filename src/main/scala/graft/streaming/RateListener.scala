@@ -33,6 +33,7 @@ final class RateListener(logDir: Option[String] = None) extends StreamingQueryLi
   def this() = this(None)
 
   private val batches = ArrayBuffer.empty[BatchRate]
+  @volatile private var logWarned = false
 
   def reports: Seq[BatchRate] = batches.synchronized(batches.toSeq)
 
@@ -59,10 +60,22 @@ final class RateListener(logDir: Option[String] = None) extends StreamingQueryLi
       val rate = Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0)
       val b = BatchRate(p.batchId, p.timestamp, p.numInputRows, rate)
       batches.synchronized { batches += b }
+      // a broken sink must not break the listener: an unwritable /
+      // vanished logDir would otherwise throw on EVERY batch in the
+      // listener thread. Log the failure once and keep reporting
+      // (the reference's logger likewise tolerates sink failures).
       logFile.foreach { f =>
-        Files.createDirectories(f.getParent)
-        Files.writeString(f, line(b) + "\n",
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        try {
+          Files.createDirectories(f.getParent)
+          Files.writeString(f, line(b) + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        } catch {
+          case e: Exception =>
+            if (!logWarned) {
+              logWarned = true
+              System.err.println(s"[ graft ] sync-log append failed (further failures silent): $e")
+            }
+        }
       }
     }
   }

@@ -45,10 +45,10 @@ class StoreSpec extends AnyFunSuite {
   test("snapshot isolation: a reader resolved before a merge keeps its version") {
     val store = new SnapshotStore(spark, newRoot(), "user_id")
     val log = parsedLog
-    store.merge(log.filter(col("id") < 5000))
+    store.merge(log.filter(col("id") < 500))
     val before = store.read().get // file list resolved NOW, from v0
     val v0Rows = before.count()
-    store.merge(log.filter(col("id") >= 5000))
+    store.merge(log.filter(col("id") >= 500))
     // the in-flight reader still sees v0 (its files are retained by
     // the vacuum window); a fresh reader sees the merged table
     assert(before.count() == v0Rows)
@@ -136,6 +136,25 @@ class StoreSpec extends AnyFunSuite {
     }
     // and versions() exposes the retained time-travel surface
     assert(store.versions().max == store.currentVersion.get)
+  }
+
+  test("null-key poison rows are dropped, not a wedged micro-batch") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id")
+    val log = parsedLog
+    store.merge(log.filter(col("id") < 500))
+    // a delta carrying poison rows (null key — what from_json yields
+    // for a malformed line) must merge its good rows and skip the bad
+    // ones, like the reference's log-and-skip — NOT throw, because a
+    // throwing sink + checkpoint replay re-delivers the batch forever
+    val good = log.filter(col("id") >= 500)
+    val poison = log.limit(3).withColumn("user_id", lit(null).cast("long"))
+    store.merge(good.unionByName(poison))
+    assertSameRows(store.read().get,
+      CdcOps.softDeleteSnapshot(log, col("user_id")))
+    // an ALL-poison delta is a no-op fold, not a crash
+    val before = store.read().get.count()
+    store.merge(poison)
+    assert(store.read().get.count() == before)
   }
 
   test("vacuum retains only the versions in-flight readers can need") {
