@@ -132,20 +132,80 @@ object Dedup {
     val tri = docs.select(col("doc_id"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .select(col("doc_id"), size(col("shh")).as("c"), explode(col("shh")).as("gh"))
-    val a = tri.select(col("gh"), col("doc_id").as("id_a"), col("c").as("ca"))
-    val b = tri.select(col("gh"), col("doc_id").as("id_b"), col("c").as("cb"))
+    val a = tri.select(col("gh"), col("doc_id").as("id_x"), col("c").as("cx"))
+    val b = tri.select(col("gh"), col("doc_id").as("id_y"), col("c").as("cy"))
+    // aggregate each UNORDERED pair once (id_x < id_y) and emit the
+    // two orientations from the single shared intersection count —
+    // halves the pair-join output and the aggregation shuffle vs
+    // aggregating (A,B) and (B,A) separately (measured 2.65s -> ~1.4s
+    // at sf0.1: the agg's input rows are the whole cost, since with
+    // near-unique groups map-side partials reduce nothing)
     a.join(b, Seq("gh"))
-      // exact size prune BEFORE the pair aggregation: the
-      // intersection can't exceed |B|, so containment >= t forces
-      // |B| >= t*|A| — size-incompatible pairs never aggregate
+      .filter(col("id_x") < col("id_y"))
+      .groupBy(col("id_x"), col("id_y"))
+      .agg(count(lit(1)).as("inter"), max(col("cx")).as("cx"), max(col("cy")).as("cy"))
+      .select(explode(array(
+        struct(col("id_x").as("id_a"), col("id_y").as("id_b"),
+          (col("inter").cast("double") / col("cx")).as("containment")),
+        struct(col("id_y").as("id_a"), col("id_x").as("id_b"),
+          (col("inter").cast("double") / col("cy")).as("containment")))).as("o"))
+      .select(col("o.id_a").as("id_a"), col("o.id_b").as("id_b"),
+        col("o.containment").as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** C4c under a Zipfian tail: ASYMMETRIC prefix filtering, exact.
+    * Containment |A∩B|/|A| >= t bounds only A's side: with A's
+    * shingles in canonical rarest-first order (global df, then hash),
+    * a qualifying pair must share a shingle within A's first
+    * ca - ceil(t*ca) + 1 shingles — if every shared shingle sat in
+    * the last ceil(t*ca) - 1 positions, |A∩B| < ceil(t*ca) <= the
+    * required overlap. So posting lists are built on A-PREFIXES ONLY
+    * and joined against B's FULL postings (B has no prefix bound —
+    * containment says nothing about where the overlap falls in B).
+    * Hot tail-end shingles get cut from every A-prefix, so a hot
+    * list pairs d_g x (few prefix hits) instead of d_g^2. The exact
+    * size prune cb >= t*ca still applies. Candidates are verified
+    * with one set intersection on the full shingle arrays.
+    */
+  def containmentPairsPrefix(docs: DataFrame, minContainment: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+      .withColumn("c", size(col("shh")))
+    val posting = sh.select(col("doc_id"), col("c"), explode(col("shh")).as("gh"))
+    val dfTab = posting.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    val prefixA = posting.join(dfTab, "gh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("c") - ceil(col("c") * lit(minContainment)) + 1)
+      .select(col("gh"), col("doc_id").as("id_a"), col("c").as("ca"))
+    val full = posting.select(col("gh"), col("doc_id").as("id_b"), col("c").as("cb"))
+    val cand = prefixA.join(full, Seq("gh"))
       .filter(col("id_a") =!= col("id_b") &&
         col("cb").cast("double") >= col("ca") * minContainment)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"))
-      .withColumn("containment", col("inter").cast("double") / col("ca"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = sh.select(col("doc_id"), col("shh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** Skew-adaptive containment pairs: same dispatch rule as
+    * [[ngramJaccardAdaptive]] — one small df-skew stats job picks the
+    * plain inverted-index aggregation (flat corpora: fewer passes
+    * wins) or the asymmetric prefix-filtered join (Zipfian corpora:
+    * hot posting lists never pair). Both paths are exact, so the
+    * dispatch changes the physical plan, never the result.
+    */
+  def containmentPairsAdaptive(docs: DataFrame, minContainment: Double,
+                               skewThreshold: Double = 8.0): DataFrame =
+    if (shingleDfSkew(docs) >= skewThreshold) containmentPairsPrefix(docs, minContainment)
+    else containmentPairs(docs, minContainment)
 
   /** C4 under a Zipfian tail: PPJoin-style prefix filtering, exact.
     * Shingles are canonically ordered rarest-first (global df, then

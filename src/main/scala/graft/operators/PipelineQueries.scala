@@ -37,9 +37,11 @@ object PipelineQueries {
 
   /** C4c: asymmetric containment pairs (|A∩B|/|A| >= 0.6) — catches
     * docs embedded in larger ones, which symmetric Jaccard misses.
+    * Skew-adaptive: flat corpora take the single-shuffle unordered
+    * pair aggregation, Zipfian ones the asymmetric prefix filter.
     */
   def qContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables(spark, dir).documents, minContainment = 0.6)
+    Dedup.containmentPairsAdaptive(Tables(spark, dir).documents, minContainment = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
   /** C2: MinHash-LSH candidates verified at Jaccard >= 0.8. */

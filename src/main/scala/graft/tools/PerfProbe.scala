@@ -70,6 +70,12 @@ object PerfProbe {
         time("full minhashLsh")(Dedup.minhashLsh(docs).count())
       }
       time("full ngramJaccard")(graft.dedup.Dedup.ngramJaccard(docs, 0.5).count())
+      locally {
+        import graft.dedup.Dedup
+        println(f"[probe] shingleDfSkew = ${Dedup.shingleDfSkew(docs)}%.2f")
+        time("containment plain")(Dedup.containmentPairs(docs, 0.6).count())
+        time("containment prefix")(Dedup.containmentPairsPrefix(docs, 0.6).count())
+      }
       time("full contamination")(
         graft.operators.CurationQueries.qContamination(spark, sfDir).count())
       time("full dup_clusters")(

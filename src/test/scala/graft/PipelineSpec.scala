@@ -141,6 +141,25 @@ class PipelineSpec extends AnyFunSuite {
     zipf.unpersist()
   }
 
+  test("C4c: asymmetric prefix-filtered containment is exact on flat and Zipfian corpora") {
+    val flat = docs
+    val plain = Dedup.containmentPairs(flat, 0.6)
+    val pref = Dedup.containmentPairsPrefix(flat, 0.6)
+    assert(plain.count() > 0)
+    assert(plain.exceptAll(pref).count() == 0 && pref.exceptAll(plain).count() == 0)
+    val zipf = graft.tools.Corpora.zipf(spark, nDocs = 1500, vocab = 8000, docLen = 40)
+      .cache()
+    zipf.count()
+    val zPlain = Dedup.containmentPairs(zipf, 0.6)
+    val zPref = Dedup.containmentPairsPrefix(zipf, 0.6)
+    assert(zPlain.count() > 0)
+    assert(zPlain.exceptAll(zPref).count() == 0 && zPref.exceptAll(zPlain).count() == 0)
+    // adaptive dispatch (prefix path on this corpus) is result-identical
+    val ad = Dedup.containmentPairsAdaptive(zipf, 0.6)
+    assert(ad.exceptAll(zPlain).count() == 0 && zPlain.exceptAll(ad).count() == 0)
+    zipf.unpersist()
+  }
+
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
     import graft.functions.rolling_hash64
     val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))
