@@ -107,10 +107,22 @@ object Dedup {
     * starts to pay. One small stats job (two linear shuffles over
     * 8-byte keys) — the adaptive-dispatch analogue of AQE's runtime
     * statistics.
+    *
+    * `sampleBits` > 0 estimates the skew on a hash-sample of the
+    * SHINGLE KEY SPACE (keep gh where its low bits are zero): each
+    * kept shingle's df is still EXACT (every posting of a kept key is
+    * kept), and sum(df), sum(df^2), #shingles all scale by the same
+    * 2^-sampleBits in expectation, so their ratio is an unbiased
+    * skew estimate at 1/2^sampleBits of the aggregation cost. The
+    * shingle hash is uniform, so the sample hits the Zipf head with
+    * probability 2^-sampleBits per hot key — with thousands of
+    * head keys the estimate is stable (spec'd on both corpus shapes).
     */
-  def shingleDfSkew(docs: DataFrame, k: Int = 3): Double = {
+  def shingleDfSkew(docs: DataFrame, k: Int = 3, sampleBits: Int = 4): Double = {
+    val mask = (1L << sampleBits) - 1L
     val df = hashedShingles(docs, k)
       .select(explode(col("shh")).as("gh"))
+      .filter(col("gh").bitwiseAND(lit(mask)) === 0L)
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val r = df.agg(
       coalesce(sum(col("df")), lit(0L)).as("p"),

@@ -72,6 +72,8 @@ object PerfProbe {
       time("full ngramJaccard")(graft.dedup.Dedup.ngramJaccard(docs, 0.5).count())
       locally {
         import graft.dedup.Dedup
+        time("skew job sampled (1/16)") { Dedup.shingleDfSkew(docs); 1L }
+        time("skew job full") { Dedup.shingleDfSkew(docs, sampleBits = 0); 1L }
         println(f"[probe] shingleDfSkew = ${Dedup.shingleDfSkew(docs)}%.2f")
         time("containment plain")(Dedup.containmentPairs(docs, 0.6).count())
         time("containment prefix")(Dedup.containmentPairsPrefix(docs, 0.6).count())
