@@ -77,11 +77,14 @@ object Ann {
     * pair-shuffled. nprobe == nLists degenerates to the exact scan
     * (recall 1.0), the spec's sanity anchor.
     */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+  /** The IVF coarse quantizer on its own: `nLists` deterministic
+    * centroids (hash-least seeds + one scaled-long Lloyd step — see
+    * [[ivfTopK]] for why that is bit-reproducible anywhere).
+    * Returns (list_id, carr).
+    */
+  def ivfCentroids(emb: DataFrame, nLists: Int = 8): DataFrame = {
     val Scale = 1L << 20
     val dims = 64
-
     // deterministic seed pick: the nLists corpus vectors with the
     // smallest affine hash of vec_id (exact integer math, replicable
     // in any engine — the SQL oracle recomputes it; products stay
@@ -95,28 +98,42 @@ object Ann {
       .withColumn("list_id",
         row_number().over(Window.orderBy(seedOrd, col("vec_id"))))
       .select(col("list_id"), col("embedding").as("carr"))
-
-    def assignTo(cents: DataFrame): DataFrame = {
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("sim", dot_double(col("embedding"), col("carr")) /
-          (graft.functions.norm_double(col("embedding")) *
-            graft.functions.norm_double(col("carr"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("list_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("list_id"))
-    }
-
     // one Lloyd step in scaled-long space (deterministic mean)
     val sumCols = (0 until dims).map(i =>
       sum(round(col("embedding").getItem(i) * Scale).cast("long")).as(s"s$i"))
-    val refined = assignTo(seeds)
+    assignToCentroids(emb, seeds)
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .select(col("list_id"), array((0 until dims).map(i =>
         col(s"s$i").cast("double") / (col("n") * Scale.toDouble)): _*).as("carr"))
+  }
 
-    val lists = assignTo(refined)
+  /** Nearest-centroid assignment: one broadcast-join pass over the
+    * corpus (the corpus never shuffles). Returns
+    * (vec_id, embedding, list_id).
+    */
+  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", dot_double(col("embedding"), col("carr")) /
+        (graft.functions.norm_double(col("embedding")) *
+          graft.functions.norm_double(col("carr"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("list_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+  }
+
+  /** Every corpus vector's refined-centroid list id — the clustering
+    * surface semantic dedup builds on. Returns (vec_id, list_id).
+    */
+  def ivfAssign(emb: DataFrame, nLists: Int = 8): DataFrame =
+    assignToCentroids(emb, ivfCentroids(emb, nLists))
+      .select(col("vec_id"), col("list_id"))
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+    val refined = ivfCentroids(emb, nLists)
+    val lists = assignToCentroids(emb, refined)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
       .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
 

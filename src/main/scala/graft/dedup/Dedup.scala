@@ -524,6 +524,26 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C28: semantic (cluster-granular) dedup — partition the corpus by
+    * the deterministic IVF coarse quantizer ([[graft.ann.Ann.ivfAssign]])
+    * and keep ONE representative per cluster (min vec_id; swap in a
+    * quality rank when one exists). Coarser than pairwise near-dup:
+    * this is the "drop semantically redundant mass" pass a mixture
+    * designer runs before token budgeting. Scale shape: the corpus
+    * never pair-shuffles — one broadcast-join assignment pass, an
+    * nLists-row aggregate, and a broadcast join back.
+    */
+  def semanticDedup(emb: DataFrame, nLists: Int = 8): DataFrame = {
+    val assign = graft.ann.Ann.ivfAssign(emb, nLists)
+    val stats = assign.groupBy(col("list_id"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
+    assign.join(broadcast(stats), "list_id")
+      .select(col("vec_id"), col("list_id").cast("long").as("cluster_id"),
+        col("keep_id"),
+        (col("vec_id") === col("keep_id")).cast("int").as("is_kept"),
+        col("cluster_size"))
+  }
+
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     // Norms are computed once per vector up front (not once per PAIR —
     // an O(n) vs O(n^2) difference in norm work); the pair loop is

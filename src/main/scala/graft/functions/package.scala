@@ -32,6 +32,17 @@ package object functions {
   def repetition_stats(c: Column, k: Int): Column =
     toCol(RepetitionStats(toExpr(c), k))
 
+  /** Mergeable Bloom filter over a LONG key column — emits the
+    * serialized blob; probe with [[bloom_might_contain]]. The
+    * broadcastable decontamination prefilter.
+    */
+  def bloom_agg(c: Column, numBits: Int = 1 << 20, k: Int = 5): Column =
+    toCol(BloomFilterAgg(toExpr(c), numBits, k).toAggregateExpression())
+
+  /** Codegen'd membership probe of a [[bloom_agg]] blob. */
+  def bloom_might_contain(blob: Column, v: Column): Column =
+    toCol(BloomMightContain(toExpr(blob), toExpr(v)))
+
   /** Space-saving top-k heavy hitters of a string column: mergeable
     * bounded-memory sketch (TypedImperativeAggregate).
     */

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** C-block extensions, round 4: corpus-scale ingest/curation
+  * operators — PII redaction, Bloom-prefiltered decontamination,
+  * incremental (new-batch-vs-corpus) dedup, and deterministic
+  * training-order shuffle.
+  */
+object CorpusQueries {
+
+  // PII patterns — plain character-class regexes, identical semantics
+  // under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+  // backreferences, greedy quantifiers only.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "(\\+1-)?555-[0-9]{4}"
+
+  /** The synthetic-PII text column: the corpus' documents carry no
+    * PII-shaped strings, so both engines append a deterministic
+    * email + phone (and a second phone on every third doc) derived
+    * from doc_id — every row then exercises real redaction.
+    */
+  private def augmented: org.apache.spark.sql.Column =
+    concat(
+      col("text"), lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".org or call +1-555-"),
+      lpad(pmod(col("doc_id") * 37L, lit(10000L)).cast("string"), 4, "0"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" alt 555-"),
+          lpad(pmod(col("doc_id") * 91L, lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+
+  /** C24: PII redaction — scrub emails/phones to typed placeholder
+    * tokens and count what was scrubbed. One codegen'd projection
+    * per row, no shuffle: the 100 TB shape is a map-only pass.
+    */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("t", augmented)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("red_text"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  /** C25: Bloom-prefiltered benchmark decontamination — q_contamination's
+    * semantics (does a training doc share a 5-gram with the held-out
+    * src0 set?) with the 100 TB plan: the benchmark's 5-gram set is
+    * aggregated into ONE broadcastable Bloom blob, the corpus posting
+    * stream is prefiltered by a codegen'd membership probe BEFORE any
+    * shuffle, and a small exact semi-join on the surviving grams
+    * removes Bloom false positives — the result is EXACT, but the
+    * corpus-sized join shuffle is gone (only near-certain hits move).
+    */
+  def qBloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
+    val eval = grams.filter(col("source") === "src0")
+      .select(col("gh")).distinct()
+    // one-row blob; numBits pinned (driver-derived sizing would make
+    // the plan depend on stats — fixed 2^17 bits ≈ 16 KB holds the
+    // benchmark's ~10k grams at ~2% fpp, and fpp only costs verify
+    // work, never correctness)
+    val blob = eval.agg(graft.functions.bloom_agg(col("gh"), numBits = 1 << 17).as("bf"))
+    val train = grams.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("gh"))
+    val prefiltered = train.crossJoin(broadcast(blob))
+      .filter(graft.functions.bloom_might_contain(col("bf"), col("gh")))
+      .select(col("doc_id"), col("gh"))
+    prefiltered.join(eval, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
+  /** C26: incremental dedup — the ingest-time form of exact dedup: a
+    * new batch (fresh src1 docs + a deterministic re-delivery of
+    * every 7th corpus doc under a new id) is anti-joined against the
+    * existing corpus, so re-ingested content is dropped and only
+    * genuinely-new documents survive. The join runs on the 8-byte
+    * rolling-hash fingerprint (equal iff texts equal at these scales;
+    * [[graft.functions.rolling_hash64]] separation is spec'd), so at
+    * 100 TB the shuffle moves fingerprints, never document bodies.
+    */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val fp = graft.functions.rolling_hash64(col("text"))
+    val corpus = docs.filter(col("source") =!= "src1")
+      .select(col("doc_id"), fp.as("fp"))
+    val resent = docs.filter(col("source") =!= "src1" && pmod(col("doc_id"), lit(7L)) === 0L)
+      .select((col("doc_id") + 10000000L).as("doc_id"), fp.as("fp"))
+    val batch = docs.filter(col("source") === "src1")
+      .select(col("doc_id"), fp.as("fp"))
+      .unionAll(resent)
+    batch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** C27: deterministic global shuffle — the training-order pass: a
+    * total order by md5(seed || doc_id) is uniform (no hot range),
+    * reproducible in any engine, and re-materializing the corpus
+    * yields the identical order. Plans as a range-partitioned sort:
+    * at 100 TB every partition gets an even slice of the hash space,
+    * so the sort never skews. Seed pinned ("graft-shuffle-42").
+    */
+  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit("graft-shuffle-42:"), col("doc_id").cast("string")))
+    Tables(spark, dir).documents
+      .withColumn("pos",
+        row_number().over(Window.orderBy(key, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact"          -> (qPiiRedact _),
+    "q_bloom_contamination" -> (qBloomContamination _),
+    "q_incremental_dedup"   -> (qIncrementalDedup _),
+    "q_global_shuffle"      -> (qGlobalShuffle _),
+  )
+
+  // NOTE: no line may start with '||' — this string is interpolated
+  // into a template whose stripMargin would eat the first pipe
+  private val augSql =
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.org or call +1-555-' || " +
+      "lpad(CAST((doc_id*37) % 10000 AS VARCHAR), 4, '0') || " +
+      "CASE WHEN doc_id % 3 = 0 " +
+      "THEN ' alt 555-' || lpad(CAST((doc_id*91) % 10000 AS VARCHAR), 4, '0') " +
+      "ELSE '' END"
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(t,
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |   '(\\+1-)?555-[0-9]{4}', '<PHONE>', 'g') AS red_text,
+         | CAST(len(regexp_extract_all(t,
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t,
+         |   '(\\+1-)?555-[0-9]{4}')) AS BIGINT) AS n_phones
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the Bloom prefilter is plan-level only (exactness restored by
+    // the confirm join): the oracle is the plain distinct semi-join
+    "q_bloom_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g5 AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        for i in generate_series(1, len(w)-4)])) AS g FROM toks)
+        |SELECT DISTINCT t.doc_id
+        |FROM g5 t SEMI JOIN (SELECT g FROM g5 WHERE source = 'src0') e ON t.g = e.g
+        |WHERE t.source != 'src0'
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE source != 'src1'),
+        |resent AS (SELECT doc_id + 10000000 AS doc_id, text
+        |           FROM corpus WHERE doc_id % 7 = 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE source = 'src1'
+        |          UNION ALL SELECT * FROM resent)
+        |SELECT b.doc_id FROM batch b ANTI JOIN corpus c ON b.text = c.text
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (
+        |   ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |   AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

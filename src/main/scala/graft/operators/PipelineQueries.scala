@@ -100,6 +100,14 @@ object PipelineQueries {
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nLists = 8, nprobe = 2)
   }
 
+  /** C28: semantic dedup over the IVF clustering (deterministic, so
+    * the oracle replays the full seeds -> Lloyd -> assign pipeline
+    * and the keep-one-per-cluster choice exactly).
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.semanticDedup(Tables(spark, dir).embeddings, nLists = 8)
+      .orderBy(col("vec_id"))
+
   /** C8 */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
@@ -167,6 +175,7 @@ object PipelineQueries {
     "q_ann_brute"       -> (qAnnBrute _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
+    "q_semantic_dedup"  -> (qSemanticDedup _),
     "q_text_langid"     -> (qTextLangid _),
     "q_text_quality"    -> (qTextQuality _),
     "q_text_tokens"     -> (qTextTokens _),
@@ -217,6 +226,35 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), s -> s[1]*s[2]))"
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> x*x)))"
+
+  /** Nearest-centroid rank subquery — the SQL twin of
+    * Ann.assignToCentroids' cosine ranking (shared by the IVF and
+    * semantic-dedup oracles).
+    */
+  private def ivfSimRank(corpus: String, cents: String, filter: String): String =
+    s"""SELECT c.vec_id, c.e, s.list_id,
+       |   row_number() OVER (PARTITION BY c.vec_id
+       |     ORDER BY (${dotSql("c.e", "s.carr")} / (${normSql("c.e")} * ${normSql("s.carr")})) DESC,
+       |       s.list_id) AS rn
+       |  FROM $corpus c CROSS JOIN $cents s$filter""".stripMargin
+
+  /** The deterministic IVF quantizer replayed in SQL: affine-hash
+    * seed pick, first assignment, scaled-long Lloyd mean -> `lloyd`
+    * (list_id, carr). Assumes `ed` from [[embCte]] is in scope.
+    */
+  private val ivfAssignCtes: String = {
+    val cent = (0 until 64).map(i =>
+      s"CAST(CAST(sum(CAST(round(e[${i + 1}]*1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
+        s" / (count(*) * 1048576.0)").mkString("[", ",\n   ", "]")
+    s"""seeds0 AS (SELECT vec_id, e FROM ed
+       |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 8),
+       |seeds AS (SELECT row_number() OVER
+       |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS list_id,
+       |  e AS carr FROM seeds0),
+       |a1 AS (SELECT vec_id, e, list_id FROM (
+       | ${ivfSimRank("ed", "seeds", "")}) WHERE rn = 1),
+       |lloyd AS (SELECT list_id, $cent AS carr FROM a1 GROUP BY list_id),""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -362,29 +400,13 @@ object PipelineQueries {
     // nearest-seed assignment, one Lloyd step in scaled-long space
     // (exact integer sums — partial-agg order can't perturb it),
     // reassignment, nprobe probe selection, list scoring, final rank.
-    "q_ann_ivf" -> {
-      val cent = (0 until 64).map(i =>
-        s"CAST(CAST(sum(CAST(round(e[${i + 1}]*1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
-          s" / (count(*) * 1048576.0)").mkString("[", ",\n   ", "]")
-      def simRank(corpus: String, cents: String, filter: String) =
-        s"""SELECT c.vec_id, c.e, s.list_id,
-           |   row_number() OVER (PARTITION BY c.vec_id
-           |     ORDER BY (${dotSql("c.e", "s.carr")} / (${normSql("c.e")} * ${normSql("s.carr")})) DESC,
-           |       s.list_id) AS rn
-           |  FROM $corpus c CROSS JOIN $cents s$filter""".stripMargin
+    "q_ann_ivf" ->
       s"""WITH $embCte,
-         |seeds0 AS (SELECT vec_id, e FROM ed
-         |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 8),
-         |seeds AS (SELECT row_number() OVER
-         |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS list_id,
-         |  e AS carr FROM seeds0),
-         |a1 AS (SELECT vec_id, e, list_id FROM (
-         | ${simRank("ed", "seeds", "")}) WHERE rn = 1),
-         |lloyd AS (SELECT list_id, $cent AS carr FROM a1 GROUP BY list_id),
+         |$ivfAssignCtes
          |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
-         | ${simRank("ed", "lloyd", "")}) WHERE rn = 1),
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
          |probes AS (SELECT vec_id AS query_id, list_id FROM (
-         | ${simRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+         | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
          |scored AS (
          | SELECT p.query_id, a2.neighbor_id,
          |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
@@ -396,8 +418,20 @@ object PipelineQueries {
          | SELECT query_id, neighbor_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the same replayed quantizer, then keep-min-per-cluster
+    "q_semantic_dedup" ->
+      s"""WITH $embCte,
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |stats AS (SELECT list_id, min(vec_id) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS cluster_size FROM a2 GROUP BY list_id)
+         |SELECT a2.vec_id, CAST(a2.list_id AS BIGINT) AS cluster_id, s.keep_id,
+         | CAST(a2.vec_id = s.keep_id AS INT) AS is_kept, s.cluster_size
+         |FROM a2 JOIN stats s USING (list_id)
+         |ORDER BY a2.vec_id""".stripMargin,
 
     "q_text_langid" ->
       """SELECT doc_id, lang AS lang_labeled,

@@ -118,6 +118,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p2.contains("*(1) Project"), p2)
   }
 
+  test("bloom prefilter probes inside codegen; blob side broadcasts") {
+    import graft.functions.{bloom_agg, bloom_might_contain, rolling_hash64}
+    val docs = Tables(spark, sf).documents
+    val blob = docs.filter(col("source") === "src0")
+      .agg(bloom_agg(rolling_hash64(col("text")), numBits = 1 << 12).as("bf"))
+    val probed = docs.crossJoin(org.apache.spark.sql.functions.broadcast(blob))
+      .filter(bloom_might_contain(col("bf"), rolling_hash64(col("text"))))
+      .select(col("doc_id"))
+    // the blob behaves: members always probe true (fpp at this load
+    // is ~1e-8, so non-member hits are effectively impossible) —
+    // collect() (not count(): that builds a separate execution)
+    // also finalizes THIS DataFrame's adaptive plan
+    assert(probed.collect().length ==
+      docs.filter(col("source") === "src0").count())
+    // the corpus side must flow
+    // through a single broadcast join (blob side broadcast, corpus
+    // side never shuffles) inside a codegen'd stage — the 100 TB
+    // prefilter is a map-only pass
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+
   test("dead-letter quarantine: corrupt lines are kept, valid lines parse") {
     import spark.implicits._
     val good = ChangeModel.changeLines(Tables(spark, sf).events).select("line").limit(10)

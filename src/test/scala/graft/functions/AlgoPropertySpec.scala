@@ -281,6 +281,37 @@ class AlgoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bloom: no false negatives, merge == union, fpp bounded") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { (xs, ys) =>
+      val numBits = 1 << 12
+      val a = new BloomBuffer(numBits, 5)
+      val b = new BloomBuffer(numBits, 5)
+      xs.foreach(a.add)
+      ys.foreach(b.add)
+      // no false negative through the serialized form (the form the
+      // probe expression sees)
+      def blob(buf: BloomBuffer): Array[Byte] =
+        BloomFilterAgg(null, numBits, 5).serialize(buf)
+      assert(xs.forall(BloomAlgos.mightContain(blob(a), _)))
+      // bitwise-OR merge answers everything either side held
+      a.mergeIn(b)
+      val m = blob(a)
+      assert((xs ++ ys).forall(BloomAlgos.mightContain(m, _)))
+      true
+    })
+    // fpp at design load: 4096 bits / 400 keys / k=5 -> theory ~1.3%;
+    // assert a loose 5% ceiling over 10k probes of non-members
+    val numBits = 1 << 12
+    val buf = new BloomBuffer(numBits, 5)
+    (0L until 400L).foreach(i => buf.add(BloomAlgos.mix64(i)))
+    val blob = BloomFilterAgg(null, numBits, 5).serialize(buf)
+    val fp = (0 until 10000).count(i =>
+      BloomAlgos.mightContain(blob, BloomAlgos.mix64(1000000L + i)))
+    assert(fp < 500, s"fpp ${fp / 10000.0} too high")
+  }
+
   test("dot product: mixed float/double accessors agree") {
     check(Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-100f, 100f))) { fs =>
       val fArr = new GenericArrayData(fs.toArray)
