@@ -117,10 +117,17 @@ object Ann {
       .withColumn("sim", dot_double(col("embedding"), col("carr")) /
         (graft.functions.norm_double(col("embedding")) *
           graft.functions.norm_double(col("carr"))))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("list_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+    // argmax as max_by, NOT a row_number window: the window would
+    // shuffle AND sort the nLists-times-exploded corpus; max_by gets
+    // map-side partial aggregation, so the exploded rows collapse to
+    // one per vector before the exchange. Tie-break identical to the
+    // oracle's rank (sim DESC, then list_id ASC via the negated
+    // second struct field).
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("list_id"), col("embedding")),
+        struct(col("sim"), (-col("list_id")).as("nl"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.list_id").as("list_id"))
   }
 
   /** Every corpus vector's refined-centroid list id — the clustering
