@@ -43,6 +43,12 @@ package object functions {
   def bloom_might_contain(blob: Column, v: Column): Column =
     toCol(BloomMightContain(toExpr(blob), toExpr(v)))
 
+  /** Deterministic bottom-k uniform sample of a LONG id column per
+    * group (KMV construction, mergeable, engine-reproducible).
+    */
+  def bottomk_sample(c: Column, k: Int, seed: String): Column =
+    toCol(BottomKSample(toExpr(c), k, seed).toAggregateExpression())
+
   /** Space-saving top-k heavy hitters of a string column: mergeable
     * bounded-memory sketch (TypedImperativeAggregate).
     */

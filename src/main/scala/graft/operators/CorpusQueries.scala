@@ -119,11 +119,25 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C29: deterministic per-group uniform sample via the bottom-k
+    * (KMV) sketch — k smallest md5(seed||id) per source. Mergeable
+    * map-side partials move k rows per group per partition instead
+    * of shuffling whole groups; the hash priority makes the sample
+    * identical on any engine/partitioning (oracle replays it).
+    */
+  def qBottomkSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(graft.functions.bottomk_sample(col("doc_id"), 5, "graft-sample-7").as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact"          -> (qPiiRedact _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
+    "q_bottomk_sample"      -> (qBottomkSample _),
   )
 
   // NOTE: no line may start with '||' — this string is interpolated
@@ -176,5 +190,13 @@ object CorpusQueries {
         |   ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |   AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bottomk_sample" ->
+      """SELECT source, doc_id FROM (
+        | SELECT source, doc_id, row_number() OVER (
+        |   PARTITION BY source
+        |   ORDER BY md5('graft-sample-7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -312,6 +312,28 @@ class AlgoPropertySpec extends AnyFunSuite {
     assert(fp < 500, s"fpp ${fp / 10000.0} too high")
   }
 
+  test("bottom-k sample: split-merge invariant and equals the k hash-smallest") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0L, 100000L)),
+      Gen.choose(1, 8),
+      Gen.choose(0, 3)) { (ids, k, splitMod) =>
+      val all = new BottomKBuffer(k)
+      ids.foreach(i => all.add(BottomKAlgos.priority("s", i), i))
+      // arbitrary split, partial buffers, merge — must equal the
+      // single-pass buffer (the map-side partials guarantee)
+      val parts = (0 to splitMod).map(_ => new BottomKBuffer(k))
+      ids.foreach(i => parts((i % (splitMod + 1)).toInt)
+        .add(BottomKAlgos.priority("s", i), i))
+      val merged = parts.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.set == all.set)
+      // and the content is exactly the k smallest (priority, id)
+      val expect = ids.distinct.map(i => (BottomKAlgos.priority("s", i), i))
+        .sorted.take(k)
+      assert(all.set.toList == expect)
+      true
+    })
+  }
+
   test("dot product: mixed float/double accessors agree") {
     check(Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-100f, 100f))) { fs =>
       val fArr = new GenericArrayData(fs.toArray)
