@@ -91,6 +91,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case d: java.lang.Double => d
           case other => other.toString.toDouble
         }).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(col[, numBits[, k]]) - mergeable Bloom filter blob over BIGINT keys"),
+      (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
+        if (exprs.size > 1) intArg("bloom_agg", exprs(1)) else 1 << 20,
+        if (exprs.size > 2) intArg("bloom_agg", exprs(2)) else 5)
+        .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(blob, key) - codegen'd Bloom membership probe"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BloomMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bottomk_sample"),
+      info("bottomk_sample",
+        "bottomk_sample(id, k, seed) - deterministic bottom-k (KMV) uniform sample"),
+      (exprs: Seq[Expression]) => graft.functions.BottomKSample(exprs.head,
+        intArg("bottomk_sample", exprs(1)),
+        exprs(2).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other.toString
+        }).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -75,6 +75,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val hi = spark.sql(
       "SELECT percentile(n_chars, 0.55) AS p FROM docs").head.getDouble(0)
     assert(med >= lo && med <= hi, s"sketch median $med outside [$lo, $hi]")
+    // bloom_agg + bloom_might_contain from SQL: members always probe
+    // true; a disjoint key range at ~2% design fpp stays mostly out
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM docs d CROSS JOIN
+        |  (SELECT bloom_agg(rolling_hash64(text), 131072, 5) AS bf FROM docs) b
+        |WHERE bloom_might_contain(b.bf, rolling_hash64(d.text))""".stripMargin)
+      .head.getLong(0)
+    assert(hits == spark.table("docs").count(), s"bloom missed members: $hits")
+    // bottomk_sample from SQL == the deterministic md5 bottom-k
+    val bk = spark.sql(
+      "SELECT explode(bottomk_sample(doc_id, 3, 'graft-sample-7')) AS id FROM docs")
+    val expect = spark.sql(
+      """SELECT doc_id AS id FROM docs
+        |ORDER BY md5(concat('graft-sample-7:', CAST(doc_id AS STRING))), doc_id
+        |LIMIT 3""".stripMargin)
+    assert(bk.exceptAll(expect).count() == 0 && expect.exceptAll(bk).count() == 0)
   }
 
   test("tdigest_quantile from SQL: mid and tail estimates inside exact bands") {
