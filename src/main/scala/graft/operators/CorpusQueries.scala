@@ -105,17 +105,25 @@ object CorpusQueries {
   /** C27: deterministic global shuffle — the training-order pass: a
     * total order by md5(seed || doc_id) is uniform (no hot range),
     * reproducible in any engine, and re-materializing the corpus
-    * yields the identical order. Plans as a range-partitioned sort:
-    * at 100 TB every partition gets an even slice of the hash space,
-    * so the sort never skews. Seed pinned ("graft-shuffle-42").
+    * yields the identical order. The position is assigned by
+    * range-partitioned sort + zipWithIndex (per-partition counts ->
+    * cumulative offsets -> local ranks), NOT a global row_number
+    * window — the window's empty partition spec would collapse the
+    * whole corpus into ONE task. zipWithIndex is one of the rare
+    * legitimate RDD drops: a global contiguous index is per-partition
+    * imperative logic the DataFrame API cannot express without that
+    * single-partition window. Seed pinned ("graft-shuffle-42").
     */
   def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val key = md5(concat(lit("graft-shuffle-42:"), col("doc_id").cast("string")))
-    Tables(spark, dir).documents
-      .withColumn("pos",
-        row_number().over(Window.orderBy(key, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("pos"))
+    val sorted = Tables(spark, dir).documents
+      .select(col("doc_id"), key.as("k"))
+      .orderBy(col("k"), col("doc_id")) // range partition + in-partition sort
+    sorted.select(col("doc_id")).as[Long].rdd
+      .zipWithIndex() // preserves the range-sorted partition order
+      .map { case (id, i) => (id, i + 1L) }
+      .toDF("doc_id", "pos")
       .orderBy(col("doc_id"))
   }
 
