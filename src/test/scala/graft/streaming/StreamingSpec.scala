@@ -117,6 +117,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("A20: bloom decontamination blob prefilters a document stream (stream-static)") {
+    import graft.functions.{bloom_agg, bloom_might_contain, rolling_hash64}
+    val docs = Tables(spark, sf).documents
+    val docDir = tmp("bloom-in")
+    docs.write.mode("overwrite").parquet(docDir.resolve("p").toString)
+    // the benchmark blob is STATIC (built once, broadcast into every
+    // micro-batch) — the streaming form of the C25 decontamination
+    // prefilter: ingest-time flagging against a fixed held-out set
+    val blob = docs.filter(col("source") === "src0")
+      .agg(bloom_agg(rolling_hash64(col("text")), numBits = 1 << 12).as("bf"))
+    val streamIn = spark.readStream.schema(docs.schema)
+      .parquet(docDir.toString + "/*/")
+    val flagged = streamIn.crossJoin(broadcast(blob))
+      .filter(bloom_might_contain(col("bf"), rolling_hash64(col("text"))))
+      .select(col("doc_id"))
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bloom_out")
+    val want = docs.crossJoin(broadcast(blob))
+      .filter(bloom_might_contain(col("bf"), rolling_hash64(col("text"))))
+      .select(col("doc_id"))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() >= docs.filter(col("source") === "src0").count())
+  }
+
   test("A10: streaming windowed agg equals batch time-bucket agg") {
     val events = Tables(spark, sf).events
     val evDir = tmp("ev-in")
