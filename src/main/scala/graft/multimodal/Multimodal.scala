@@ -60,4 +60,35 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
   }
+
+  case class FrameRecord(doc_id: Long, frame_idx: Long, off: Long,
+                         frame_len: Long, frame_sum: Long)
+
+  /** C12b: frame sampling — the one-row-in, N-frame-rows-out stage of
+    * a video pipeline: stride windows over the payload, one feature
+    * row per sampled frame. Same stub discipline as [[decodeBatch]]:
+    * the "frame grab" is a deterministic byte-window fold (so the
+    * oracle replays it on the UTF-8 payload), while the partition-
+    * local batch shape — the part a real codec slots into — is real.
+    * Map-only (no shuffle): frame explosion multiplies rows, so at
+    * 100 TB it must happen AFTER any filtering, never before.
+    */
+  def frameSample(media: DataFrame, stride: Int = 32,
+                  frameLen: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        (0 until (if (n == 0) 0 else (n - 1) / stride + 1)).map { f =>
+          val off = f * stride
+          val len = math.min(frameLen, n - off)
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += (r.payload(i) & 0xff); i += 1 }
+          FrameRecord(r.doc_id, f.toLong, off.toLong, len.toLong, sum)
+        }
+      })
+      .toDF()
+  }
 }

@@ -163,6 +163,13 @@ object PipelineQueries {
     Multimodal.decodePipeline(Multimodal.asMedia(Tables(spark, dir).documents))
       .orderBy(col("doc_id"))
 
+  /** C12b: frame sampling — one media row explodes to N per-frame
+    * feature rows (stride 32, frame 16, pinned for the oracle).
+    */
+  def qMmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.asMedia(Tables(spark, dir).documents))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
@@ -181,6 +188,7 @@ object PipelineQueries {
     "q_text_tokens"     -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_binary"       -> (qMmBinary _),
+    "q_mm_frames"       -> (qMmFrames _),
     "q_topk_freq"       -> (qTopkFreq _),
     "q_dup_clusters"    -> (qDupClusters _),
   )
@@ -518,5 +526,19 @@ object PipelineQueries {
         | ((doc_id % 48 + 1) // 2 + 1)::int AS out_h,
         | CASE WHEN n_bytes = 0 THEN 0 ELSE (n_bytes - 1) // 7 + 1 END::bigint AS sampled_len
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // frame windows replayed on the (ASCII) payload: stride 32,
+    // frame 16 — same constants pinned in qMmFrames
+    "q_mm_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, text, length(text) AS n,
+        |   unnest(generate_series(0, CAST(floor((length(text)-1)/32) AS INT))) AS fi
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(fi*32 AS BIGINT) AS off,
+        | CAST(least(16, n - fi*32) AS BIGINT) AS frame_len,
+        | CAST(list_sum(list_transform(generate_series(1, least(16, n - fi*32)),
+        |    i -> ascii(substr(text, fi*32 + i, 1)))) AS BIGINT) AS frame_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
