@@ -179,7 +179,55 @@ object CurationQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** C22b: APPLY the mixture plan — join each doc to its language's
+    * computed sampling rate (broadcast: the plan is nLangs rows) and
+    * keep by the same deterministic percent-hash as C21; reports the
+    * achieved per-language mixture. Budget 20000 so the dominant
+    * language actually downsamples at test scale. The full loop a
+    * mixture designer runs: stats -> rates -> materialized sample,
+    * all engine-reproducible.
+    */
+  def qMixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val plan = d.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).cast("long").as("tokens"))
+      .withColumn("rate",
+        least(lit(1.0), lit(20000.0 / 4) / col("tokens").cast("double")))
+      .select(col("lang"), col("rate"))
+    val pct = ((col("doc_id") % 100003L) * 31L + 7L) % 100L
+    d.join(broadcast(plan), "lang")
+      .withColumn("keep", (pct.cast("double") < col("rate") * 100.0).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("keep") * col("n_tok")).cast("long").as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** C30: curriculum ordering — global training order by quality tier
+    * (word-count bucket, easy-to-hard) with a deterministic shuffle
+    * WITHIN each tier (md5 priority, like C27). Position assignment
+    * is range-sort + zipWithIndex, never a single-partition window.
+    */
+  def qCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+      .withColumn("tier",
+        least(lit(3L), floor(size(split(col("text"), " ")) / lit(50.0)).cast("long")))
+    val key = md5(concat(lit("graft-curr-1:"), col("doc_id").cast("string")))
+    d.select(col("doc_id"), col("tier"), key.as("k"))
+      .orderBy(col("tier"), col("k"), col("doc_id"))
+      .select(col("doc_id"), col("tier")).as[(Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((id, t), i) => (id, t, i + 1L) }
+      .toDF("doc_id", "tier", "pos")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_apply"   -> (qMixtureApply _),
+    "q_curriculum_order" -> (qCurriculumOrder _),
     "q_pack_sequences"  -> (qPackSequences _),
     "q_sample_split"    -> (qSampleSplit _),
     "q_dedup_keepbest"  -> (qDedupKeepBest _),
@@ -192,6 +240,26 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_apply" ->
+      """WITH d AS (SELECT lang, doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
+        |p AS (SELECT lang, least(1.0, (20000/4)/CAST(sum(n_tok) AS BIGINT)) AS rate
+        |      FROM d GROUP BY lang)
+        |SELECT d.lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN ((d.doc_id % 100003)*31 + 7) % 100 < p.rate*100
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN ((d.doc_id % 100003)*31 + 7) % 100 < p.rate*100
+        |   THEN d.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM d JOIN p USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_curriculum_order" ->
+      """WITH d AS (SELECT doc_id,
+        |  least(3, CAST(floor(len(string_split(text,' '))/50) AS BIGINT)) AS tier
+        | FROM documents)
+        |SELECT doc_id, tier, CAST(row_number() OVER (
+        |  ORDER BY tier, md5('graft-curr-1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  AS BIGINT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         | SELECT doc_id, len(string_split(text,' ')) AS n_tok,
