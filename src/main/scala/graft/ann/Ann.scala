@@ -134,7 +134,14 @@ object Ann {
     * surface semantic dedup builds on. Returns (vec_id, list_id).
     */
   def ivfAssign(emb: DataFrame, nLists: Int = 8): DataFrame =
-    assignToCentroids(emb, ivfCentroids(emb, nLists))
+    ivfAssignTo(emb, ivfCentroids(emb, nLists))
+
+  /** Assignment against ALREADY-BUILT centroids — callers that also
+    * join the centroids back (outlier scoring) pass the same frame
+    * here so the centroid lineage isn't computed twice.
+    */
+  def ivfAssignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroids(emb, cents)
       .select(col("vec_id"), col("list_id"))
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,

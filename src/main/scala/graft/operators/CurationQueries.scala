@@ -225,7 +225,36 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C31: corpus-informed rarity score — each word's global frequency
+    * RANK (dense corpus statistic), per-doc mean rank as the quality
+    * signal (high = rare-word-heavy). All integer math (counts,
+    * ranks, scaled mean), so the score is bit-reproducible anywhere —
+    * the trap this sidesteps is summing per-word log-probs in
+    * doubles, whose aggregation order drifts across partitionings.
+    * Vocab ranking is sort + zipWithIndex (no single-partition
+    * window); the doc-side join shuffles on the word key.
+    */
+  def qRarityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val rk = freq.orderBy(col("cnt").desc, col("word"))
+      .select(col("word"), col("cnt")).as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((word, _), i) => (word, i + 1L) }
+      .toDF("word", "rank")
+    w.join(rk, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("rank")).cast("long").as("rank_sum"),
+        floor(sum(col("rank")) * lit(1000.0) / count(lit(1))).cast("long")
+          .as("rarity_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rarity_score"    -> (qRarityScore _),
     "q_mixture_apply"   -> (qMixtureApply _),
     "q_curriculum_order" -> (qCurriculumOrder _),
     "q_pack_sequences"  -> (qPackSequences _),
@@ -240,6 +269,16 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rarity_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |rk AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+        |       FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(rank) AS BIGINT) AS rank_sum,
+        | CAST(floor(sum(rank)*1000.0/count(*)) AS BIGINT) AS rarity_score
+        |FROM w JOIN rk USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_mixture_apply" ->
       """WITH d AS (SELECT lang, doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
         |p AS (SELECT lang, least(1.0, (20000/4)/CAST(sum(n_tok) AS BIGINT)) AS rate

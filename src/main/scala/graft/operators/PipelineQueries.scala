@@ -108,6 +108,27 @@ object PipelineQueries {
     graft.dedup.Dedup.semanticDedup(Tables(spark, dir).embeddings, nLists = 8)
       .orderBy(col("vec_id"))
 
+  /** C32: embedding outliers — each vector's cosine to its own IVF
+    * cluster centroid, the curation signal for "semantically isolated"
+    * documents (low cos = far from every mass of the corpus). The
+    * centroid is the deterministic scaled-long Lloyd mean, the cosine
+    * a per-row left-to-right double fold — no float AGGREGATION
+    * anywhere, so the score is bit-reproducible (full oracle). One
+    * broadcast join per side; the corpus never shuffles.
+    */
+  def qEmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = Ann.ivfCentroids(emb, nLists = 8)
+    Ann.ivfAssignTo(emb, cents)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(cents), "list_id")
+      .select(col("vec_id"), col("list_id").cast("long").as("cluster_id"),
+        (graft.functions.dot_double(col("embedding"), col("carr")) /
+          (graft.functions.norm_double(col("embedding")) *
+            graft.functions.norm_double(col("carr")))).as("cos_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C8 */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
@@ -183,6 +204,7 @@ object PipelineQueries {
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
     "q_semantic_dedup"  -> (qSemanticDedup _),
+    "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_text_langid"     -> (qTextLangid _),
     "q_text_quality"    -> (qTextQuality _),
     "q_text_tokens"     -> (qTextTokens _),
@@ -427,6 +449,19 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the same replayed quantizer, then per-row cosine to the OWN
+    // cluster's centroid (no float aggregation -> bit-reproducible)
+    "q_embedding_outliers" ->
+      s"""WITH $embCte,
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1)
+         |SELECT a2.vec_id, CAST(a2.list_id AS BIGINT) AS cluster_id,
+         | ${dotSql("ed.e", "lloyd.carr")} /
+         |   (${normSql("ed.e")} * ${normSql("lloyd.carr")}) AS cos_centroid
+         |FROM a2 JOIN ed USING (vec_id) JOIN lloyd USING (list_id)
+         |ORDER BY a2.vec_id""".stripMargin,
 
     // the same replayed quantizer, then keep-min-per-cluster
     "q_semantic_dedup" ->
