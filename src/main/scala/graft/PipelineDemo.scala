@@ -21,6 +21,11 @@ object PipelineDemo {
     val docs = Tables(spark, sfDir).documents
     val raw = docs.count()
 
+    // 0. PII scrub (map-only; counts verify the pass ran)
+    val redacted = operators.CorpusQueries.qPiiRedact(spark, sfDir)
+    val redactions = redacted.agg(sum(col("n_emails") + col("n_phones")))
+      .head.getLong(0)
+
     // 1. quality filter (Gopher-style bounds)
     val quality = TextAnalysis.qualityFeatures(docs)
       .filter(col("n_words").between(20, 100000) &&
@@ -35,8 +40,14 @@ object PipelineDemo {
     val deduped = quality.join(canonical, quality("doc_id") === canonical("id"), "left_semi")
     val afterDedup = deduped.count()
 
+    // 2b. benchmark decontamination via the Bloom prefilter: drop
+    // training docs sharing a 5-gram with the held-out src0 set
+    val contaminated = operators.CorpusQueries.qBloomContamination(spark, sfDir)
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val afterDecontam = clean.count()
+
     // 3. deterministic split of the surviving corpus
-    val surviving = docs.join(deduped, "doc_id")
+    val surviving = docs.join(clean, "doc_id")
       .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
       .withColumn("split",
         when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
@@ -59,10 +70,12 @@ object PipelineDemo {
     val nBins = bins.count()
     val trainDocs = packed.count()
 
-    println(s"[ PipelineDemo ] raw=$raw -> quality=$kept -> deduped=$afterDedup " +
+    println(s"[ PipelineDemo ] raw=$raw (redactions=$redactions) -> quality=$kept " +
+      s"-> deduped=$afterDedup -> decontaminated=$afterDecontam " +
       s"-> splits: $splits -> packed train: $trainDocs docs into $nBins bins")
     spark.stop()
-    if (kept > raw || afterDedup > kept || splitTotal != afterDedup ||
+    if (kept > raw || afterDedup > kept || afterDecontam > afterDedup ||
+      splitTotal != afterDecontam || redactions < raw ||
       (trainDocs > 0 && nBins == 0)) sys.exit(1)
   }
 }
