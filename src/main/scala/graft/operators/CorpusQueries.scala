@@ -74,6 +74,15 @@ object CorpusQueries {
     val prefiltered = train.crossJoin(broadcast(blob))
       .filter(graft.functions.bloom_might_contain(col("bf"), col("gh")))
       .select(col("doc_id"), col("gh"))
+      // pin the stage order by MATERIALIZING the prefiltered stream:
+      // PushDownLeftSemiAntiJoin is not cost-based — it would always
+      // sink the confirm semi-join below the bloom probe (harmless
+      // while the eval set broadcasts, but at the scale where it must
+      // shuffle-join, the corpus would shuffle BEFORE the prefilter —
+      // the exact cost the bloom removes). The cache is an optimizer
+      // barrier, and what it holds is small by design: only
+      // bloom-surviving postings (~hit rate + fpp of the corpus).
+      .cache()
     prefiltered.join(eval, Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))

@@ -140,6 +140,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastExchange"), p)
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+    // the CONTRACT query must keep the probe BELOW the confirm
+    // semi-join (PushDownLeftSemiAntiJoin would sink the semi under
+    // the probe; the cache barrier pins prefilter-then-confirm)
+    try {
+      val q = graft.operators.CorpusQueries.qBloomContamination(spark, sf)
+      val cp = q.queryExecution.optimizedPlan.toString
+      val semiAt = cp.indexOf("LeftSemi")
+      val memAt = cp.indexOf("InMemoryRelation")
+      assert(semiAt >= 0 && memAt > semiAt,
+        s"semi-join must consume the cached prefilter:\n$cp")
+    } finally spark.catalog.clearCache()
   }
 
   test("dead-letter quarantine: corrupt lines are kept, valid lines parse") {
