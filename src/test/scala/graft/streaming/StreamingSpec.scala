@@ -283,6 +283,17 @@ class StreamingSpec extends AnyFunSuite {
     val emptyDocs = Tables(spark, sf).documents.limit(0)
     assert(graft.dedup.Dedup.minhashLsh(emptyDocs).count() == 0)
     assert(graft.dedup.Dedup.exact(emptyDocs).count() == 0)
+    assert(graft.dedup.Dedup.containmentPairs(emptyDocs, 0.6).count() == 0)
+    assert(graft.dedup.Dedup.containmentPairsPrefix(emptyDocs, 0.6).count() == 0)
+    // skew stat on an empty corpus is 0 (not NaN/NPE) -> plain path
+    assert(graft.dedup.Dedup.shingleDfSkew(emptyDocs) == 0.0)
+    val emptyEmb = Tables(spark, sf).embeddings.limit(0)
+    assert(graft.dedup.Dedup.semanticDedup(emptyEmb).count() == 0)
+    assert(graft.ann.Ann.bruteTopK(emptyEmb, emptyEmb, 5).count() == 0)
+    assert(graft.ann.Ann.ivfTopK(emptyEmb, emptyEmb, 5).count() == 0)
+    // frame sampling of empty media emits zero frames
+    assert(graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.asMedia(emptyDocs)).count() == 0)
   }
 
   test("A12b: sync-log sink appends the batch log lines to a dated file") {
