@@ -43,6 +43,7 @@ object SparkEntry {
     "q_asof_forward"   -> (Relational.qAsofForward _),
     "q_asof_nearest"   -> (Relational.qAsofNearest _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
+    "q_big_orders"     -> (Relational.qBigOrders _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
   )
@@ -197,6 +198,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | sum(cast(round(l_quantity*100) as bigint))/100.0 AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(round(l_quantity*100) as bigint)) > 25000)
+        | AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

@@ -366,6 +366,32 @@ object Relational {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** B25 (TPC-H Q18 shape): HAVING-subquery + multi-join — large-order
+    * customers. The "orders above an aggregate threshold" set is a
+    * semi-join against a pre-aggregated lineitem (the HAVING
+    * subquery); the qualifying keys are a tiny fraction of lineitem,
+    * so the re-aggregation after the join touches only survivors.
+    * Money math in scaled cents (bit-exact vs the oracle).
+    */
+  def qBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val qualifying = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty4"))
+      .filter(col("qty4") > 25000L)
+      .select(col("l_orderkey"))
+    val li = t.lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")
+    li.join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
