@@ -44,6 +44,7 @@ object SparkEntry {
     "q_asof_nearest"   -> (Relational.qAsofNearest _),
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_big_orders"     -> (Relational.qBigOrders _),
+    "q_small_qty"      -> (Relational.qSmallQtyRevenue _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
   )
@@ -210,6 +211,16 @@ object SparkEntry {
         | AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_small_qty" ->
+      """WITH th AS (SELECT l_partkey,
+        |  0.2 * (CAST(sum(cast(round(l_quantity*100) as bigint)) AS DOUBLE)
+        |         / count(*)) AS t100
+        | FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        | sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS total_price
+        |FROM lineitem JOIN th USING (l_partkey)
+        |WHERE CAST(round(l_quantity*100) AS BIGINT) < t100""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

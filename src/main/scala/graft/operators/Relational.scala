@@ -392,6 +392,26 @@ object Relational {
       .limit(20)
   }
 
+  /** B26 (TPC-H Q17 shape): correlated scalar subquery — lineitems
+    * below 20% of their part's average quantity. The correlation
+    * decorrelates to a per-part aggregate joined back; the threshold
+    * is derived from EXACT integers (scaled-cents sum / count) with
+    * one double multiply, so both engines compute the identical
+    * IEEE value and the boundary compare can't drift.
+    */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val th = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(cents(col("l_quantity"))).cast("double") /
+        count(lit(1)))).as("t100"))
+    t.lineitem
+      .join(th, Seq("l_partkey"))
+      .filter(cents(col("l_quantity")).cast("double") < col("t100"))
+      .agg(count(lit(1)).cast("long").as("n_small"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
