@@ -231,6 +231,33 @@ final class SnapshotStore(
     } finally ml.close()
   }
 
+  /** Change feed between two committed versions — what downstream
+    * incremental consumers (index refresh, training-shard recompute)
+    * read instead of re-scanning the table. File-level diff first:
+    * the copy-on-write merge carries unchanged files BY PATH, so only
+    * files unique to one side are read at all — change-feed cost
+    * scales with what changed, not table size. Returns vTo's rows
+    * from its new/rewritten files minus vFrom's rows from its
+    * dropped/rewritten files (exceptAll over just those files): the
+    * upserted row versions, exactly.
+    */
+  def changes(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changes($vFrom, $vTo): vFrom must be <= vTo")
+    val fromM = manifest(vFrom)
+    val toM = manifest(vTo)
+    val fromPaths = fromM.map(_.path).toSet
+    val toPaths = toM.map(_.path).toSet
+    val added = toM.filterNot(f => fromPaths(f.path)).map(_.path)
+    val dropped = fromM.filterNot(f => toPaths(f.path)).map(_.path)
+    val newRows =
+      if (added.isEmpty) readVersion(vTo).limit(0)
+      else spark.read.parquet(added: _*)
+    val oldRows =
+      if (dropped.isEmpty) newRows.limit(0)
+      else spark.read.parquet(dropped: _*)
+    newRows.exceptAll(oldRows)
+  }
+
   /** Table maintenance (the OPTIMIZE/compact command of a table
     * format): the copy-on-write merge accretes one file set per
     * delta, so long-running ingest fragments the table; this rewrites

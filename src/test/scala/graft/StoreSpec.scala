@@ -157,6 +157,38 @@ class StoreSpec extends AnyFunSuite {
     assert(store.read().get.count() == before)
   }
 
+  test("change feed: version diff equals the merged delta's upserts, file-diff-only") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 8)
+    val log = parsedLog
+    store.merge(log)
+    // a delta touching one existing key + one new key
+    val oneKey = log.orderBy(col("user_id")).limit(1)
+      .select(col("user_id")).head.getLong(0)
+    val delta = log.filter(col("user_id") === oneKey)
+      .withColumn("current_ts", lit("2099-01-01 00:00:00.000000")).limit(1)
+      .unionByName(log.limit(1).withColumn("user_id", col("user_id") + 1000000L))
+    store.merge(delta)
+    val feed = store.changes(0L, 1L)
+    // the feed is exactly the new row versions: the delta's keys,
+    // with their post-merge state
+    val touched = feed.select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val deltaKeys = delta.select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaKeys.subsetOf(touched), s"feed $touched misses $deltaKeys")
+    // feed rows match the current snapshot's state for those keys
+    val current = store.read().get
+      .filter(col("user_id").isInCollection(touched))
+    assertSameRows(feed.filter(col("user_id").isInCollection(deltaKeys)),
+      current.filter(col("user_id").isInCollection(deltaKeys)))
+    // and untouched keys vastly outnumber touched ones: the diff only
+    // read rewritten files, never the carried-over bulk
+    assert(feed.count() < store.read().get.count() / 2,
+      "change feed must not rescan the table")
+    // identical versions diff to empty
+    assert(store.changes(1L, 1L).count() == 0)
+  }
+
   test("vacuum retains only the versions in-flight readers can need") {
     val root = newRoot()
     val store = new SnapshotStore(spark, root, "user_id", keepVersions = 2)
