@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Path}
+import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -272,6 +273,42 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(spark.table("dedup_out").count() == 200)
     assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
+  }
+
+  test("A10d: watermark drops late events from the windowed aggregation") {
+    import spark.implicits._
+    val dir = tmp("late-in")
+    def ev(hour: Int, n: Int): Seq[(Timestamp, String, Double)] =
+      (0 until n).map(i => (Timestamp.valueOf(f"2020-01-01 $hour%02d:10:0$i"),
+        "click", 1.0))
+    // batch 1: windows 0..3 plus an hour-20 event that advances the
+    // watermark to 18:10 once the batch completes
+    (ev(0, 2) ++ ev(1, 3) ++ ev(2, 1) ++ ev(3, 1) ++ ev(20, 1))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1) // ONE part file: the file source batches per FILE
+      .write.parquet(dir.resolve("f1").toString)
+    val streamIn = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ts timestamp, event_type string, value double"))
+      .parquet(dir.toString + "/*/")
+    val q = EventStream.windowedAgg(streamIn, "1 hour", "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .start()
+    q.processAllAvailable() // batch 1 commits; watermark now 18:10
+    // arrival 2: one LATE event in hour 1 (window end 02:00 << the
+    // committed watermark -> must be dropped) + one at 21 to close
+    // window 20
+    (ev(1, 1) ++ ev(21, 1)).toDF("ts", "event_type", "value")
+      .coalesce(1)
+      .write.parquet(dir.resolve("f2").toString)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late_out")
+      .select(col("bucket"), col("n")).as[(String, Long)].collect().toMap
+    // hour-1 window emitted with ONLY batch-1 rows: the late event
+    // arrived after the watermark passed its window and was dropped
+    assert(got("2020-01-01 01:00:00") == 3L, got.toString)
+    assert(got("2020-01-01 00:00:00") == 2L, got.toString)
   }
 
   test("robustness: core ops survive empty input") {
