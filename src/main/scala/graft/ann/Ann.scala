@@ -174,6 +174,126 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C7c: Product-quantization (PQ) ANN — the memory-compressed scale
+    * tier: each (normalized) vector is encoded as `m` small codes
+    * (one per subspace of `subDim = 64/m` dims), and queries score
+    * candidates entirely in the compressed domain via ADC (asymmetric
+    * distance computation): the query precomputes its distance to
+    * every codeword once (an m x k table, broadcast), then a
+    * candidate's distance is just m table lookups summed — the corpus
+    * scan reads CODES (m small ints per vector), never the float
+    * vectors. At 100 TB of raw embeddings the code table is ~32x
+    * smaller, which is the difference between an in-memory scan and a
+    * disk-bound one. Everything is deterministic (affine-hash seed
+    * codebooks — same rule as [[ivfCentroids]] — and fixed-order
+    * float folds), so the full pipeline replays in the SQL oracle.
+    *
+    * Vectors are L2-normalized before encoding, so ascending ADC
+    * distance is descending cosine (|a-b|^2 = 2 - 2cos on the unit
+    * sphere) and results are comparable with the other ANN tiers.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val subDim = 64 / m
+    val seedOrd = pmod(col("vec_id") * lit(2654435761L), lit(1000003L))
+    val seedRows = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(seedOrd, col("vec_id")).limit(k)
+      .withColumn("nrm", graft.functions.norm_double(col("embedding")))
+    // row_number over only k rows (post-limit), same pattern as IVF
+    val coded = seedRows.withColumn("code",
+      row_number().over(Window.orderBy(seedOrd, col("vec_id"))))
+    coded.select(col("code"),
+        explode(array((0 until m).map { mm =>
+          struct(lit(mm).as("sub"),
+            array((0 until subDim).map(d =>
+              col("embedding").getItem(mm * subDim + d).cast("double") / col("nrm")): _*)
+              .as("cent"))
+        }: _*)).as("s"))
+      .select(col("s.sub").as("sub"), col("code"), col("s.cent").as("cent"))
+  }
+
+  /** Squared L2 distance between the row's `sub`-th normalized
+    * subvector (of the full array in `eCol`, norm in `nCol`) and the
+    * codebook row's `cent` — a fixed left-to-right fold so the float
+    * result is bit-identical to the oracle's `list_sum` replay.
+    */
+  private def pqSubDist(eCol: String, nCol: String, subDim: Int) =
+    (0 until subDim).map { d =>
+      val x = element_at(col(eCol), col("sub") * subDim + lit(d + 1)).cast("double") / col(nCol)
+      val c = col("cent").getItem(d)
+      (x - c) * (x - c)
+    }.reduce(_ + _)
+
+  /** Nearest-codeword assignment per (vector, subspace): the corpus
+    * crosses only the broadcast m x k codebook and `min_by` collapses
+    * the k candidates map-side before any exchange. Ties break to the
+    * smaller code, mirrored in the oracle. Returns (vec_id, sub, code).
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int = 8): DataFrame = {
+    val subDim = 64 / m
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.norm_double(col("embedding")))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
+
+  /** PQ top-k. With `rerank = 0` the ranking is pure compressed-domain
+    * ADC — cheapest, but vectors inside one quantization cell tie (on
+    * a clustered corpus the within-cell order is id, not similarity).
+    * With `rerank = R > 0` the ADC scan only SHORTLISTS R candidates
+    * per query and the exact cosine re-ranks that shortlist — the
+    * float vectors are fetched for queries x R rows instead of the
+    * whole corpus, which is the production IVF-PQ shape: compressed
+    * scan for candidates, exact math on a sliver.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+             m: Int = 8, k: Int = 16, rerank: Int = 0): DataFrame = {
+    val subDim = 64 / m
+    val cb = pqCodebooks(emb, m, k)
+    // corpus side: m codes per vector, packed to one array row
+    val codes = pqEncode(emb, cb, m)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id").as("neighbor_id"), col("sc").getField("code").as("codes"))
+    // query side: the ADC lookup table as a map keyed sub*k + (code-1)
+    val dtab = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.norm_double(col("embedding")))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
+    // ADC: m map lookups summed in fixed subspace order (deterministic
+    // float fold; no aggregation over doubles anywhere)
+    val scored = codes.crossJoin(broadcast(dtab))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", (0 until m).map(mm =>
+        element_at(col("dmap"), lit(mm * k) + col("codes").getItem(mm) - 1)).reduce(_ + _))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(adcW))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    } else {
+      val shortlist = scored.withColumn("srank", row_number().over(adcW))
+        .filter(col("srank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = shortlist
+        .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+        .join(broadcast(normed(queries, "query_id", "qe", "nq")), "query_id")
+        .withColumn("cos", cosPre("qe", "ce", "nq", "nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
   /** C7: LSH-bucketed approximate top-k: only vectors in buckets the
     * query probes are scored. `multiProbe = true` additionally probes
     * every bucket at hamming distance 1 from the query's (flip each

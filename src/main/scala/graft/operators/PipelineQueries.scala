@@ -100,6 +100,18 @@ object PipelineQueries {
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nLists = 8, nprobe = 2)
   }
 
+  /** C7c: product-quantization ANN (approximate; recall and the
+    * k==corpus exactness anchor measured in spec). Fully
+    * oracle-checked: the affine-hash codebook seeds, per-subspace
+    * nearest-codeword encoding, and the fixed-order ADC sums are all
+    * deterministic and replicated in the SQL oracle.
+    */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Ann.pqTopK(emb, emb.filter(col("vec_id") < 8), topK = 5, m = 8, k = 16,
+      rerank = 32)
+  }
+
   /** C28: semantic dedup over the IVF clustering (deterministic, so
     * the oracle replays the full seeds -> Lloyd -> assign pipeline
     * and the keep-one-per-cluster choice exactly).
@@ -203,6 +215,7 @@ object PipelineQueries {
     "q_ann_brute"       -> (qAnnBrute _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
+    "q_ann_pq"          -> (qAnnPq _),
     "q_semantic_dedup"  -> (qSemanticDedup _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_text_langid"     -> (qTextLangid _),
@@ -425,6 +438,52 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the full PQ pipeline replayed in SQL: affine-hash codebook
+    // seeds (normalized subvector slices), per-subspace nearest-code
+    // assignment (ties to the smaller code, as min_by's struct
+    // order), then ADC = the query's per-codeword distances summed in
+    // ascending-subspace order — list(d2 ORDER BY sub) + list_sum is
+    // the same left-to-right fold as the Spark expression.
+    "q_ann_pq" ->
+      s"""WITH $embCte,
+         |pseed0 AS (SELECT vec_id, e FROM ed
+         |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+         |pseed AS (SELECT row_number() OVER
+         |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS code, e FROM pseed0),
+         |cb AS (SELECT sub, code,
+         |  list_transform(list_slice(pseed.e, sub*8 + 1, sub*8 + 8),
+         |    x -> x / ${normSql("pseed.e")}) AS cent
+         | FROM pseed CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) subs),
+         |dist AS (SELECT v.vec_id, cb.sub, cb.code,
+         |  list_sum(list_transform(
+         |    list_zip(list_transform(list_slice(v.e, cb.sub*8 + 1, cb.sub*8 + 8),
+         |               x -> x / ${normSql("v.e")}), cb.cent),
+         |    s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+         | FROM ed v CROSS JOIN cb),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |adc AS (SELECT dq.vec_id AS query_id, cn.vec_id AS neighbor_id,
+         |  list_sum(list(dq.d2 ORDER BY cn.sub)) AS adc
+         | FROM codes cn JOIN dist dq ON dq.sub = cn.sub AND dq.code = cn.code
+         | WHERE dq.vec_id < 8 AND dq.vec_id != cn.vec_id
+         | GROUP BY 1, 2),
+         |shortlist AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
+         | FROM adc) WHERE srank <= 32),
+         |rescored AS (SELECT query_id, neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM shortlist
+         |  JOIN ed qe ON query_id = qe.vec_id JOIN ed ce ON neighbor_id = ce.vec_id
+         |  JOIN nm nq ON query_id = nq.vec_id JOIN nm nc ON neighbor_id = nc.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM rescored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the full IVF pipeline replayed in SQL: affine-hash seed pick,
     // nearest-seed assignment, one Lloyd step in scaled-long space

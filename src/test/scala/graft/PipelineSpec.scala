@@ -87,6 +87,37 @@ class PipelineSpec extends AnyFunSuite {
       bruteR.exceptAll(full).count() == 0, "nprobe=nLists must equal brute force")
   }
 
+  test("C7c: PQ ANN — recall at k=16, exact when the codebook is the corpus") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id")
+    // pure ADC ties inside a quantization cell (this corpus is
+    // label-clustered, so cells are big): low recall is the honest
+    // property; the shortlist + exact re-rank recovers it while still
+    // scanning only codes
+    val plain = Ann.pqTopK(emb, q, 5, m = 8, k = 16).select("query_id", "neighbor_id")
+    val plainRecall = plain.intersect(brute).count().toDouble / brute.count()
+    val reranked = Ann.pqTopK(emb, q, 5, m = 8, k = 16, rerank = 32)
+      .select("query_id", "neighbor_id")
+    val rerankedRecall = reranked.intersect(brute).count().toDouble / brute.count()
+    assert(rerankedRecall >= 0.4, s"pq rerank=32 recall=$rerankedRecall")
+    assert(rerankedRecall >= plainRecall,
+      s"rerank must not hurt: $rerankedRecall vs $plainRecall")
+    // codebook = the whole corpus => every subvector is its own
+    // codeword (d2 exactly 0), quantization error vanishes and ADC is
+    // the exact normalized-L2 ranking == the cosine ranking
+    val n = emb.count().toInt
+    val full = Ann.pqTopK(emb, q, 5, m = 8, k = n)
+      .select("query_id", "neighbor_id", "rank")
+    val bruteR = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id", "rank")
+    assert(full.exceptAll(bruteR).count() == 0 &&
+      bruteR.exceptAll(full).count() == 0, "k=corpus must equal brute force")
+    // codes are genuinely compressed: m small ints per vector
+    val codes = Ann.pqEncode(emb, Ann.pqCodebooks(emb, 8, 16), 8)
+    assert(codes.count() == emb.count() * 8)
+    assert(codes.agg(max(col("code"))).head.getInt(0) <= 16)
+  }
+
   test("C5: LSH-bucketed embedding near-dups recover most exhaustive pairs") {
     val emb = Tables(spark, sf).embeddings
     val exact = Dedup.embeddingNearDups(emb, 0.4).select("id_a", "id_b")
