@@ -45,6 +45,8 @@ object SparkEntry {
     "q_skew_salted"    -> (Relational.qSkewSalted _),
     "q_big_orders"     -> (Relational.qBigOrders _),
     "q_small_qty"      -> (Relational.qSmallQtyRevenue _),
+    "q_min_cost"       -> (Relational.qMinCost _),
+    "q_solo_returns"   -> (Relational.qSoloReturns _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
   )
@@ -221,6 +223,33 @@ object SparkEntry {
         | sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS total_price
         |FROM lineitem JOIN th USING (l_partkey)
         |WHERE CAST(round(l_quantity*100) AS BIGINT) < t100""".stripMargin,
+
+    // correlated scalar-subquery form on purpose: the oracle checks
+    // the decorrelated rewrite, not a replay of it
+    "q_min_cost" ->
+      """SELECT p_partkey, p_brand, s_name, l_orderkey,
+        | cast(round(l_extendedprice*100) as bigint)/100.0 AS min_price
+        |FROM lineitem l1
+        | JOIN part ON p_partkey = l1.l_partkey
+        | JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND cast(round(l_extendedprice*100) as bigint) =
+        |      (SELECT min(cast(round(l2.l_extendedprice*100) as bigint))
+        |       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY p_partkey, s_name, l_orderkey""".stripMargin,
+
+    // the EXISTS / NOT EXISTS form on purpose (see q_min_cost)
+    "q_solo_returns" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1
+        |WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |     AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

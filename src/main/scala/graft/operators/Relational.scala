@@ -412,6 +412,56 @@ object Relational {
         (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
   }
 
+  /** B27 (TPC-H Q2 shape): correlated MIN subquery — for each part of
+    * one brand, the supplier line items priced at that part's global
+    * minimum. Decorrelated to a per-part min aggregate joined back on
+    * the already-co-partitioned key (one exchange feeds both the agg
+    * and the join); part and supplier dims broadcast. The compare is
+    * on exact scaled cents, so the boundary can't drift between
+    * engines. [oracle keeps the correlated scalar-subquery form, so
+    * the rewrite itself is what's being checked]
+    */
+  def qMinCost(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_partkey"), col("l_suppkey"),
+      col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+    val mn = li.groupBy(col("l_partkey")).agg(min(col("price_c")).as("min_price_c"))
+    li.join(mn, Seq("l_partkey"))
+      .filter(col("price_c") === col("min_price_c"))
+      .join(broadcast(t.part.select("p_partkey", "p_brand")
+        .filter(col("p_brand") === "Brand#1")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("l_orderkey"),
+        (col("min_price_c") / 100.0).as("min_price"))
+      .orderBy(col("p_partkey"), col("s_name"), col("l_orderkey"))
+  }
+
+  /** B28 (TPC-H Q21 shape): double-correlated EXISTS / NOT EXISTS —
+    * suppliers who were the ONLY supplier with a returned line in a
+    * multi-supplier order. Both correlated subqueries decorrelate
+    * into one per-order aggregate (distinct suppliers / distinct
+    * returned suppliers) joined back: one lineitem shuffle replaces
+    * two correlated self-joins — the shape that matters at 100 TB,
+    * where lineitem self-joins would each reshuffle the fact table.
+    * [oracle keeps the EXISTS/NOT EXISTS form]
+    */
+  def qSoloReturns(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    val stats = li.groupBy(col("l_orderkey")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_ret_supp"))
+    li.filter(col("l_returnflag") === "R")
+      .join(stats, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
