@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - double-accumulated dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("z_interleave"),
+      info("z_interleave", "z_interleave(bigint, bigint) - Morton Z-order key (low 21 bits each)"),
+      (exprs: Seq[Expression]) => graft.functions.ZInterleave(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(array<string>, k) - distinct xxhash64'd k-shingles"),

@@ -72,6 +72,24 @@ object HashAlgos {
     rollingHash(b, 0, b.length)
   }
 
+  /** Morton (Z-order) interleave of the LOW 21 BITS of two
+    * non-negative longs: a's bit i lands at position 2i, b's at
+    * 2i+1 — a 42-bit z-value whose ordering interleaves both
+    * dimensions (the multi-dimensional clustering key). Callers
+    * normalize inputs into [0, 2^21) first (e.g. minutes since the
+    * table's epoch); higher bits are ignored.
+    */
+  def zInterleave21(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Sequential left-to-right double-accumulated dot product; the
     * accumulation order is part of the contract (bit reproducibility
     * vs the DuckDB oracle and across partitionings).
@@ -298,6 +316,32 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashAlgos.$fnName($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(l, r)
+}
+
+/** D5: Morton/Z-order interleave of two LONG columns (low 21 bits
+  * each -> 42-bit z-value) — the multi-dimensional clustering key
+  * for layout that prunes on BOTH dimensions (see
+  * store.ZOrderLayout). Codegen'd; deterministic, so the SQL oracle
+  * replays it with shift/mask arithmetic.
+  */
+case class ZInterleave(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"z_interleave needs (BIGINT, BIGINT), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashAlgos.zInterleave21(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashAlgos.zInterleave21($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZInterleave =
     copy(l, r)
 }
 

@@ -32,6 +32,12 @@ package object functions {
   def repetition_stats(c: Column, k: Int): Column =
     toCol(RepetitionStats(toExpr(c), k))
 
+  /** D5: Morton/Z-order interleave of two long columns (low 21 bits
+    * each) — the 2-D clustering key. Inputs are cast to long.
+    */
+  def z_interleave(a: Column, b: Column): Column =
+    toCol(ZInterleave(toExpr(a.cast("long")), toExpr(b.cast("long"))))
+
   /** Mergeable Bloom filter over a LONG key column — emits the
     * serialized blob; probe with [[bloom_might_contain]]. The
     * broadcastable decontamination prefilter.

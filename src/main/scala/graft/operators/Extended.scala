@@ -110,6 +110,19 @@ object Extended {
         col("n_cust"), col("sum_bal"))
       .orderBy(col("segment"), col("nation"))
 
+  /** D5 kernel: the Z-order clustering key (codegen ZInterleave of
+    * user and minute-bucket dims) — the derived key ZOrderLayout
+    * clusters files by. The layout/pruning behavior is spec-tested
+    * (StoreSpec); this query oracle-checks the interleave arithmetic
+    * itself bit-for-bit.
+    */
+  def qZorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        graft.functions.z_interleave(col("user_id"),
+          expr("unix_micros(ts) div 60000000")).as("zval"))
+      .orderBy(col("event_id"))
+
   /** Scalar string-function surface, oracle-parity-checked: upper,
     * substring, length, replace, lpad, reverse, 1-based position.
     */
@@ -338,9 +351,22 @@ object Extended {
     "q_string_funcs"  -> (qStringFuncs _),
     "q_datetime_funcs" -> (qDatetimeFuncs _),
     "q_rank_dist"     -> (qRankDist _),
+    "q_zorder_key"    -> (qZorderKey _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the Morton interleave replayed with shift/mask arithmetic:
+    // a-bit i -> position 2i, b-bit i -> 2i+1, low 21 bits each
+    "q_zorder_key" ->
+      """SELECT event_id,
+        | CAST(list_sum(list_transform(generate_series(0, 20),
+        |   i -> (((u >> i) & 1) << (2*i)) + (((t >> i) & 1) << (2*i + 1))))
+        |  AS BIGINT) AS zval
+        |FROM (SELECT event_id, user_id & 2097151 AS u,
+        |        (epoch_us(cast(ts as timestamp)) // 60000000) & 2097151 AS t
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
     // the oracle's `true` asserts the HLL estimate is within 5% of
     // exact — a real accuracy gate, since the Spark side computes the
     // boolean from the live sketch

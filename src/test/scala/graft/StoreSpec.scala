@@ -77,6 +77,61 @@ class StoreSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("z-order layout prunes files on BOTH dimensions; linear layout can't") {
+    import graft.store.ZOrderLayout
+    val events = graft.sources.Tables(spark, sf).events
+    // normalize both dims to a COMMON bit width (1024 buckets): with
+    // unequal widths the wider dim owns every high interleave bit and
+    // the z-order degenerates to a single-dim sort
+    val b = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      min(col("user_id")), max(col("user_id"))).head
+    val (usLo, usHi, uidLo, uidHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val dims = events.select(col("event_id"),
+      ((col("user_id") - uidLo) * 1024L / (uidHi - uidLo + 1L)).cast("long").as("u"),
+      ((unix_micros(col("ts")) - usLo) * 1024L / (usHi - usLo + 1L)).cast("long").as("t"))
+    val nFiles = 16
+    val zPath = newRoot() + "/zorder"
+    ZOrderLayout.writeClustered(dims, "u", "t", nFiles, zPath)
+    val zStats = ZOrderLayout.fileStats(spark, zPath, "u", "t")
+    assert(zStats.size > 4, s"need several files, got ${zStats.size}")
+    // the same data range-clustered on u only (SnapshotStore's layout)
+    val linPath = newRoot() + "/linear"
+    dims.repartitionByRange(nFiles, col("u")).write.parquet(linPath)
+    val linStats = ZOrderLayout.fileStats(spark, linPath, "u", "t")
+    val (uLo, uHi) = {
+      val r = dims.agg(min(col("u")), max(col("u"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tLo, tHi) = {
+      val r = dims.agg(min(col("t")), max(col("t"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // a time-only slice (middle ~1/8 of the time span): the z layout
+    // skips files, the u-clustered layout cannot (every file spans
+    // all of t)
+    val tMid = tLo + (tHi - tLo) / 2
+    val tW = math.max(1L, (tHi - tLo) / 16)
+    val zHitT = ZOrderLayout.planFiles(zStats, Long.MinValue, Long.MaxValue,
+      tMid - tW, tMid + tW)
+    val linHitT = ZOrderLayout.planFiles(linStats, Long.MinValue, Long.MaxValue,
+      tMid - tW, tMid + tW)
+    assert(linHitT.size == linStats.size, "linear layout must scan everything")
+    assert(zHitT.size < zStats.size,
+      s"z layout must skip: hit ${zHitT.size} of ${zStats.size}")
+    // and a user-only slice still prunes too (both dims carry signal)
+    val uMid = uLo + (uHi - uLo) / 2
+    val uW = math.max(1L, (uHi - uLo) / 16)
+    val zHitU = ZOrderLayout.planFiles(zStats, uMid - uW, uMid + uW,
+      Long.MinValue, Long.MaxValue)
+    assert(zHitU.size < zStats.size,
+      s"z layout must skip on u too: hit ${zHitU.size} of ${zStats.size}")
+    // planned-file reads return exactly the filtered rows
+    val rect = spark.read.parquet(zHitT.map(_.path): _*)
+      .filter(col("t").between(tMid - tW, tMid + tW))
+    val full = dims.filter(col("t").between(tMid - tW, tMid + tW))
+    assert(rect.count() == full.count())
+  }
+
   test("copy-on-write merge rewrites only delta-affected files") {
     val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 8)
     val log = parsedLog
