@@ -294,6 +294,74 @@ object Ann {
     }
   }
 
+  /** C7d: IVF-PQ — the two tiers composed the way a production ANN
+    * index is built (coarse quantizer to prune the corpus, product
+    * codes to score what's left, exact math only on the shortlist):
+    * a query reads ~nprobe/nLists of the corpus and, within that,
+    * only the m-byte codes; float vectors are touched for
+    * queries x rerank rows. At a billion vectors this is the
+    * difference between scanning 256 GB of floats and ~8 GB of codes
+    * from 1/4 of the lists. Fully deterministic (both quantizers are
+    * the affine-hash constructions above), so the SQL oracle replays
+    * the entire composition.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+                nLists: Int = 8, nprobe: Int = 2,
+                m: Int = 8, k: Int = 16, rerank: Int = 32): DataFrame = {
+    val subDim = 64 / m
+    // coarse tier: refined centroids + per-vector list assignment
+    val cents = ivfCentroids(emb, nLists)
+    val lists = ivfAssignTo(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    // fine tier: PQ codes per corpus vector (global codebooks — the
+    // residual-free "flat PQ within lists" variant)
+    val cb = pqCodebooks(emb, m, k)
+    val codes = pqEncode(emb, cb, m)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id").as("neighbor_id"), col("sc").getField("code").as("codes"))
+      .join(lists, "neighbor_id")
+    // probe selection: each query's nprobe nearest centroids
+    val qScored = queries.crossJoin(broadcast(cents))
+      .withColumn("sim", dot_double(col("embedding"), col("carr")) /
+        (graft.functions.norm_double(col("embedding")) *
+          graft.functions.norm_double(col("carr"))))
+    val qw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("list_id"))
+    val probes = qScored.withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    // ADC tables per query, joined with its probe set
+    val dtab = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.norm_double(col("embedding")))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
+      .join(probes, "query_id")
+    // compressed-domain scan of ONLY the probed lists
+    val scored = codes.join(broadcast(dtab), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", (0 until m).map(mm =>
+        element_at(col("dmap"), lit(mm * k) + col("codes").getItem(mm) - 1)).reduce(_ + _))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(adcW))
+      .filter(col("srank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+      .join(broadcast(normed(queries, "query_id", "qe", "nq")), "query_id")
+      .withColumn("cos", cosPre("qe", "ce", "nq", "nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C7: LSH-bucketed approximate top-k: only vectors in buckets the
     * query probes are scored. `multiProbe = true` additionally probes
     * every bucket at hamming distance 1 from the query's (flip each

@@ -112,6 +112,17 @@ object PipelineQueries {
       rerank = 32)
   }
 
+  /** C7d: IVF-PQ composed ANN — coarse quantizer prunes to nprobe
+    * lists, PQ codes score the survivors, exact cosine re-ranks the
+    * shortlist. Fully oracle-checked (both deterministic quantizers
+    * replayed and composed in SQL).
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), topK = 5,
+      nLists = 8, nprobe = 2, m = 8, k = 16, rerank = 32)
+  }
+
   /** C28: semantic dedup over the IVF clustering (deterministic, so
     * the oracle replays the full seeds -> Lloyd -> assign pipeline
     * and the keep-one-per-cluster choice exactly).
@@ -216,6 +227,7 @@ object PipelineQueries {
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
     "q_ann_pq"          -> (qAnnPq _),
+    "q_ann_ivfpq"       -> (qAnnIvfPq _),
     "q_semantic_dedup"  -> (qSemanticDedup _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_text_langid"     -> (qTextLangid _),
@@ -298,6 +310,32 @@ object PipelineQueries {
        | ${ivfSimRank("ed", "seeds", "")}) WHERE rn = 1),
        |lloyd AS (SELECT list_id, $cent AS carr FROM a1 GROUP BY list_id),""".stripMargin
   }
+
+  /** The deterministic PQ pipeline replayed in SQL: affine-hash seed
+    * codebooks (normalized subvector slices), per-(vector, subspace)
+    * codeword distances, nearest-code assignment (ties to the smaller
+    * code = min_by's struct order). Assumes `ed`/`nm` from [[embCte]]
+    * are in scope; yields `cb`, `dist`, `codes`.
+    */
+  private val pqCtes: String =
+    s"""pseed0 AS (SELECT vec_id, e FROM ed
+       |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+       |pseed AS (SELECT row_number() OVER
+       |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS code, e FROM pseed0),
+       |cb AS (SELECT sub, code,
+       |  list_transform(list_slice(pseed.e, sub*8 + 1, sub*8 + 8),
+       |    x -> x / ${normSql("pseed.e")}) AS cent
+       | FROM pseed CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) subs),
+       |dist AS (SELECT v.vec_id, cb.sub, cb.code,
+       |  list_sum(list_transform(
+       |    list_zip(list_transform(list_slice(v.e, cb.sub*8 + 1, cb.sub*8 + 8),
+       |               x -> x / ${normSql("v.e")}), cb.cent),
+       |    s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+       | FROM ed v CROSS JOIN cb),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |  FROM dist) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -447,28 +485,46 @@ object PipelineQueries {
     // the same left-to-right fold as the Spark expression.
     "q_ann_pq" ->
       s"""WITH $embCte,
-         |pseed0 AS (SELECT vec_id, e FROM ed
-         |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
-         |pseed AS (SELECT row_number() OVER
-         |    (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS code, e FROM pseed0),
-         |cb AS (SELECT sub, code,
-         |  list_transform(list_slice(pseed.e, sub*8 + 1, sub*8 + 8),
-         |    x -> x / ${normSql("pseed.e")}) AS cent
-         | FROM pseed CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) subs),
-         |dist AS (SELECT v.vec_id, cb.sub, cb.code,
-         |  list_sum(list_transform(
-         |    list_zip(list_transform(list_slice(v.e, cb.sub*8 + 1, cb.sub*8 + 8),
-         |               x -> x / ${normSql("v.e")}), cb.cent),
-         |    s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
-         | FROM ed v CROSS JOIN cb),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-         |  FROM dist) WHERE rn = 1),
+         |$pqCtes,
          |adc AS (SELECT dq.vec_id AS query_id, cn.vec_id AS neighbor_id,
          |  list_sum(list(dq.d2 ORDER BY cn.sub)) AS adc
          | FROM codes cn JOIN dist dq ON dq.sub = cn.sub AND dq.code = cn.code
          | WHERE dq.vec_id < 8 AND dq.vec_id != cn.vec_id
+         | GROUP BY 1, 2),
+         |shortlist AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
+         | FROM adc) WHERE srank <= 32),
+         |rescored AS (SELECT query_id, neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM shortlist
+         |  JOIN ed qe ON query_id = qe.vec_id JOIN ed ce ON neighbor_id = ce.vec_id
+         |  JOIN nm nq ON query_id = nq.vec_id JOIN nm nc ON neighbor_id = nc.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM rescored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // both deterministic quantizers replayed and COMPOSED: the IVF
+    // probe set (a2/probes) gates which corpus vectors enter the
+    // PQ-coded ADC scan; shortlist then exact re-rank as in q_ann_pq.
+    "q_ann_ivfpq" ->
+      s"""WITH $embCte,
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+         |$pqCtes,
+         |adc AS (SELECT p.query_id, cn.vec_id AS neighbor_id,
+         |  list_sum(list(dq.d2 ORDER BY cn.sub)) AS adc
+         | FROM codes cn
+         |  JOIN a2 ON a2.neighbor_id = cn.vec_id
+         |  JOIN probes p ON p.list_id = a2.list_id
+         |  JOIN dist dq ON dq.sub = cn.sub AND dq.code = cn.code
+         |    AND dq.vec_id = p.query_id
+         | WHERE p.query_id != cn.vec_id
          | GROUP BY 1, 2),
          |shortlist AS (SELECT query_id, neighbor_id FROM (
          | SELECT query_id, neighbor_id,

@@ -118,6 +118,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(codes.agg(max(col("code"))).head.getInt(0) <= 16)
   }
 
+  test("C7d: IVF-PQ composed ANN — recall, and exact at full probe/codebook/rerank") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id")
+    val ivfpq = Ann.ivfPqTopK(emb, q, 5).select("query_id", "neighbor_id")
+    val recall = ivfpq.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.3, s"ivfpq recall=$recall")
+    // every approximation dial wide open => the exact scan: all lists
+    // probed, zero quantization error, shortlist = the whole corpus
+    val n = emb.count().toInt
+    val full = Ann.ivfPqTopK(emb, q, 5, nLists = 8, nprobe = 8,
+      m = 8, k = n, rerank = n).select("query_id", "neighbor_id", "rank")
+    val bruteR = Ann.bruteTopK(emb, q, 5).select("query_id", "neighbor_id", "rank")
+    assert(full.exceptAll(bruteR).count() == 0 &&
+      bruteR.exceptAll(full).count() == 0, "wide-open IVF-PQ must equal brute force")
+  }
+
   test("C5: LSH-bucketed embedding near-dups recover most exhaustive pairs") {
     val emb = Tables(spark, sf).embeddings
     val exact = Dedup.embeddingNearDups(emb, 0.4).select("id_a", "id_b")

@@ -329,6 +329,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ann.Ann.bruteTopK(emptyEmb, emptyEmb, 5).count() == 0)
     assert(graft.ann.Ann.ivfTopK(emptyEmb, emptyEmb, 5).count() == 0)
     assert(graft.ann.Ann.pqTopK(emptyEmb, emptyEmb, 5).count() == 0)
+    assert(graft.ann.Ann.ivfPqTopK(emptyEmb, emptyEmb, 5).count() == 0)
     // frame sampling of empty media emits zero frames
     assert(graft.multimodal.Multimodal.frameSample(
       graft.multimodal.Multimodal.asMedia(emptyDocs)).count() == 0)
