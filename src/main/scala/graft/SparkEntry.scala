@@ -49,6 +49,10 @@ object SparkEntry {
     "q_solo_returns"   -> (Relational.qSoloReturns _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
+    "q_custdist"       -> (Relational.qCustdist _),
+    "q_supplier_variety" -> (Relational.qSupplierVariety _),
+    "q_idle_rich"      -> (Relational.qIdleRich _),
+    "q_priority_count" -> (Relational.qPriorityCount _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -291,5 +295,49 @@ object SparkEntry {
         |  FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the OUTER-JOIN-with-ON-filter form on purpose: the Spark side
+    // runs the decorrelated pre-aggregated rewrite
+    "q_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // the NOT IN form on purpose (Spark runs the broadcast anti-join)
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // correlated scalar-AVG + NOT EXISTS form on purpose
+    "q_idle_rich" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | sum(cast(round(c_acctbal*100) as bigint))/100.0 AS totacctbal
+        |FROM customer c
+        |WHERE cast(cast(round(c_acctbal*100) as bigint) as double) >
+        |  (SELECT cast(sum(cast(round(c_acctbal*100) as bigint)) as double) / count(*)
+        |   FROM customer WHERE cast(round(c_acctbal*100) as bigint) > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // the EXISTS form on purpose (Spark runs the left-semi join)
+    "q_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

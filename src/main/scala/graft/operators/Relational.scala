@@ -462,6 +462,98 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** B29 (TPC-H Q13 shape): customer order-count distribution. The
+    * left join MUST keep zero-order customers (the ON-clause filter,
+    * not a WHERE), so the priority predicate is applied to orders
+    * BEFORE the outer join. Orders are pre-aggregated to per-customer
+    * counts first: the fact table collapses in its own exchange and
+    * the outer join then moves one row per customer, not one per
+    * order — at 100 TB the join input shrinks by the average order
+    * multiplicity before any wide row is built.
+    */
+  def qCustdist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cnts = t.orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    t.customer.select(col("c_custkey"))
+      .join(cnts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** B30 (TPC-H Q16 shape): supplier variety per part attribute —
+    * count(DISTINCT supplier) per (brand, size) over the lineitem
+    * part-supplier association, excluding suppliers from a NOT IN
+    * subquery (negative balance stands in for Q16's complaint
+    * filter). The NOT IN decorrelates to a broadcast anti-join (the
+    * excluded set is tiny by construction); the distinct-agg runs as
+    * partial distinct on (brand, size, suppkey) before the final
+    * exchange, so duplicate association rows die map-side.
+    */
+  def qSupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val excluded = t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t.part.filter(col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** B31 (TPC-H Q22 shape): idle rich customers — above-average
+    * balance, no URGENT orders (this synthetic data gives every
+    * customer some order, so the bare Q22 predicate would be vacuous).
+    * The correlated scalar AVG decorrelates to a one-row aggregate
+    * broadcast under every row's compare; the NOT EXISTS becomes a
+    * left-anti join against the distinct urgent-order custkeys.
+    * Threshold math: exact scaled-cents sum / exact count with ONE
+    * double division, so Spark and the oracle compute the identical
+    * IEEE boundary (an avg() of doubles would drift with aggregation
+    * order at scale).
+    */
+  def qIdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"),
+      cents(col("c_acctbal")).as("bal_c"))
+    val th = cust.filter(col("bal_c") > 0L)
+      .agg((sum(col("bal_c")).cast("double") / count(lit(1))).as("th"))
+    cust.join(broadcast(th))
+      .filter(col("bal_c").cast("double") > col("th"))
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), (sum(col("bal_c")) / 100.0).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** B32 (TPC-H Q4 shape): order-priority count over a date slice,
+    * gated on EXISTS (a returned line). The EXISTS is a left-semi
+    * join: lineitem is projected to its join key + flag and
+    * deduplicated map-side by the semi-join itself — no correlated
+    * per-order probe, one shuffle each side, then a tiny
+    * 5-row aggregate.
+    */
+  def qPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val returned = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    t.orders
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-07-01 00:00:00"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
