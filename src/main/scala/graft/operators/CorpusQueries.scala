@@ -149,12 +149,85 @@ object CorpusQueries {
       .select(col("source"), explode(col("ids")).as("doc_id"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** C33: segment-level boilerplate detection — the line-dedup pass of
+    * C4/RefinedWeb-style curation, re-expressed over pseudo-sentence
+    * segments (consecutive 8-token windows; the synthetic corpus has
+    * no newlines). A segment appearing in >= 3 DISTINCT documents is
+    * boilerplate; the output reports per-doc segment/boilerplate
+    * counts. Scale shape: the posting rows that shuffle are
+    * (doc_id, 8-byte xxhash64) — full segment strings never leave the
+    * map side; document-frequency is one hash-keyed aggregate joined
+    * back on the same 8-byte key. Tokens are materialized BEFORE the
+    * transform lambda (an inlined split() re-evaluates per element).
+    */
+  def qSegBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val segs = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1)," +
+        " i -> array_join(slice(w, i*8+1, 8), ' '))")).as("seg"))
+    val posts = segs.select(col("doc_id"), xxhash64(col("seg")).as("h"))
+    val dfreq = posts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfn"))
+    posts.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("dfn") >= 3L, 1L).otherwise(0L)).as("n_boiler"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C34: per-document keyword extraction — the TF-IDF shape with
+    * integer-exact ordering: the top distinguishing term is max tf,
+    * then MIN document frequency, then lexicographic word. No float
+    * idf logs (whose aggregation order drifts); the selection is a
+    * `min_by` over an integer struct key, so partial aggregation is
+    * map-side mergeable — no per-doc window sort. df is derived from
+    * the (doc, word) tf frame (already distinct), saving a
+    * countDistinct pass.
+    */
+  def qDocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfn"))
+    tf.join(dfreq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("w"), col("tf"), col("dfn")),
+        struct((-col("tf")).as("nt"), col("dfn"), col("w"))).as("kw"))
+      .select(col("doc_id"), col("kw.w").as("keyword"),
+        col("kw.tf").as("tf"), col("kw.dfn").as("dfn"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C35: corpus-wide adjacent-pair counts — the first merge step of
+    * BPE vocabulary induction (and the raw material of PMI
+    * co-occurrence scoring). Pair generation is a map-side array
+    * transform (zero pre-shuffle cost beyond the scan); the only
+    * exchange is the (w1, w2) count aggregate with map-side partials,
+    * and the top-30 is a TakeOrdered, not a global sort.
+    */
+  def qWordPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    toks.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact"          -> (qPiiRedact _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
     "q_bottomk_sample"      -> (qBottomkSample _),
+    "q_seg_boilerplate"     -> (qSegBoilerplate _),
+    "q_doc_keywords"        -> (qDocKeywords _),
+    "q_word_pairs"          -> (qWordPairs _),
   )
 
   // NOTE: no line may start with '||' — this string is interpolated
@@ -215,5 +288,44 @@ object CorpusQueries {
         |   ORDER BY md5('graft-sample-7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents) WHERE rn <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    // the Spark side groups on xxhash64(seg) — equality of hashes
+    // stands in for equality of segments (collision-free at any
+    // realistic corpus: 64-bit keys, verified exact here by parity
+    // with this string-keyed oracle)
+    "q_seg_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (SELECT doc_id,
+        |  unnest([array_to_string(w[8*i+1 : 8*i+8], ' ')
+        |          for i in generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1)]) AS seg
+        | FROM toks),
+        |dfreq AS (SELECT seg, count(DISTINCT doc_id) AS dfn FROM segs GROUP BY seg)
+        |SELECT s.doc_id, count(*) AS n_segments,
+        | CAST(sum(CASE WHEN d.dfn >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |FROM segs s JOIN dfreq d ON s.seg = d.seg
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_doc_keywords" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS dfn FROM tf GROUP BY w)
+        |SELECT doc_id, w AS keyword, tf, dfn FROM (
+        | SELECT doc_id, tf.w, tf.tf, dfreq.dfn,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf.tf DESC, dfreq.dfn ASC, tf.w) AS rn
+        | FROM tf JOIN dfreq USING (w))
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_word_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+        |                         for i in generate_series(1, len(w)-1)]) AS p
+        |          FROM toks WHERE len(w) >= 2)
+        |SELECT p.a AS w1, p.b AS w2, count(*) AS n
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2
+        |LIMIT 30""".stripMargin,
   )
 }
