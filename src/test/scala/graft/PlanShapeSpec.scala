@@ -108,6 +108,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H shapes: anti/semi joins broadcast, custdist pre-aggregates before the outer join") {
+    // Q16: NOT IN decorrelates to a BROADCAST anti-join (excluded set
+    // is tiny); no correlated per-row probe survives to the plan
+    val p16 = plan(Relational.qSupplierVariety(spark, sf))
+    assert(p16.contains("BroadcastHashJoin") && p16.contains("LeftAnti"), p16)
+    assert(!p16.contains("CartesianProduct") && !p16.contains("BroadcastNestedLoopJoin"), p16)
+    // Q22: the scalar-AVG threshold is a one-row broadcast, the NOT
+    // EXISTS a left anti — never a nested-loop over customers
+    val p22 = plan(Relational.qIdleRich(spark, sf))
+    assert(p22.contains("LeftAnti"), p22)
+    assert(!p22.contains("CartesianProduct"), p22)
+    // Q4: EXISTS is a semi join (dedup happens inside the join, no
+    // distinct aggregate materializes the returned-order set)
+    val p4 = plan(Relational.qPriorityCount(spark, sf))
+    assert(p4.contains("LeftSemi"), p4)
+    // Q13: orders collapse to per-customer counts BEFORE the outer
+    // join — the join reads an aggregate, not the raw fact table
+    val q13 = Relational.qCustdist(spark, sf)
+    val lp = q13.queryExecution.optimizedPlan.toString
+    val joinIdx = lp.indexOf("Join LeftOuter")
+    val aggBelowJoin = lp.indexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggBelowJoin > joinIdx,
+      s"orders must pre-aggregate below the outer join:\n$lp")
+  }
+
+  test("seg_boilerplate: posting rows shuffle 8-byte hashes, not segment strings") {
+    val p = plan(graft.operators.CorpusQueries.qSegBoilerplate(spark, sf))
+    // the df-count exchange and join-back key on the xxhash64 value;
+    // no exchange carries the segment string itself
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.startsWith("seg")),
+      s"segment strings must not be a shuffle key: $exchanges\n$p")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     import graft.functions.{dot_double, rolling_hash64}
     val emb = Tables(spark, sf).embeddings
