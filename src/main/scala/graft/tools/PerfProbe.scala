@@ -18,6 +18,23 @@ object PerfProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.local(32, "perf-probe")
     spark.sparkContext.setLogLevel("WARN")
+
+    // args mode: probe the named contract queries (min-of-2, cold
+    // cache — the Bench methodology) and exit
+    if (args.nonEmpty) {
+      args.foreach(n => graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+      for (n <- args) {
+        val ts = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $n%-28s ${ts.min}%6.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      }
+      spark.stop()
+      return
+    }
     val docs = graft.sources.Tables(spark, sfDir).documents
     docs.count()
 
