@@ -376,11 +376,23 @@ object Dedup {
     // over `pairs` (a unionAll of two selects would evaluate the
     // whole candidate-generation lineage twice when this cache
     // materializes)
-    val edges = pairs.select(explode(array(
+    val edges0 = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
+    // the loop is eager by nature (a convergence check every round),
+    // so counting the cached edges here is not an extra pass — and it
+    // lets loop parallelism follow the DUP GRAPH's size, not the
+    // session's shuffle width: a near-dup graph is typically orders
+    // of magnitude smaller than the corpus, and running its tiny
+    // per-round joins at full width bills fixed task overhead 32x per
+    // stage. ~100k edges per partition; at a billion edges this keeps
+    // full width.
+    val nEdges = edges0.count()
+    val loopParts = math.max(1, math.min(
+      edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
+    val edges = edges0.coalesce(loopParts)
     // only vertices incident to an edge can ever change label: iterate
     // on that (tiny) subgraph and union the untouched singletons back
     // at the end — the loop's joins scale with the DUP graph, not the
@@ -422,7 +434,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds%d changed=$changed%d ${(System.nanoTime()-tR0)/1e9}%.2f s")
     }
-    edges.unpersist()
+    edges0.unpersist()
     active.unpersist()
     // anti-join against the (still-cached) final labels, NOT against
     // `active`/`edges`: those are unpersisted above, and referencing
