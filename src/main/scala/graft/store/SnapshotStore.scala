@@ -164,7 +164,26 @@ final class SnapshotStore(
     * recomputed for merged rows (delete_state derives from op_type;
     * D rows' payloads are nulled) [ref: KuduManager.scala:74-80].
     */
-  def merge(deltas: DataFrame): Long = {
+  def merge(deltas: DataFrame): Long =
+    mergeWith(deltas,
+      init = keyed => CdcOps.softDeleteSnapshot(keyed, col(keyCol)),
+      fold = (baseAffected, keyed) => CdcOps.decorateSoftDelete(
+        CdcOps.compactSnapshot(baseAffected.drop("delete_state"), keyed, keyCol)))
+
+  /** The copy-on-write MERGE skeleton with a pluggable fold — the
+    * file-pruning / carry-over machinery of [[merge]] for table
+    * semantics other than last-write-wins CDC upsert. `init` builds
+    * the v0 table from the first delta; `fold` combines the
+    * AFFECTED slice of the stored table (files whose key range
+    * intersects a delta key; possibly empty with the stored schema)
+    * with the delta. Both must key their output on `keyCol`.
+    * Use case: continuously-maintained aggregates (A22) — base and
+    * delta partials union-aggregate additively, so a 100 TB metrics
+    * table absorbs a micro-batch by rewriting only the files whose
+    * key range the batch touches.
+    */
+  def mergeWith(deltas: DataFrame, init: DataFrame => DataFrame,
+                fold: (DataFrame, DataFrame) => DataFrame): Long = {
     // NOTE: `deltas` is evaluated twice (key-set collection, then the
     // fold) — callers with an expensive delta lineage should persist
     // it first (the streaming sink does).
@@ -184,7 +203,7 @@ final class SnapshotStore(
         // first batch all-poison: nothing to commit (an empty v0
         // would trip publish's non-empty invariant); report no-version
         if (keyed.isEmpty) -1L
-        else commit(CdcOps.softDeleteSnapshot(keyed, col(keyCol)))
+        else commit(init(keyed))
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
@@ -208,9 +227,7 @@ final class SnapshotStore(
             // delta against an empty keyed base of the stored schema
             readVersion(cur).limit(0)
           } else spark.read.parquet(affected.map(_.path): _*)
-        val merged = CdcOps.decorateSoftDelete(
-          CdcOps.compactSnapshot(baseAffected.drop("delete_state"), keyed, keyCol))
-        publish(v, writeDataFiles(merged, v) ++ carried)
+        publish(v, writeDataFiles(fold(baseAffected, keyed), v) ++ carried)
     }
   }
 

