@@ -189,6 +189,36 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** C36: dup-cluster size distribution — the curation report built
+    * ON TOP of C19's cluster formation (how much of the corpus is
+    * singleton vs 2-dup vs n-dup): two tiny aggregations over the
+    * cluster frame; cost is C19's, the report adds nothing at scale.
+    */
+  def qClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    qDupClusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** D2b: per-GROUP heavy hitters — the SpaceSaving sketch as a
+    * grouped aggregate (one bounded-memory sketch per source, merged
+    * map-side like any partial): the per-tenant/per-language top-k
+    * report at 100 TB moves k rows per group per partition, never the
+    * token stream. Capacity exceeds the vocabulary here, so counts
+    * are exact and the oracle replays them; the over-capacity regime
+    * is spec-tested on the global variant.
+    */
+  def qGroupTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"))
+      .agg(graft.functions.topk_freq(col("w"), 5, capacity = 4096).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t.item").as("item"), col("t.cnt").as("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("item"))
+
   /** Heavy hitters via the SpaceSavingTopK TypedImperativeAggregate;
     * capacity exceeds the vocabulary so counts are exact and
     * oracle-checkable (the over-capacity approximate regime is
@@ -238,6 +268,8 @@ object PipelineQueries {
     "q_mm_frames"       -> (qMmFrames _),
     "q_topk_freq"       -> (qTopkFreq _),
     "q_dup_clusters"    -> (qDupClusters _),
+    "q_cluster_sizes"   -> (qClusterSizes _),
+    "q_group_topk"      -> (qGroupTopk _),
   )
 
   private val triCte =
@@ -649,6 +681,37 @@ object PipelineQueries {
       """SELECT w AS item, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE i*1.0/(ca.c + cb.c - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM clusters GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT source, item, cnt FROM (
+        | SELECT source, w AS item, count(*) AS cnt,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY count(*) DESC, w) AS rn
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        | GROUP BY source, w)
+        |WHERE rn <= 5
+        |ORDER BY source, cnt DESC, item""".stripMargin,
 
     // UTF-8 BYTE semantics (the Spark side hashes the encoded payload):
     // per code point c, byte count = 1/2/3/4 and byte sum expands the
