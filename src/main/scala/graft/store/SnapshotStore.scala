@@ -66,6 +66,19 @@ final class SnapshotStore(
         DataFileEntry(p, r.toLong, mn.toLong, mx.toLong)
       }
 
+  /** Transaction id of the last applied commit (None before any
+    * commit, or for commits made without one). Rides the manifest
+    * HEADER, so it commits atomically with the version itself — the
+    * property the idempotent-replay guard needs (a txn marker in a
+    * side file could desync from the pointer on a crash between the
+    * two writes).
+    */
+  def lastTxn: Option[Long] = currentVersion.flatMap { v =>
+    Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala
+      .headOption.flatMap(h => "txn=(-?\\d+)".r.findFirstMatchIn(h))
+      .map(_.group(1).toLong)
+  }
+
   /** Snapshot-isolated read of the current version (None if nothing
     * has been committed yet).
     */
@@ -124,9 +137,11 @@ final class SnapshotStore(
     * pointer last and atomic, so a crash leaves the previous version
     * intact.
     */
-  private def publish(v: Long, entries: Seq[DataFileEntry]): Long = {
+  private def publish(v: Long, entries: Seq[DataFileEntry],
+                      txn: Option[Long] = None): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
-    val body = (s"# graft-manifest v1 key=$keyCol" +:
+    val body = ((s"# graft-manifest v1 key=$keyCol" +
+      txn.map(t => s" txn=$t").getOrElse("")) +:
       entries.sortBy(e => (e.minKey, e.path))
         .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}"))
       .mkString("\n")
@@ -146,9 +161,9 @@ final class SnapshotStore(
     * rewritten). The streaming sink uses [[merge]] instead, which
     * rewrites only delta-affected files.
     */
-  def commit(next: DataFrame): Long = {
+  def commit(next: DataFrame, txn: Option[Long] = None): Long = {
     val v = currentVersion.map(_ + 1L).getOrElse(0L)
-    publish(v, writeDataFiles(next, v))
+    publish(v, writeDataFiles(next, v), txn)
   }
 
   /** The Kudu-role MERGE, file-level copy-on-write: fold a batch of
@@ -183,7 +198,18 @@ final class SnapshotStore(
     * key range the batch touches.
     */
   def mergeWith(deltas: DataFrame, init: DataFrame => DataFrame,
-                fold: (DataFrame, DataFrame) => DataFrame): Long = {
+                fold: (DataFrame, DataFrame) => DataFrame,
+                txn: Option[Long] = None): Long = {
+    // Idempotent-replay guard for NON-idempotent folds (additive
+    // aggregates): foreachBatch can redeliver a batch whose merge
+    // committed but whose checkpoint offset did not (crash between
+    // the two) — last-write-wins folds absorb that, additive folds
+    // would double-count. Callers pass the monotonic streaming
+    // batchId; a replayed (<= last applied) txn is a no-op. The txn
+    // id commits atomically with the version (manifest header).
+    txn.foreach { id =>
+      if (lastTxn.exists(_ >= id)) return currentVersion.getOrElse(-1L)
+    }
     // NOTE: `deltas` is evaluated twice (key-set collection, then the
     // fold) — callers with an expensive delta lineage should persist
     // it first (the streaming sink does).
@@ -203,7 +229,7 @@ final class SnapshotStore(
         // first batch all-poison: nothing to commit (an empty v0
         // would trip publish's non-empty invariant); report no-version
         if (keyed.isEmpty) -1L
-        else commit(init(keyed))
+        else commit(init(keyed), txn)
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
@@ -227,7 +253,7 @@ final class SnapshotStore(
             // delta against an empty keyed base of the stored schema
             readVersion(cur).limit(0)
           } else spark.read.parquet(affected.map(_.path): _*)
-        publish(v, writeDataFiles(fold(baseAffected, keyed), v) ++ carried)
+        publish(v, writeDataFiles(fold(baseAffected, keyed), v) ++ carried, txn)
     }
   }
 

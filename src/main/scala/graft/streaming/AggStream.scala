@@ -23,11 +23,12 @@ import graft.store.SnapshotStore
   * map-side, so stream == batch bit-exactly (counts and scaled longs
   * — never float sums, whose fold order would drift).
   *
-  * Exactly-once: additive folds are NOT idempotent under replay, so
-  * correctness leans on the checkpoint WAL committing source offsets
-  * atomically with batch completion — the store's version counter
-  * equals the last folded batch and a restarted query resumes at the
-  * next unfolded batch.
+  * Exactly-once: additive folds are NOT idempotent under replay, and
+  * foreachBatch's merge and the checkpoint's offset commit are two
+  * writes — a crash between them redelivers the batch. The store's
+  * txn guard closes that window: the streaming batchId commits
+  * atomically with the table version (manifest header), and a
+  * replayed batchId <= the last applied one is a no-op.
   */
 object AggStream {
 
@@ -65,12 +66,16 @@ object AggStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val store = new SnapshotStore(batch.sparkSession, storeDir, keyCol)
         // persist: mergeWith evaluates the delta twice (key pruning +
-        // fold); the partial aggregate is tiny (one row per key)
+        // fold); the partial aggregate is tiny (one row per key).
+        // txn = batchId: an additive fold is NOT replay-idempotent,
+        // so redelivery after a crash between merge and checkpoint
+        // commit must be a no-op (the store skips txn <= last).
         val p = partials(batch).persist()
-        try store.mergeWith(p, init = identity[DataFrame], fold = foldAdd)
+        try store.mergeWith(p, init = identity[DataFrame], fold = foldAdd,
+          txn = Some(batchId))
         finally p.unpersist()
         ()
       }

@@ -19,15 +19,26 @@ class ContractSpec extends AnyFunSuite {
     val oKeys = SparkEntry.oracleSql.keySet
     assert((oKeys -- qKeys).isEmpty, s"oracles without queries: ${oKeys -- qKeys}")
     // Map ++ silently drops duplicate keys between blocks — the block
-    // maps must be pairwise disjoint so no query gets shadowed
+    // maps must be pairwise disjoint so no query gets shadowed.
+    // EVERY block that feeds SparkEntry.queries must be listed here:
+    // the union size check below catches a block missing from this
+    // list (sum of block sizes == total key count iff nothing is
+    // shadowed anywhere).
     val blocks = Seq(
       graft.operators.CdcQueries.queries.keySet,
       graft.operators.PipelineQueries.queries.keySet,
       graft.operators.Extended.queries.keySet,
-      graft.operators.CurationQueries.queries.keySet)
+      graft.operators.CurationQueries.queries.keySet,
+      graft.operators.CorpusQueries.queries.keySet)
     for (i <- blocks.indices; j <- blocks.indices if i < j)
       assert((blocks(i) & blocks(j)).isEmpty,
         s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")
+    // the relational block is private to SparkEntry; totals expose a
+    // shadow anywhere (incl. relational vs any listed block)
+    val relCount = qKeys.size - blocks.map(_.size).sum
+    assert(relCount > 0 && blocks.map(_.size).sum + relCount == qKeys.size)
+    assert((blocks.reduce(_ ++ _) -- qKeys).isEmpty,
+      "a block key is shadowed in SparkEntry.queries")
     assert(qKeys.size >= 50, s"query count dropped to ${qKeys.size}")
   }
 

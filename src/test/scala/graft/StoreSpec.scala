@@ -193,6 +193,27 @@ class StoreSpec extends AnyFunSuite {
     assert(store.versions().max == store.currentVersion.get)
   }
 
+  test("txn guard: replaying a batch id into an additive fold is a no-op") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k")
+    def delta(rows: (Long, Long)*): DataFrame = rows.toDF("k", "n")
+    val fold = (b: DataFrame, d: DataFrame) =>
+      b.unionByName(d).groupBy(col("k")).agg(sum(col("n")).as("n"))
+
+    store.mergeWith(delta(1L -> 10L, 2L -> 1L), identity, fold, txn = Some(0L))
+    store.mergeWith(delta(1L -> 5L), identity, fold, txn = Some(1L))
+    // the crash-redelivery case: batch 1 folds AGAIN (merge committed,
+    // checkpoint offset didn't) — must not double-count
+    store.mergeWith(delta(1L -> 5L), identity, fold, txn = Some(1L))
+    val after = store.read().get.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq == Seq(1L -> 15L, 2L -> 1L), after.toSeq)
+    assert(store.lastTxn.contains(1L))
+    // the next batch still applies
+    store.mergeWith(delta(2L -> 2L), identity, fold, txn = Some(2L))
+    assert(store.read().get.filter(col("k") === 2L).head().getLong(1) == 3L)
+    assert(store.lastTxn.contains(2L))
+  }
+
   test("null-key poison rows are dropped, not a wedged micro-batch") {
     val store = new SnapshotStore(spark, newRoot(), "user_id")
     val log = parsedLog
