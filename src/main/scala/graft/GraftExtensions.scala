@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain(blob, key) - codegen'd Bloom membership probe"),
       (exprs: Seq[Expression]) =>
         graft.functions.BloomMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("topk_freq"),
+      info("topk_freq",
+        "topk_freq(col, k[, capacity]) - SpaceSaving heavy-hitters sketch (item, cnt, err)"),
+      (exprs: Seq[Expression]) => graft.functions.SpaceSavingTopK(exprs.head,
+        intArg("topk_freq", exprs(1)),
+        if (exprs.size > 2) intArg("topk_freq", exprs(2)) else 4096)
+        .toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("bottomk_sample"),
       info("bottomk_sample",
         "bottomk_sample(id, k, seed) - deterministic bottom-k (KMV) uniform sample"),

@@ -91,6 +91,17 @@ class ApiSurfaceSpec extends AnyFunSuite {
         |ORDER BY md5(concat('graft-sample-7:', CAST(doc_id AS STRING))), doc_id
         |LIMIT 3""".stripMargin)
     assert(bk.exceptAll(expect).count() == 0 && expect.exceptAll(bk).count() == 0)
+    // topk_freq from SQL == exact counts (capacity >= vocabulary)
+    val tk = spark.sql(
+      """SELECT t.item, t.cnt FROM
+        | (SELECT explode(topk_freq(w, 5, 4096)) AS t FROM
+        |   (SELECT explode(split(text, ' ')) AS w FROM docs))""".stripMargin)
+    val tkExpect = spark.sql(
+      """SELECT w AS item, count(*) AS cnt FROM
+        |  (SELECT explode(split(text, ' ')) AS w FROM docs)
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 5""".stripMargin)
+    assert(tk.exceptAll(tkExpect).count() == 0 &&
+      tkExpect.exceptAll(tk).count() == 0)
   }
 
   test("tdigest_quantile from SQL: mid and tail estimates inside exact bands") {
