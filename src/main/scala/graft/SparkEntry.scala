@@ -53,6 +53,9 @@ object SparkEntry {
     "q_supplier_variety" -> (Relational.qSupplierVariety _),
     "q_idle_rich"      -> (Relational.qIdleRich _),
     "q_priority_count" -> (Relational.qPriorityCount _),
+    "q_shipmode_priority" -> (Relational.qShipmodePriority _),
+    "q_promo_share"    -> (Relational.qPromoShare _),
+    "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -339,5 +342,38 @@ object SparkEntry {
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_shipmode_priority" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT
+        | sum(CASE WHEN p_type = 'PROMO' THEN d4 ELSE 0 END)/10000.0 AS promo_rev,
+        | sum(d4)/10000.0 AS total_rev,
+        | 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN d4 ELSE 0 END)
+        |   / sum(d4) AS promo_share
+        |FROM (SELECT l_partkey,
+        |  cast(round(l_extendedprice*100) as bigint)
+        |    * (100 - cast(round(l_discount*100) as bigint)) AS d4
+        | FROM lineitem) l JOIN part ON p_partkey = l_partkey""".stripMargin,
+
+    "q_disjunctive_join" ->
+      """SELECT
+        | sum(cast(round(l_extendedprice*100) as bigint)
+        |   * (100 - cast(round(l_discount*100) as bigint)))/10000.0 AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
   )
 }

@@ -562,6 +562,73 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B33 (TPC-H Q12 shape): conditional CASE aggregation — high- vs
+    * low-priority line counts per linestatus over the returned slice.
+    * The orders⋈lineitem join co-partitions on the order key (both
+    * facts; nothing broadcastable at scale), and the CASE counters
+    * collapse map-side like any sum.
+    */
+  def qShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** B34 (TPC-H Q14 shape): ratio of a conditional aggregate to the
+    * total — promo revenue share. Numerator and denominator are both
+    * EXACT scaled integers; the share is ONE double division, so the
+    * percentage is bit-identical in any engine at any partitioning
+    * (a sum-of-doubles ratio would drift both sides independently).
+    * part joins without a broadcast hint: at TPC-H ratios the part
+    * dim is 1/30 of lineitem — AQE picks broadcast at test scale,
+    * co-partitioned hash join at the scale where it no longer fits.
+    */
+  def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val disc4 = (cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("disc4")
+    t.lineitem.select(col("l_partkey"), disc4)
+      .join(t.part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", col("disc4")).otherwise(0L)) / 10000.0)
+          .as("promo_rev"),
+        (sum(col("disc4")) / 10000.0).as("total_rev"),
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", col("disc4")).otherwise(0L))
+          / sum(col("disc4"))).as("promo_share"))
+  }
+
+  /** B35 (TPC-H Q19 shape): disjunctive multi-column predicate join —
+    * three (brand, size-range, quantity-range) alternatives OR'd.
+    * What matters at scale: the single-table disjuncts push into each
+    * SCAN (part prunes on the brand/size OR, lineitem on the overall
+    * quantity envelope) before the join, so the join sees only
+    * possibly-matching rows; the residual cross-table OR evaluates
+    * post-join. One-row output.
+    */
+  def qDisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val disc4 = (cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("disc4")
+    val q = col("l_quantity")
+    val alt1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && q.between(1, 20)
+    val alt2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && q.between(10, 30)
+    val alt3 = col("p_brand") === "Brand#3" && col("p_size").between(20, 50) && q.between(20, 40)
+    t.lineitem.select(col("l_partkey"), col("l_quantity"), disc4)
+      .join(t.part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(alt1 || alt2 || alt3)
+      .agg((sum(col("disc4")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key
