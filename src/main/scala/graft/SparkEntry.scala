@@ -56,6 +56,7 @@ object SparkEntry {
     "q_shipmode_priority" -> (Relational.qShipmodePriority _),
     "q_promo_share"    -> (Relational.qPromoShare _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
+    "q_top_supplier"   -> (Relational.qTopSupplier _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -375,5 +376,21 @@ object SparkEntry {
         |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR
         |  (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+
+    // correlated "= (SELECT max(...))" form on purpose — the Spark
+    // side runs the one-row broadcast join-back rewrite
+    "q_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(cast(round(l_extendedprice*100) as bigint)
+        |    * (100 - cast(round(l_discount*100) as bigint))) AS rev4
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev4/10000.0 AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

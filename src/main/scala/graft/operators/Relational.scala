@@ -629,6 +629,36 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B36 (TPC-H Q15 shape): global-MAX join-back — the top-revenue
+    * supplier(s) of a quarter. Per-supplier revenue aggregates once;
+    * the global max is a ONE-ROW aggregate of that frame, broadcast
+    * under the equality filter (never a window over all suppliers,
+    * never a second lineitem pass). Exact scaled-cents revenue makes
+    * "equal to the max" an integer compare — a double revenue would
+    * make the winner partitioning-dependent at scale.
+    */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      // cache: the frame feeds BOTH the global max and the join-back,
+      // and AQE's exchange reuse does NOT unify the two lineages (the
+      // join side's null-filter breaks canonical equality — verified
+      // in PlanShapeSpec) — without the pin the FACT table would scan
+      // twice. What's pinned is per-supplier sums: dimension-sized.
+      .cache()
+    val mx = rev.agg(max(col("rev4")).as("mx4"))
+    rev.join(broadcast(mx)).filter(col("rev4") === col("mx4"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("rev4") / 10000.0).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** B12: skew-safe two-phase aggregation — salt the hot key space,
     * partially aggregate, then merge. Result is identical to the
     * direct group-by (the oracle), but the shuffle fans a hot key

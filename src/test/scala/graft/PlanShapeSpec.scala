@@ -133,6 +133,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"orders must pre-aggregate below the outer join:\n$lp")
   }
 
+  test("disjunctive join: single-table disjuncts push into the scans") {
+    val p = plan(Relational.qDisjunctiveJoin(spark, sf))
+    // the part scan receives the brand/size OR; the lineitem scan the
+    // quantity envelope — neither side scans unfiltered
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or("), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      p.contains("Or(And(GreaterThanOrEqual(l_quantity"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top supplier: global max is a one-row broadcast over the CACHED revenue frame") {
+    val df = Relational.qTopSupplier(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    // both consumers (global max + join-back) read the pinned
+    // per-supplier aggregate — the fact table materializes the cache
+    // once, it never scans twice (AQE exchange reuse can't unify the
+    // lineages here; the cache is the explicit barrier). FileScan
+    // lines inside the InMemoryRelation description are the cache's
+    // stored BUILD plan, not extra executions.
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+  }
+
   test("seg_boilerplate: posting rows shuffle 8-byte hashes, not segment strings") {
     val p = plan(graft.operators.CorpusQueries.qSegBoilerplate(spark, sf))
     // the df-count exchange and join-back key on the xxhash64 value;
