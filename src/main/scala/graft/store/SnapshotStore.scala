@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
 import graft.cdc.CdcOps
 
 /** One data file of a committed snapshot version, with its key-range
-  * index entry (rows + min/max of the store's key column).
+  * index entry (rows + min/max of the store's key column) and, when
+  * the store declares a secondary index column, that file's Bloom
+  * blob over the column's xxhash64 values.
   */
-final case class DataFileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+final case class DataFileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
+                               bloom: Option[Array[Byte]] = None)
 
 /** Minimal table-format seam over parquet — the role Kudu plays in
   * the reference: a continuously-upserted, snapshot-readable table
@@ -46,7 +49,9 @@ final class SnapshotStore(
     val root: String,
     val keyCol: String,
     filesPerCommit: Int = 4,
-    keepVersions: Int = 2) {
+    keepVersions: Int = 2,
+    indexCol: Option[String] = None,
+    indexBits: Int = 1 << 14) {
 
   require(keepVersions >= 1, "keepVersions must be >= 1")
 
@@ -62,8 +67,13 @@ final class SnapshotStore(
     Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala.toSeq
       .filterNot(l => l.startsWith("#") || l.isEmpty)
       .map { l =>
-        val Array(p, r, mn, mx) = l.split("\t")
-        DataFileEntry(p, r.toLong, mn.toLong, mx.toLong)
+        l.split("\t") match {
+          case Array(p, r, mn, mx) =>
+            DataFileEntry(p, r.toLong, mn.toLong, mx.toLong)
+          case Array(p, r, mn, mx, b64) =>
+            DataFileEntry(p, r.toLong, mn.toLong, mx.toLong,
+              Some(java.util.Base64.getDecoder.decode(b64)))
+        }
       }
 
   /** Transaction id of the last applied commit (None before any
@@ -113,6 +123,38 @@ final class SnapshotStore(
     base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Files that might contain `value` in the secondary index column —
+    * per-file Bloom pruning (a file with no blob is conservatively
+    * kept). The probe hashes exactly as the write-side stats job did
+    * (Spark's xxhash64), so skip decisions can never diverge from
+    * the stored bits.
+    */
+  def plannedFilesPoint(value: Any): Seq[DataFileEntry] = {
+    require(indexCol.isDefined, "store has no secondary index column")
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+      .eval(null).asInstanceOf[Long]
+    currentVersion.toSeq.flatMap(manifest).filter(f =>
+      f.bloom.forall(b => graft.functions.BloomAlgos.mightContain(b, h)))
+  }
+
+  /** Point read on the SECONDARY column: Bloom-skip data files, then
+    * the exact filter on the survivors. The non-key analog of
+    * [[readRange]] — when the index column clusters with the key
+    * (tenant within time, source within id range), a point predicate
+    * touches a fraction of the table without any second sort order.
+    * False positives only cost extra file reads; the row filter keeps
+    * the result exact.
+    */
+  def readPoint(value: Any): DataFrame = {
+    val hit = plannedFilesPoint(value)
+    val base =
+      if (hit.isEmpty) read().getOrElse(
+        throw new IllegalStateException(s"no committed version in $root")).limit(0)
+      else spark.read.parquet(hit.map(_.path): _*)
+    base.filter(col(indexCol.get) === lit(value))
+  }
+
   /** Write `df` as version `v`'s NEW data files (range-clustered on
     * the key) and return their manifest entries. One small stats job
     * over the just-written files collects the key-range index (what
@@ -122,13 +164,20 @@ final class SnapshotStore(
     val dataDir = Paths.get(root, "data", s"v$v")
     df.repartitionByRange(filesPerCommit, col(keyCol))
       .write.mode("overwrite").parquet(dataDir.toString)
-    spark.read.parquet(dataDir.toString)
+    // the per-file stats job also builds the secondary Bloom when an
+    // index column is declared (what real formats collect at write
+    // time: key range + column-level skipping metadata per file)
+    val base = spark.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(keyCol)).cast("long").as("mn"),
-        max(col(keyCol)).cast("long").as("mx"))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      min(col(keyCol)).cast("long").as("mn"),
+      max(col(keyCol)).cast("long").as("mx")) ++
+      indexCol.map(c => graft.functions.bloom_agg(xxhash64(col(c)),
+        numBits = indexBits).as("bloom"))
+    base.agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (indexCol.isDefined) Some(r.getAs[Array[Byte]]("bloom")) else None))
       .toSeq
   }
 
@@ -143,7 +192,9 @@ final class SnapshotStore(
     val body = ((s"# graft-manifest v1 key=$keyCol" +
       txn.map(t => s" txn=$t").getOrElse("")) +:
       entries.sortBy(e => (e.minKey, e.path))
-        .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}"))
+        .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}" +
+          e.bloom.map(b => "\t" + java.util.Base64.getEncoder.encodeToString(b))
+            .getOrElse("")))
       .mkString("\n")
     val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
     Files.writeString(tmpM, body)

@@ -193,6 +193,38 @@ class StoreSpec extends AnyFunSuite {
     assert(store.versions().max == store.currentVersion.get)
   }
 
+  test("secondary Bloom index: point reads on a non-key column skip files") {
+    import spark.implicits._
+    // 4 groups aligned with key ranges — the index column clusters
+    // with the key (the tenant-within-time pattern the index targets)
+    val rows = (0L until 1000L).map(k => (k, s"g${k / 250}", k * 3))
+      .toDF("k", "grp", "payload")
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("grp"))
+    store.commit(rows)
+    val all = store.manifest(store.currentVersion.get)
+    assert(all.size == 4 && all.forall(_.bloom.isDefined))
+    // each group's point read plans a strict subset of the files
+    val planned = store.plannedFilesPoint("g0")
+    assert(planned.size < all.size, s"${planned.size} of ${all.size}")
+    // exactness: pruned read == full-scan filter
+    assertSameRows(store.readPoint("g0"),
+      store.read().get.filter(col("grp") === "g0"))
+    // absent value: every file prunes (no-false-negative Bloom)
+    assert(store.plannedFilesPoint("nope").isEmpty)
+    assert(store.readPoint("nope").count() == 0)
+    // blooms survive the CoW merge: carried files keep theirs, the
+    // rewritten file gets a fresh one
+    val delta = Seq((3L, "g0", 999L)).toDF("k", "grp", "payload")
+    store.mergeWith(delta, identity[DataFrame],
+      (b, d) => d.unionByName(b.join(d.select(col("k").as("dk")),
+        col("k") === col("dk"), "left_anti").drop("dk")))
+    val after = store.manifest(store.currentVersion.get)
+    assert(after.forall(_.bloom.isDefined))
+    assertSameRows(store.readPoint("g3"),
+      store.read().get.filter(col("grp") === "g3"))
+  }
+
   test("txn guard: replaying a batch id into an additive fold is a no-op") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k")
