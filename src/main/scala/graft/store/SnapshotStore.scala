@@ -89,6 +89,20 @@ final class SnapshotStore(
       .map(_.group(1).toLong)
   }
 
+  /** The table schema recorded in a version's manifest header (what
+    * real formats keep in metadata): the CURRENT schema applies to
+    * every file, including carried-over ones written before a column
+    * was added — readVersion null-pads those. None for manifests
+    * from before schema tracking (read falls back to parquet's own
+    * schema resolution).
+    */
+  def schemaOf(v: Long): Option[org.apache.spark.sql.types.StructType] =
+    Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala
+      .headOption.flatMap(h => "schema=(\\S+)".r.findFirstMatchIn(h))
+      .map(m => org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Snapshot-isolated read of the current version (None if nothing
     * has been committed yet).
     */
@@ -97,8 +111,22 @@ final class SnapshotStore(
   def readVersion(v: Long): DataFrame = {
     val files = manifest(v).map(_.path)
     require(files.nonEmpty, s"version $v has no data files")
-    spark.read.parquet(files: _*)
+    readFiles(v, files)
   }
+
+  /** SCHEMA EVOLUTION: every file read goes through the
+    * manifest-recorded schema — the parquet reader null-fills columns
+    * a file predates (CoW carry-over keeps old files byte-identical
+    * when a fold adds a column), no footer-merge pass, column order
+    * is the manifest's, not whichever file parquet would sample
+    * first. Pre-schema-tracking manifests fall back to parquet's own
+    * resolution.
+    */
+  private def readFiles(v: Long, files: Seq[String]): DataFrame =
+    schemaOf(v) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
 
   /** Manifest-index file pruning for a key range — which data files
     * can contain keys in [lo, hi]. Exposed so plan/pruning behavior
@@ -118,8 +146,8 @@ final class SnapshotStore(
     val all = manifest(v)
     val hit = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val base =
-      if (hit.isEmpty) spark.read.parquet(all.head.path).limit(0)
-      else spark.read.parquet(hit.map(_.path): _*)
+      if (hit.isEmpty) readFiles(v, Seq(all.head.path)).limit(0)
+      else readFiles(v, hit.map(_.path))
     base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -147,11 +175,12 @@ final class SnapshotStore(
     * the result exact.
     */
   def readPoint(value: Any): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version in $root"))
     val hit = plannedFilesPoint(value)
     val base =
-      if (hit.isEmpty) read().getOrElse(
-        throw new IllegalStateException(s"no committed version in $root")).limit(0)
-      else spark.read.parquet(hit.map(_.path): _*)
+      if (hit.isEmpty) readVersion(v).limit(0)
+      else readFiles(v, hit.map(_.path))
     base.filter(col(indexCol.get) === lit(value))
   }
 
@@ -187,9 +216,13 @@ final class SnapshotStore(
     * intact.
     */
   private def publish(v: Long, entries: Seq[DataFileEntry],
-                      txn: Option[Long] = None): Long = {
+                      txn: Option[Long] = None,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
-    val body = ((s"# graft-manifest v1 key=$keyCol" +
+    val schemaTag = schema.map(st => " schema=" +
+      java.util.Base64.getEncoder.encodeToString(st.json.getBytes("UTF-8")))
+      .getOrElse("")
+    val body = ((s"# graft-manifest v1 key=$keyCol" + schemaTag +
       txn.map(t => s" txn=$t").getOrElse("")) +:
       entries.sortBy(e => (e.minKey, e.path))
         .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}" +
@@ -214,7 +247,7 @@ final class SnapshotStore(
     */
   def commit(next: DataFrame, txn: Option[Long] = None): Long = {
     val v = currentVersion.map(_ + 1L).getOrElse(0L)
-    publish(v, writeDataFiles(next, v), txn)
+    publish(v, writeDataFiles(next, v), txn, Some(next.schema))
   }
 
   /** The Kudu-role MERGE, file-level copy-on-write: fold a batch of
@@ -304,7 +337,10 @@ final class SnapshotStore(
             // delta against an empty keyed base of the stored schema
             readVersion(cur).limit(0)
           } else spark.read.parquet(affected.map(_.path): _*)
-        publish(v, writeDataFiles(fold(baseAffected, keyed), v) ++ carried, txn)
+        val folded = fold(baseAffected, keyed)
+        // the fold's schema becomes the TABLE schema (add-only
+        // evolution: carried files null-fill new columns on read)
+        publish(v, writeDataFiles(folded, v) ++ carried, txn, Some(folded.schema))
     }
   }
 

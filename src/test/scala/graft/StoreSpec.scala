@@ -225,6 +225,30 @@ class StoreSpec extends AnyFunSuite {
       store.read().get.filter(col("grp") === "g3"))
   }
 
+  test("schema evolution: a fold can add a column; carried files read as null") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k")
+    store.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
+    val beforeFiles = store.manifest(store.currentVersion.get).map(_.path).toSet
+    // the delta carries a NEW column; the fold unions by name with
+    // null-fill — the add-only evolution path
+    val delta = Seq((3L, 6L, "fresh")).toDF("k", "a", "b")
+    store.mergeWith(delta, identity[DataFrame],
+      (base, d) => d.unionByName(
+        base.join(d.select(col("k").as("dk")), col("k") === col("dk"), "left_anti")
+          .drop("dk"), allowMissingColumns = true))
+    val after = store.read().get
+    // new schema everywhere; carried rows null-fill b
+    assert(after.columns.toSeq == Seq("k", "a", "b"))
+    assert(after.filter(col("k") === 3L).head().getString(2) == "fresh")
+    assert(after.filter(col("b").isNull).count() == 999L)
+    // evolution did NOT rewrite the table: untouched files carried over
+    val afterFiles = store.manifest(store.currentVersion.get).map(_.path).toSet
+    assert((beforeFiles & afterFiles).nonEmpty, "no carried files")
+    // a key-range read on a carried file also sees the evolved schema
+    assert(store.readRange(500L, 510L).columns.contains("b"))
+  }
+
   test("txn guard: replaying a batch id into an additive fold is a no-op") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k")
