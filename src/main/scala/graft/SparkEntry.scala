@@ -26,7 +26,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- B block
 
-  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // package-private so ContractSpec can include this block in the
+  // shadow check (Map ++ silently drops duplicate keys)
+  private[graft] def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (Relational.q1Agg _),
     "q3_join_agg"      -> (Relational.q3JoinAgg _),
     "q5_multi_join"    -> (Relational.q5MultiJoin _),

@@ -650,6 +650,11 @@ object Relational {
       // join side's null-filter breaks canonical equality — verified
       // in PlanShapeSpec) — without the pin the FACT table would scan
       // twice. What's pinned is per-supplier sums: dimension-sized.
+      // LIFETIME: the pin persists for the session (contract queries
+      // return lazy frames, so there is no safe unpersist point here
+      // — same tradeoff as q_bloom_contamination's prefilter pin);
+      // long-lived services should clearCache() between query
+      // generations, as Bench does between iterations.
       .cache()
     val mx = rev.agg(max(col("rev4")).as("mx4"))
     rev.join(broadcast(mx)).filter(col("rev4") === col("mx4"))

@@ -159,9 +159,20 @@ final class SnapshotStore(
     */
   def plannedFilesPoint(value: Any): Seq[DataFileEntry] = {
     require(indexCol.isDefined, "store has no secondary index column")
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
-      .eval(null).asInstanceOf[Long]
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    // hash through the INDEX COLUMN's type, not the passed value's
+    // runtime type: xxhash64 takes different byte paths per type, so
+    // readPoint(5) (Int) against a BIGINT column would otherwise
+    // compute a different hash than the write side and Bloom-prune
+    // everything — a silent false NEGATIVE, the one failure mode the
+    // index must never have
+    val lit0 = Literal(value)
+    val colType = currentVersion.flatMap(schemaOf)
+      .flatMap(st => st.fields.find(_.name == indexCol.get).map(_.dataType))
+      .getOrElse(lit0.dataType)
+    val probe = if (lit0.dataType == colType) lit0
+                else Cast(lit0, colType, Some("UTC"))
+    val h = XxHash64(Seq(probe), 42L).eval(null).asInstanceOf[Long]
     currentVersion.toSeq.flatMap(manifest).filter(f =>
       f.bloom.forall(b => graft.functions.BloomAlgos.mightContain(b, h)))
   }
@@ -179,7 +190,9 @@ final class SnapshotStore(
       throw new IllegalStateException(s"no committed version in $root"))
     val hit = plannedFilesPoint(value)
     val base =
-      if (hit.isEmpty) readVersion(v).limit(0)
+      // empty plan (every file pruned — the index's best case): build
+      // the zero-row frame from ONE file, not all N footers
+      if (hit.isEmpty) readFiles(v, Seq(manifest(v).head.path)).limit(0)
       else readFiles(v, hit.map(_.path))
     base.filter(col(indexCol.get) === lit(value))
   }
@@ -219,11 +232,19 @@ final class SnapshotStore(
                       txn: Option[Long] = None,
                       schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
-    val schemaTag = schema.map(st => " schema=" +
-      java.util.Base64.getEncoder.encodeToString(st.json.getBytes("UTF-8")))
+    // like the txn watermark below, the recorded schema carries
+    // forward if a caller ever publishes without one
+    val schemaTag = schema.orElse(currentVersion.flatMap(schemaOf))
+      .map(st => " schema=" +
+        java.util.Base64.getEncoder.encodeToString(st.json.getBytes("UTF-8")))
       .getOrElse("")
+    // the replay watermark must SURVIVE txn-less commits (a CDC merge
+    // or optimize() interleaved with the additive stream): lastTxn
+    // reads only the current header, so dropping it here would
+    // silently re-open the double-count window the guard closes
+    val effTxn = txn.orElse(lastTxn)
     val body = ((s"# graft-manifest v1 key=$keyCol" + schemaTag +
-      txn.map(t => s" txn=$t").getOrElse("")) +:
+      effTxn.map(t => s" txn=$t").getOrElse("")) +:
       entries.sortBy(e => (e.minKey, e.path))
         .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}" +
           e.bloom.map(b => "\t" + java.util.Base64.getEncoder.encodeToString(b))
@@ -331,12 +352,18 @@ final class SnapshotStore(
           from < deltaKeys.length && deltaKeys(from) <= f.maxKey
         }
         val (affected, carried) = all.partition(hit)
+        // read the affected slice through readFiles (the manifest
+        // schema), NEVER raw parquet: after an evolution, a raw read
+        // of an old carried file would hand the fold a PRE-evolution
+        // base — AggStream's plain unionByName would throw, and an
+        // allowMissingColumns fold would publish the old schema back,
+        // making the evolved column silently unreadable
         val baseAffected =
           if (affected.isEmpty) {
             // no file covers any delta key (all-new keys): merge the
             // delta against an empty keyed base of the stored schema
-            readVersion(cur).limit(0)
-          } else spark.read.parquet(affected.map(_.path): _*)
+            readFiles(cur, Seq(all.head.path)).limit(0)
+          } else readFiles(cur, affected.map(_.path))
         val folded = fold(baseAffected, keyed)
         // the fold's schema becomes the TABLE schema (add-only
         // evolution: carried files null-fill new columns on read)

@@ -22,7 +22,11 @@ object PerfProbe {
     // args mode: probe the named contract queries (min-of-2, cold
     // cache — the Bench methodology) and exit
     if (args.nonEmpty) {
-      args.foreach(n => graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+      // warm on the MEASURED dir (JIT + codegen + file listing for
+      // the actual tables; a fixed sf0.001 path would crash on a
+      // custom dir and warm the wrong data anyway)
+      args.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+      spark.catalog.clearCache()
       for (n <- args) {
         val ts = (1 to 2).map { _ =>
           spark.catalog.clearCache()

@@ -18,13 +18,12 @@ class ContractSpec extends AnyFunSuite {
     val qKeys = SparkEntry.queries.keySet
     val oKeys = SparkEntry.oracleSql.keySet
     assert((oKeys -- qKeys).isEmpty, s"oracles without queries: ${oKeys -- qKeys}")
-    // Map ++ silently drops duplicate keys between blocks — the block
-    // maps must be pairwise disjoint so no query gets shadowed.
-    // EVERY block that feeds SparkEntry.queries must be listed here:
-    // the union size check below catches a block missing from this
-    // list (sum of block sizes == total key count iff nothing is
-    // shadowed anywhere).
+    // Map ++ silently drops duplicate keys between blocks — ALL SIX
+    // blocks (incl. the relational one) must be pairwise disjoint so
+    // no query gets shadowed, and their sizes must sum to the total
+    // (that sum check is what catches a block missing from this list)
     val blocks = Seq(
+      SparkEntry.relationalQueries.keySet,
       graft.operators.CdcQueries.queries.keySet,
       graft.operators.PipelineQueries.queries.keySet,
       graft.operators.Extended.queries.keySet,
@@ -33,12 +32,9 @@ class ContractSpec extends AnyFunSuite {
     for (i <- blocks.indices; j <- blocks.indices if i < j)
       assert((blocks(i) & blocks(j)).isEmpty,
         s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")
-    // the relational block is private to SparkEntry; totals expose a
-    // shadow anywhere (incl. relational vs any listed block)
-    val relCount = qKeys.size - blocks.map(_.size).sum
-    assert(relCount > 0 && blocks.map(_.size).sum + relCount == qKeys.size)
-    assert((blocks.reduce(_ ++ _) -- qKeys).isEmpty,
-      "a block key is shadowed in SparkEntry.queries")
+    assert(blocks.map(_.size).sum == qKeys.size,
+      s"block sizes ${blocks.map(_.size)} don't sum to ${qKeys.size} — " +
+        "a block is missing from this list or a key is shadowed")
     assert(qKeys.size >= 50, s"query count dropped to ${qKeys.size}")
   }
 

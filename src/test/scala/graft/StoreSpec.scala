@@ -213,6 +213,15 @@ class StoreSpec extends AnyFunSuite {
     // absent value: every file prunes (no-false-negative Bloom)
     assert(store.plannedFilesPoint("nope").isEmpty)
     assert(store.readPoint("nope").count() == 0)
+    // REGRESSION (probe type vs column type): an Int probe against a
+    // BIGINT index column must hash through the COLUMN's type — a
+    // runtime-typed hash takes xxhash64's 4-byte path and silently
+    // Bloom-prunes everything (a false negative)
+    val longIdx = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("payload"))
+    longIdx.commit((0L until 100L).map(k => (k, s"g$k", k * 3)).toDF("k", "grp", "payload"))
+    assert(longIdx.plannedFilesPoint(150).nonEmpty, "Int probe against BIGINT column pruned all files")
+    assert(longIdx.readPoint(150).count() == 1)
     // blooms survive the CoW merge: carried files keep theirs, the
     // rewritten file gets a fresh one
     val delta = Seq((3L, "g0", 999L)).toDF("k", "grp", "payload")
@@ -247,6 +256,20 @@ class StoreSpec extends AnyFunSuite {
     assert((beforeFiles & afterFiles).nonEmpty, "no carried files")
     // a key-range read on a carried file also sees the evolved schema
     assert(store.readRange(500L, 510L).columns.contains("b"))
+    // REGRESSION (post-evolution fold over a carried pre-evolution
+    // file): the affected base must read through the manifest schema
+    // — a raw-parquet base would hand the fold (k, a) and publish the
+    // regressed schema, losing column b for every remaining file
+    val delta2 = Seq((700L, 1400L, "later")).toDF("k", "a", "b")
+    store.mergeWith(delta2, identity[DataFrame],
+      (base, d) => d.unionByName(
+        base.join(d.select(col("k").as("dk")), col("k") === col("dk"), "left_anti")
+          .drop("dk"), allowMissingColumns = true))
+    val evolved = store.read().get
+    assert(evolved.columns.toSeq == Seq("k", "a", "b"))
+    assert(evolved.filter(col("k") === 3L).head().getString(2) == "fresh",
+      "evolved column lost after a fold over a carried file")
+    assert(evolved.filter(col("k") === 700L).head().getString(2) == "later")
   }
 
   test("txn guard: replaying a batch id into an additive fold is a no-op") {
@@ -268,6 +291,14 @@ class StoreSpec extends AnyFunSuite {
     store.mergeWith(delta(2L -> 2L), identity, fold, txn = Some(2L))
     assert(store.read().get.filter(col("k") === 2L).head().getLong(1) == 3L)
     assert(store.lastTxn.contains(2L))
+    // REGRESSION: a txn-LESS commit interleaved (optimize, CDC merge)
+    // must not erase the watermark — otherwise a crash-redelivery
+    // right after it would double-count
+    store.commit(store.read().get)
+    assert(store.lastTxn.contains(2L), "txn watermark lost through a txn-less commit")
+    store.mergeWith(delta(2L -> 2L), identity, fold, txn = Some(2L)) // replay again
+    assert(store.read().get.filter(col("k") === 2L).head().getLong(1) == 3L,
+      "replay after txn-less commit double-counted")
   }
 
   test("null-key poison rows are dropped, not a wedged micro-batch") {
