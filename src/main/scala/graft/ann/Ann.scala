@@ -106,6 +106,12 @@ object Ann {
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .select(col("list_id"), array((0 until dims).map(i =>
         col(s"s$i").cast("double") / (col("n") * Scale.toDouble)): _*).as("carr"))
+      // cache: nLists rows whose LINEAGE is a full corpus pass (seed
+      // pick + assign + Lloyd aggregate); every composition consumes
+      // the centroids at least twice (corpus assignment + query
+      // probing, or assignment + join-back) and without the pin each
+      // consumer re-runs the corpus pass. Pinned cost: nLists rows.
+      .cache()
   }
 
   /** Nearest-centroid assignment: one broadcast-join pass over the
@@ -209,6 +215,10 @@ object Ann {
               .as("cent"))
         }: _*)).as("s"))
       .select(col("s.sub").as("sub"), col("code"), col("s.cent").as("cent"))
+      // cache: m*k rows over a corpus TakeOrdered lineage, consumed by
+      // both the encode pass and the query ADC tables (see
+      // ivfCentroids for the rationale; pinned cost: m*k rows)
+      .cache()
   }
 
   /** Squared L2 distance between the row's `sub`-th normalized
