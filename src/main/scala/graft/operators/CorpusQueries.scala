@@ -176,6 +176,44 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C33b: the boilerplate CLEANING transform — C33's detection
+    * applied: boilerplate segments (>= 3 distinct docs) are dropped
+    * and each document's text reassembled from its surviving
+    * segments in order. Same two hash-keyed shuffles as C33 plus a
+    * per-doc sort_array re-join (segment lists are per-document
+    * small); docs whose every segment is boilerplate survive with
+    * empty text — the downstream quality filter's job, not silent
+    * row loss.
+    */
+  def qSegClean(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val segs = toks.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1)," +
+        " i -> array_join(slice(w, i*8+1, 8), ' '))")))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val posts = segs.select(col("doc_id"), col("seg_idx"), col("seg"),
+      xxhash64(col("seg")).as("h"))
+    val dfreq = posts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfn"))
+    val cleaned = posts.join(dfreq, Seq("h"))
+      .filter(col("dfn") < 3L)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(sort_array(collect_list(
+        struct(col("seg_idx"), col("seg")))), s => s.getField("seg")), " ")
+        .as("clean_text"))
+    // left join back onto the doc list: a doc whose EVERY segment is
+    // boilerplate must survive as an empty-text row, not vanish
+    toks.select(col("doc_id"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .withColumn("n_words",
+        when(length(col("clean_text")) === 0, 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+      .orderBy(col("doc_id"))
+  }
+
   /** C34: per-document keyword extraction — the TF-IDF shape with
     * integer-exact ordering: the top distinguishing term is max tf,
     * then MIN document frequency, then lexicographic word. No float
@@ -226,6 +264,7 @@ object CorpusQueries {
     "q_global_shuffle"      -> (qGlobalShuffle _),
     "q_bottomk_sample"      -> (qBottomkSample _),
     "q_seg_boilerplate"     -> (qSegBoilerplate _),
+    "q_seg_clean"           -> (qSegClean _),
     "q_doc_keywords"        -> (qDocKeywords _),
     "q_word_pairs"          -> (qWordPairs _),
   )
@@ -305,6 +344,23 @@ object CorpusQueries {
         |FROM segs s JOIN dfreq d ON s.seg = d.seg
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_seg_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs0 AS (SELECT doc_id,
+        |  unnest([struct_pack(si := i, sv := array_to_string(w[8*i+1 : 8*i+8], ' '))
+        |    for i in generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1)]) AS u FROM toks),
+        |segs AS (SELECT doc_id, u.si AS seg_idx, u.sv AS seg FROM segs0),
+        |dfreq AS (SELECT seg, count(DISTINCT doc_id) AS dfn FROM segs GROUP BY seg),
+        |surv AS (SELECT s.doc_id, s.seg_idx, s.seg
+        |         FROM segs s JOIN dfreq d ON s.seg = d.seg WHERE d.dfn < 3),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |        FROM surv GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        | CAST(CASE WHEN coalesce(a.clean_text, '') = '' THEN 0
+        |      ELSE len(string_split(a.clean_text, ' ')) END AS BIGINT) AS n_words
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_doc_keywords" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
