@@ -59,6 +59,7 @@ object SparkEntry {
     "q_promo_share"    -> (Relational.qPromoShare _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_top_supplier"   -> (Relational.qTopSupplier _),
+    "q_returned_customers" -> (Relational.qReturnedCustomers _),
   )
 
   private def relationalOracles: Map[String, String] = Map(
@@ -394,5 +395,17 @@ object SparkEntry {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE rev4 = (SELECT max(rev4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        | cast(round(c_acctbal*100) as bigint)/100.0 AS c_acctbal,
+        | sum(cast(round(l_extendedprice*100) as bigint)
+        |   * (100 - cast(round(l_discount*100) as bigint)))/10000.0 AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
   )
 }
