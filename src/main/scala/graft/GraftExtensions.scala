@@ -11,11 +11,26 @@ import graft.functions.{ApproxQuantile, DotProduct, HllDistinct, MinHashSig, Rol
   * `spark.sql.extensions=graft.GraftExtensions`) get the engine's
   * custom expressions as SQL functions — the idiomatic way a Spark
   * library ships language surface to a cluster.
+  *
+  * The function table lives in the companion so
+  * [[graft.functions.registerAll]] (the already-running-session path
+  * `getOrCreate()` silently ignores extensions for) registers the
+  * IDENTICAL surface — the two entry points can't drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
+}
+
+object GraftExtensions {
 
   /** Evaluate a constant integer argument of a SQL function call.
     * SQL integer literals surface as java.lang.Integer, but a BIGINT
@@ -43,85 +58,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("rolling_hash64"),
-      info("rolling_hash64", "rolling_hash64(str) - 64-bit rolling-hash fingerprint"),
-      (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(array<bigint>) - 64-long MinHash signature"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(arr, arr) - double-accumulated dot product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("z_interleave"),
-      info("z_interleave", "z_interleave(bigint, bigint) - Morton Z-order key (low 21 bits each)"),
-      (exprs: Seq[Expression]) => graft.functions.ZInterleave(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes",
-        "shingle_hashes(array<string>, k) - distinct xxhash64'd k-shingles"),
+  private def doubleArg(e: Expression): Double = e.eval() match {
+    // SQL numeric literals surface as Decimal, not Double
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case d: java.lang.Double => d
+    case other => other.toString.toDouble
+  }
+
+  /** (name, usage, builder) for every SQL-exposed kernel — consumed
+    * by both the extensions injector and registerAll.
+    */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash64", "rolling_hash64(str) - 64-bit rolling-hash fingerprint",
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)),
+    ("simhash64", "simhash64(array<string>) - 64-bit SimHash signature",
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    ("minhash_sig", "minhash_sig(array<bigint>) - 64-long MinHash signature",
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)),
+    ("dot_product", "dot_product(arr, arr) - double-accumulated dot product",
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    ("z_interleave", "z_interleave(bigint, bigint) - Morton Z-order key (low 21 bits each)",
+      (exprs: Seq[Expression]) => graft.functions.ZInterleave(exprs.head, exprs(1))),
+    ("shingle_hashes", "shingle_hashes(array<string>, k) - distinct xxhash64'd k-shingles",
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
-        intArg("shingle_hashes", exprs(1)))))
-    ext.injectFunction((FunctionIdentifier("hll_distinct"),
-      info("hll_distinct",
-        "hll_distinct(col[, p]) - HyperLogLog approximate count distinct"),
+        intArg("shingle_hashes", exprs(1)))),
+    ("hll_distinct", "hll_distinct(col[, p]) - HyperLogLog approximate count distinct",
       (exprs: Seq[Expression]) => HllDistinct(exprs.head,
         if (exprs.size > 1) intArg("hll_distinct", exprs(1)) else 12)
-        .toAggregateExpression()))
-    ext.injectFunction((FunctionIdentifier("approx_quantile_sketch"),
-      info("approx_quantile_sketch",
-        "approx_quantile_sketch(col, q) - mergeable compactor quantile sketch"),
-      (exprs: Seq[Expression]) => ApproxQuantile(exprs.head,
-        exprs(1).eval() match {
-          // SQL numeric literals surface as Decimal, not Double
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case d: java.lang.Double => d
-          case other => other.toString.toDouble
-        }).toAggregateExpression()))
-    ext.injectFunction((FunctionIdentifier("repetition_stats"),
-      info("repetition_stats",
-        "repetition_stats(array<string>, k) - [max_count, total_count] of the k-shingle multiset"),
+        .toAggregateExpression()),
+    ("approx_quantile_sketch", "approx_quantile_sketch(col, q) - mergeable compactor quantile sketch",
+      (exprs: Seq[Expression]) => ApproxQuantile(exprs.head, doubleArg(exprs(1)))
+        .toAggregateExpression()),
+    ("repetition_stats", "repetition_stats(array<string>, k) - [max_count, total_count] of the k-shingle multiset",
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head,
-        intArg("repetition_stats", exprs(1)))))
-    ext.injectFunction((FunctionIdentifier("tdigest_quantile"),
-      info("tdigest_quantile",
-        "tdigest_quantile(col, q) - mergeable t-digest quantile (tail-accurate)"),
+        intArg("repetition_stats", exprs(1)))),
+    ("tdigest_quantile", "tdigest_quantile(col, q) - mergeable t-digest quantile (tail-accurate)",
       (exprs: Seq[Expression]) => graft.functions.TDigestQuantile(exprs.head,
-        exprs(1).eval() match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case d: java.lang.Double => d
-          case other => other.toString.toDouble
-        }).toAggregateExpression()))
-    ext.injectFunction((FunctionIdentifier("bloom_agg"),
-      info("bloom_agg",
-        "bloom_agg(col[, numBits[, k]]) - mergeable Bloom filter blob over BIGINT keys"),
+        doubleArg(exprs(1))).toAggregateExpression()),
+    ("bloom_agg", "bloom_agg(col[, numBits[, k]]) - mergeable Bloom filter blob over BIGINT keys",
       (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
         if (exprs.size > 1) intArg("bloom_agg", exprs(1)) else 1 << 20,
         if (exprs.size > 2) intArg("bloom_agg", exprs(2)) else 5)
-        .toAggregateExpression()))
-    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
-      info("bloom_might_contain",
-        "bloom_might_contain(blob, key) - codegen'd Bloom membership probe"),
+        .toAggregateExpression()),
+    ("bloom_might_contain", "bloom_might_contain(blob, key) - codegen'd Bloom membership probe",
       (exprs: Seq[Expression]) =>
-        graft.functions.BloomMightContain(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("topk_freq"),
-      info("topk_freq",
-        "topk_freq(col, k[, capacity]) - SpaceSaving heavy-hitters sketch (item, cnt, err)"),
+        graft.functions.BloomMightContain(exprs.head, exprs(1))),
+    ("topk_freq", "topk_freq(col, k[, capacity]) - SpaceSaving heavy-hitters sketch (item, cnt, err)",
       (exprs: Seq[Expression]) => graft.functions.SpaceSavingTopK(exprs.head,
         intArg("topk_freq", exprs(1)),
         if (exprs.size > 2) intArg("topk_freq", exprs(2)) else 4096)
-        .toAggregateExpression()))
-    ext.injectFunction((FunctionIdentifier("bottomk_sample"),
-      info("bottomk_sample",
-        "bottomk_sample(id, k, seed) - deterministic bottom-k (KMV) uniform sample"),
+        .toAggregateExpression()),
+    ("bottomk_sample", "bottomk_sample(id, k, seed) - deterministic bottom-k (KMV) uniform sample",
       (exprs: Seq[Expression]) => graft.functions.BottomKSample(exprs.head,
         intArg("bottomk_sample", exprs(1)),
         exprs(2).eval() match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => other.toString
-        }).toAggregateExpression()))
-    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
-  }
+        }).toAggregateExpression()),
+  )
 }

@@ -103,11 +103,13 @@ package object functions {
   def cosine_double(a: Column, b: Column): Column =
     dot_double(a, b) / (norm_double(a) * norm_double(b))
 
-  /** Register SQL names for the custom expressions. */
-  def registerAll(spark: SparkSession): Unit = {
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "rolling_hash64", exprs => RollingHash64(exprs.head))
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "simhash64", exprs => SimHash64(exprs.head))
-  }
+  /** Register SQL names for ALL custom expressions on an
+    * already-built session (`getOrCreate()` silently ignores
+    * `.withExtensions` when a session exists) — the same function
+    * table the extensions path injects, so the two can't drift.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    graft.GraftExtensions.builders.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -32,6 +32,36 @@ class ApiSurfaceSpec extends AnyFunSuite {
     s
   }
 
+  test("registerAll equips an extension-less session with the full SQL surface") {
+    // the notebook path: a session already exists, .withExtensions is
+    // silently ignored — registerAll must provide the SAME surface.
+    // newSession() shares the context but has its own function
+    // registry, so it models the plain session faithfully
+    val plain = spark.newSession()
+    // newSession() inherits the extension-injected functions; drop
+    // them so the assertion proves REGISTERALL supplies the surface
+    GraftExtensions.builders.foreach { case (name, _, _) =>
+      plain.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    assert(!plain.catalog.functionExists("topk_freq"))
+    graft.functions.registerAll(plain)
+    assert(plain.catalog.functionExists("topk_freq"))
+    Tables(plain, sf).documents.createOrReplaceTempView("docs_plain")
+    val names = GraftExtensions.builders.map(_._1)
+    assert(names.size >= 14)
+    // every registered name resolves (analysis would fail otherwise)
+    val r = plain.sql(
+      """SELECT rolling_hash64(text) AS a, simhash64(split(text,' ')) AS b,
+        |  z_interleave(doc_id, n_chars) AS c
+        |FROM docs_plain LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    val tk = plain.sql(
+      """SELECT explode(topk_freq(w, 3, 4096)) FROM
+        | (SELECT explode(split(text, ' ')) AS w FROM docs_plain)""".stripMargin)
+    assert(tk.count() == 3)
+  }
+
   test("GraftExtensions exposes the custom expressions to SQL") {
     Tables(spark, sf).documents.createOrReplaceTempView("docs")
     val viaSql = spark.sql(
