@@ -77,6 +77,61 @@ object EventStream {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** A11c: the same sessionization on Spark 4's `transformWithState`
+    * — the arbitrary-state API that replaces flatMapGroupsWithState
+    * (typed per-key state handles, timer support, RocksDB-backed
+    * state with changelog checkpointing). Semantics are kept
+    * IDENTICAL to [[sessionize]] (the spec pins tws == fmgws ==
+    * batch), so the two APIs are drop-in interchangeable here; new
+    * deployments should prefer this one — per-state-variable
+    * handles and event-time timers compose where GroupState cannot.
+    * Requires the RocksDB state store provider (see the spec for the
+    * session conf).
+    */
+  class TwsSessionizer(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessionEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val gapUs = gapMinutes * 60L * 1000000L
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = Option(st.get())
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(uid, fmt(s.startUs), fmt(s.lastUs), s.n)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach(st.update)
+      closed.result().iterator
+    }
+  }
+
+  def twsSessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer(gapMinutes),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionOut(user_id: Long, session_start: String, session_end: String,
                         n_events: Long)

@@ -240,6 +240,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("A11c: transformWithState sessionization == flatMapGroupsWithState == batch") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables(spark, sf).events
+      val evDir = tmp("tws-in")
+      events.write.mode("overwrite").parquet(evDir.resolve("p").toString)
+      val streamIn = spark.readStream.schema(events.schema).parquet(evDir.toString + "/*/")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[EventStream.SessionEvent]
+      val q = EventStream.twsSessionize(streamIn, gapMinutes = 60)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_out")
+      // same ground truth as A11: the batch sessionize minus each
+      // user's final (still-open) session
+      val batch = graft.operators.Relational.qSessionize(spark, sf)
+      val closedBatch = batch.withColumn("max_sid",
+          max(col("session_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .filter(col("session_id") < col("max_sid"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      assert(sortedRows(got.select("user_id", "session_start", "session_end", "n_events"))
+        == sortedRows(closedBatch))
+      assert(got.count() > 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A10b: stream-stream join equals the batch range join") {
     val events = Tables(spark, sf).events
     val evDir = tmp("ssj-in")
