@@ -58,11 +58,21 @@ object GraftExtensions {
     }
   }
 
-  private def doubleArg(e: Expression): Double = e.eval() match {
-    // SQL numeric literals surface as Decimal, not Double
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case d: java.lang.Double => d
-    case other => other.toString.toDouble
+  private def doubleArg(e: Expression): Double = {
+    // same guards as intArg: a column arg would eval an unbound
+    // attribute (internal error), a NULL would NPE on toString —
+    // both deserve clean analysis-time messages
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"argument must be a constant number, got non-foldable ${e.sql}")
+    e.eval() match {
+      // SQL numeric literals surface as Decimal, not Double
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case d: java.lang.Double => d
+      case null =>
+        throw new IllegalArgumentException("argument must be a constant number, got NULL")
+      case other => other.toString.toDouble
+    }
   }
 
   /** (name, usage, builder) for every SQL-exposed kernel — consumed

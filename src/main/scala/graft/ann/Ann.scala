@@ -110,7 +110,11 @@ object Ann {
       // pick + assign + Lloyd aggregate); every composition consumes
       // the centroids at least twice (corpus assignment + query
       // probing, or assignment + join-back) and without the pin each
-      // consumer re-runs the corpus pass. Pinned cost: nLists rows.
+      // consumer re-runs the corpus pass. Pinned cost: nLists rows —
+      // but LIFETIME is the session (each call pins a new frame; no
+      // lazy-safe unpersist point exists in a composable query);
+      // long-lived services should clearCache() between generations,
+      // as Bench does between iterations.
       .cache()
   }
 

@@ -160,19 +160,26 @@ object CorpusQueries {
     * back on the same 8-byte key. Tokens are materialized BEFORE the
     * transform lambda (an inlined split() re-evaluates per element).
     */
+  /** The ONE segmentation rule C33 detection and C33b cleaning share
+    * (8-token pseudo-sentence windows) — a one-sided edit here can't
+    * make the detector flag segments the cleaner doesn't drop.
+    */
+  private val SegExpr =
+    "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1)," +
+      " i -> array_join(slice(w, i*8+1, 8), ' '))"
+  private val BoilerplateMinDocs = 3L
+
   def qSegBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val segs = toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1)," +
-        " i -> array_join(slice(w, i*8+1, 8), ' '))")).as("seg"))
+    val segs = toks.select(col("doc_id"), explode(expr(SegExpr)).as("seg"))
     val posts = segs.select(col("doc_id"), xxhash64(col("seg")).as("h"))
     val dfreq = posts.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("dfn"))
     posts.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("dfn") >= 3L, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("dfn") >= BoilerplateMinDocs, 1L).otherwise(0L)).as("n_boiler"))
       .orderBy(col("doc_id"))
   }
 
@@ -188,16 +195,14 @@ object CorpusQueries {
   def qSegClean(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val segs = toks.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1)," +
-        " i -> array_join(slice(w, i*8+1, 8), ' '))")))
+    val segs = toks.select(col("doc_id"), posexplode(expr(SegExpr)))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
     val posts = segs.select(col("doc_id"), col("seg_idx"), col("seg"),
       xxhash64(col("seg")).as("h"))
     val dfreq = posts.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("dfn"))
     val cleaned = posts.join(dfreq, Seq("h"))
-      .filter(col("dfn") < 3L)
+      .filter(col("dfn") < BoilerplateMinDocs)
       .groupBy(col("doc_id"))
       .agg(array_join(transform(sort_array(collect_list(
         struct(col("seg_idx"), col("seg")))), s => s.getField("seg")), " ")

@@ -102,24 +102,9 @@ object EventStream {
 
     override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      val gapUs = gapMinutes * 60L * 1000000L
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = Option(st.get())
-      val closed = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        val us = e.ts.getTime * 1000L
-        cur match {
-          case Some(s) if us - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = us, n = s.n + 1))
-          case Some(s) =>
-            closed += SessionOut(uid, fmt(s.startUs), fmt(s.lastUs), s.n)
-            cur = Some(SessionState(us, us, 1))
-          case None =>
-            cur = Some(SessionState(us, us, 1))
-        }
-      }
-      cur.foreach(st.update)
-      closed.result().iterator
+      val (next, closed) = foldSessions(uid, Option(st.get()), rows, gapMinutes)
+      next.foreach(st.update)
+      closed.iterator
     }
   }
 
@@ -151,28 +136,40 @@ object EventStream {
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes * 60L * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            cur match {
-              case Some(s) if us - s.lastUs <= gapUs =>
-                cur = Some(s.copy(lastUs = us, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(uid, fmt(s.startUs), fmt(s.lastUs), s.n)
-                cur = Some(SessionState(us, us, 1))
-              case None =>
-                cur = Some(SessionState(us, us, 1))
-            }
-          }
-          cur.foreach(state.update)
-          closed.result().iterator
+          val (next, closed) = foldSessions(uid, state.getOption, it, gapMinutes)
+          next.foreach(state.update)
+          closed.iterator
       }
+  }
+
+  /** The ONE session fold both stateful APIs run (fmgws above, tws'
+    * TwsSessionizer) — shared so the spec-pinned tws == fmgws
+    * equivalence can't drift through a one-sided edit. Returns the
+    * open tail state (to store) and the closed sessions (to emit).
+    */
+  private def foldSessions(uid: Long, prev: Option[SessionState],
+      rows: Iterator[SessionEvent], gapMinutes: Int)
+      : (Option[SessionState], Seq[SessionOut]) = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var cur = prev
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      cur match {
+        case Some(s) if us - s.lastUs <= gapUs =>
+          cur = Some(s.copy(lastUs = us, n = s.n + 1))
+        case Some(s) =>
+          closed += SessionOut(uid, fmt(s.startUs), fmt(s.lastUs), s.n)
+          cur = Some(SessionState(us, us, 1))
+        case None =>
+          cur = Some(SessionState(us, us, 1))
+      }
+    }
+    (cur, closed.result())
   }
 }

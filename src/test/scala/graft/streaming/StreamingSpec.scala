@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** The sessionization ground truth BOTH stateful-API tests compare
+    * against (shared so A11 and A11c can't drift apart): the
+    * oracle-checked batch sessionize minus each user's final
+    * (still-open) session.
+    */
+  private def closedBatchSessions: DataFrame = {
+    val batch = graft.operators.Relational.qSessionize(spark, sf)
+    batch.withColumn("max_sid",
+        max(col("session_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("max_sid"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
   test("A9: incremental streaming upsert converges to the batch snapshot") {
     val events = Tables(spark, sf).events
     val lines = ChangeModel.changeLines(events).select("line")
@@ -227,16 +241,8 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
 
     val got = spark.table("sess_out")
-    // ground truth: the oracle-checked batch sessionize, minus each
-    // user's final (still-open) session
-    val batch = graft.operators.Relational.qSessionize(spark, sf)
-    val closedBatch = batch.withColumn("max_sid",
-        max(col("session_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
-      .filter(col("session_id") < col("max_sid"))
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
     assert(sortedRows(got.select("user_id", "session_start", "session_end", "n_events"))
-      == sortedRows(closedBatch))
+      == sortedRows(closedBatchSessions))
     assert(got.count() > 0)
   }
 
@@ -259,16 +265,8 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
       val got = spark.table("tws_out")
-      // same ground truth as A11: the batch sessionize minus each
-      // user's final (still-open) session
-      val batch = graft.operators.Relational.qSessionize(spark, sf)
-      val closedBatch = batch.withColumn("max_sid",
-          max(col("session_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
-        .filter(col("session_id") < col("max_sid"))
-        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       assert(sortedRows(got.select("user_id", "session_start", "session_end", "n_events"))
-        == sortedRows(closedBatch))
+        == sortedRows(closedBatchSessions))
       assert(got.count() > 0)
     } finally {
       prev match {
