@@ -230,6 +230,48 @@ class AlgoPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sketch comparison: t-digest beats the uniform compactor at the far tail") {
+    // the Later-rounds comparison, pinned: both sketches are
+    // deterministic, so on a fixed heavy-tailed input the rank errors
+    // are constants. The claim worth shipping both sketches for: at
+    // their DEFAULT configurations the t-digest matches the
+    // compactor's tail accuracy with a FRACTION of the state — its
+    // k1 scale spends clusters on the tails, the compactor spends
+    // slots uniformly in rank. (A 256-slot compactor was tried for a
+    // same-memory comparison and collapses outright at 78x capacity
+    // — rank err ~0.5 — which is itself the point: the compactor
+    // cannot trade state for tail accuracy gracefully.)
+    val xs = (1 to 20000).map(i => math.exp(i / 2500.0)).toList // heavy tail
+    val sorted = xs.sorted
+    def rankErr(v: Double, q: Double): Double = {
+      val lo = sorted.count(_ < v).toDouble / xs.size
+      val hi = sorted.count(_ <= v).toDouble / xs.size
+      if (q >= lo && q <= hi) 0.0 else math.min(math.abs(q - lo), math.abs(q - hi))
+    }
+    val qb = new QuantileBuffer(2048) // default capacity, ~16 KB of doubles
+    val td = new TDigestBuffer(100.0) // default compression
+    xs.foreach { v => qb.add(v); td.add(v) }
+    for (q <- Seq(0.5, 0.95, 0.99, 0.999)) {
+      val (eq, et) = (rankErr(qb.quantile(q), q), rankErr(td.quantile(q), q))
+      assert(eq <= 0.05, s"compactor q=$q err $eq")
+      assert(et <= 0.05, s"t-digest q=$q err $et")
+      info(f"q=$q%.3f  compactor err=$eq%.5f  t-digest err=$et%.5f")
+    }
+    // tail accuracy no worse...
+    val qTail = 0.999
+    assert(rankErr(td.quantile(qTail), qTail) <= rankErr(qb.quantile(qTail), qTail) + 1e-9,
+      s"t-digest lost the tail: ${rankErr(td.quantile(qTail), qTail)} vs " +
+        s"${rankErr(qb.quantile(qTail), qTail)}")
+    // ...at a fraction of the state (clusters are (mean, weight)
+    // pairs; the compactor holds `capacity` doubles)
+    td.compress()
+    val digestBytes = td.size * 16
+    val compactorBytes = 2048 * 8
+    info(s"state: digest ${digestBytes}B vs compactor ${compactorBytes}B")
+    assert(digestBytes * 2 < compactorBytes,
+      s"digest state $digestBytes not < half of compactor $compactorBytes")
+  }
+
   test("t-digest: tail clusters are smaller than mid clusters (k1 scale)") {
     val d = new TDigestBuffer(50.0)
     (1 to 20000).foreach(i => d.add(i.toDouble))
