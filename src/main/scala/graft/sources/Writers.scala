@@ -29,4 +29,43 @@ object Writers {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tab_name")
       .parquet(path)
+
+  // ------------------------------------------------- interchange formats
+  //
+  // CSV/JSON import-export with scale-sane defaults: the READ side
+  // always takes an EXPLICIT schema (schema inference is a full extra
+  // pass over the data — at 100 TB that is a second job before the
+  // first) and defaults to FAILFAST so silent NULL-filled rows can't
+  // leak into a pipeline; callers that expect dirty input use
+  // PERMISSIVE + the corrupt-record column (the batch twin of the
+  // CDC dead-letter quarantine). Timestamps are pinned to an explicit
+  // UTC format so a round-trip is bit-stable across locales/engines.
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(path)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession,
+              schema: org.apache.spark.sql.types.StructType,
+              path: String, mode: String = "FAILFAST"): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .option("mode", mode)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFmt)
+      .json(path)
+
+  def readJson(spark: org.apache.spark.sql.SparkSession,
+               schema: org.apache.spark.sql.types.StructType,
+               path: String, mode: String = "FAILFAST"): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", TsFmt)
+      .option("mode", mode)
+      .json(path)
 }
