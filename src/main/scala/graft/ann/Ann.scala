@@ -321,8 +321,23 @@ object Ann {
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
                 nLists: Int = 8, nprobe: Int = 2,
-                m: Int = 8, k: Int = 16, rerank: Int = 32): DataFrame = {
-    val subDim = 64 / m
+                m: Int = 8, k: Int = 16, rerank: Int = 32): DataFrame =
+    queryIvfPq(buildIvfPqIndex(emb, nLists, m, k), queries, topK, nprobe, rerank)
+
+  /** A built IVF-PQ index: the four artifact frames a production ANN
+    * service materializes ONCE and queries many times — centroids
+    * (nLists rows), codebooks (m*k rows), per-vector codes+list
+    * assignment (the compressed corpus, ~32x smaller than floats),
+    * and the normed float vectors (re-rank side only). `save`/`load`
+    * round-trip them as parquet, so index construction amortizes
+    * across query batches and engine restarts.
+    */
+  final case class IvfPqIndex(cents: DataFrame, codebooks: DataFrame,
+                              codes: DataFrame, vectors: DataFrame,
+                              m: Int, k: Int)
+
+  def buildIvfPqIndex(emb: DataFrame, nLists: Int = 8,
+                      m: Int = 8, k: Int = 16): IvfPqIndex = {
     // coarse tier: refined centroids + per-vector list assignment
     val cents = ivfCentroids(emb, nLists)
     val lists = ivfAssignTo(emb, cents)
@@ -335,8 +350,43 @@ object Ann {
       .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id").as("neighbor_id"), col("sc").getField("code").as("codes"))
       .join(lists, "neighbor_id")
+    IvfPqIndex(cents, cb, codes, normed(emb, "neighbor_id", "ce", "nc"), m, k)
+  }
+
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    idx.cents.write.mode("overwrite").parquet(s"$path/cents")
+    idx.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "meta.json"),
+      s"""{"m": ${idx.m}, "k": ${idx.k}}""")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "meta.json"))
+    def intOf(key: String): Int =
+      s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    IvfPqIndex(
+      spark.read.parquet(s"$path/cents"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/vectors"),
+      intOf("m"), intOf("k"))
+  }
+
+  /** The query side of IVF-PQ against a built (or loaded) index: the
+    * corpus is touched only through the index artifacts — probe the
+    * centroids, ADC-scan the codes of nprobe lists, exact-rerank the
+    * shortlist against the stored normed vectors.
+    */
+  def queryIvfPq(idx: IvfPqIndex, queries: DataFrame, topK: Int,
+                 nprobe: Int = 2, rerank: Int = 32): DataFrame = {
+    val (m, k) = (idx.m, idx.k)
+    val subDim = 64 / m
     // probe selection: each query's nprobe nearest centroids
-    val qScored = queries.crossJoin(broadcast(cents))
+    val qScored = queries.crossJoin(broadcast(idx.cents))
       .withColumn("sim", dot_double(col("embedding"), col("carr")) /
         (graft.functions.norm_double(col("embedding")) *
           graft.functions.norm_double(col("carr"))))
@@ -348,14 +398,14 @@ object Ann {
     // ADC tables per query, joined with its probe set
     val dtab = queries.select(col("vec_id").as("query_id"), col("embedding"))
       .withColumn("nrm", graft.functions.norm_double(col("embedding")))
-      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(idx.codebooks))
       .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(
         struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
       .join(probes, "query_id")
     // compressed-domain scan of ONLY the probed lists
-    val scored = codes.join(broadcast(dtab), Seq("list_id"))
+    val scored = idx.codes.join(broadcast(dtab), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", (0 until m).map(mm =>
         element_at(col("dmap"), lit(mm * k) + col("codes").getItem(mm) - 1)).reduce(_ + _))
@@ -365,7 +415,7 @@ object Ann {
       .filter(col("srank") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = shortlist
-      .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+      .join(idx.vectors, "neighbor_id")
       .join(broadcast(normed(queries, "query_id", "qe", "nq")), "query_id")
       .withColumn("cos", cosPre("qe", "ce", "nq", "nc"))
     val w = Window.partitionBy(col("query_id"))

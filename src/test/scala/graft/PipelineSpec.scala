@@ -311,6 +311,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("ANN index persistence: saved+loaded IVF-PQ answers queries identically") {
+    val emb = Tables(spark, sf).embeddings
+    val queries = emb.limit(8)
+    val direct = Ann.ivfPqTopK(emb, queries, topK = 5).collect().toSeq
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    Ann.saveIvfPqIndex(Ann.buildIvfPqIndex(emb), idxDir)
+    val loaded = Ann.loadIvfPqIndex(spark, idxDir)
+    // the loaded index must reproduce the direct composition exactly
+    // (both quantizers are deterministic, so parquet round-tripping
+    // the artifacts changes nothing)
+    val viaIndex = Ann.queryIvfPq(loaded, queries, topK = 5).collect().toSeq
+    assert(viaIndex == direct)
+    // a SECOND query batch reuses the same artifacts — the production
+    // build-once/query-many pattern (no corpus re-quantization)
+    val more = emb.orderBy(col("vec_id").desc).limit(4)
+    val viaIndex2 = Ann.queryIvfPq(loaded, more, topK = 5).collect().toSeq
+    assert(viaIndex2 == Ann.ivfPqTopK(emb, more, topK = 5).collect().toSeq)
+  }
+
   test("interchange: CSV and JSON round-trips are lossless; PERMISSIVE quarantines bad lines") {
     import graft.sources.Writers
     val tmp = java.nio.file.Files.createTempDirectory("graft-io")
