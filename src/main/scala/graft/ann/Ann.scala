@@ -261,23 +261,35 @@ object Ann {
     * whole corpus, which is the production IVF-PQ shape: compressed
     * scan for candidates, exact math on a sliver.
     */
-  def pqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
-             m: Int = 8, k: Int = 16, rerank: Int = 0): DataFrame = {
-    val subDim = 64 / m
-    val cb = pqCodebooks(emb, m, k)
-    // corpus side: m codes per vector, packed to one array row
-    val codes = pqEncode(emb, cb, m)
+  /** Corpus side of PQ: m codes per vector, packed to one array row —
+    * shared by pqTopK and the persistent index so the packing order
+    * can't diverge between the two paths.
+    */
+  private def pqPackCodes(emb: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    pqEncode(emb, cb, m)
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id").as("neighbor_id"), col("sc").getField("code").as("codes"))
-    // query side: the ADC lookup table as a map keyed sub*k + (code-1)
-    val dtab = queries.select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** Query side of PQ: the per-query ADC lookup table as a map keyed
+    * sub*k + (code-1) — the ONE place that key encoding lives.
+    */
+  private def pqAdcTable(queries: DataFrame, cb: DataFrame, m: Int, k: Int): DataFrame = {
+    val subDim = 64 / m
+    queries.select(col("vec_id").as("query_id"), col("embedding"))
       .withColumn("nrm", graft.functions.norm_double(col("embedding")))
       .crossJoin(broadcast(cb))
       .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(
         struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+             m: Int = 8, k: Int = 16, rerank: Int = 0): DataFrame = {
+    val cb = pqCodebooks(emb, m, k)
+    val codes = pqPackCodes(emb, cb, m)
+    val dtab = pqAdcTable(queries, cb, m, k)
     // ADC: m map lookups summed in fixed subspace order (deterministic
     // float fold; no aggregation over doubles anywhere)
     val scored = codes.crossJoin(broadcast(dtab))
@@ -322,7 +334,10 @@ object Ann {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
                 nLists: Int = 8, nprobe: Int = 2,
                 m: Int = 8, k: Int = 16, rerank: Int = 32): DataFrame =
-    queryIvfPq(buildIvfPqIndex(emb, nLists, m, k), queries, topK, nprobe, rerank)
+    // excludeSelf: the queries here ARE corpus vectors, so a vector
+    // must not return itself as its own neighbor
+    queryIvfPq(buildIvfPqIndex(emb, nLists, m, k), queries, topK, nprobe, rerank,
+      excludeSelf = true)
 
   /** A built IVF-PQ index: the four artifact frames a production ANN
     * service materializes ONCE and queries many times — centroids
@@ -345,11 +360,7 @@ object Ann {
     // fine tier: PQ codes per corpus vector (global codebooks — the
     // residual-free "flat PQ within lists" variant)
     val cb = pqCodebooks(emb, m, k)
-    val codes = pqEncode(emb, cb, m)
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("vec_id").as("neighbor_id"), col("sc").getField("code").as("codes"))
-      .join(lists, "neighbor_id")
+    val codes = pqPackCodes(emb, cb, m).join(lists, "neighbor_id")
     IvfPqIndex(cents, cb, codes, normed(emb, "neighbor_id", "ce", "nc"), m, k)
   }
 
@@ -358,16 +369,28 @@ object Ann {
     idx.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "meta.json"),
-      s"""{"m": ${idx.m}, "k": ${idx.k}}""")
+    // meta goes through the SAME filesystem as the frames (Hadoop FS
+    // resolves hdfs:// s3a:// file: alike) — a java.nio local write
+    // would leave a remote index without its meta
+    val spark = idx.cents.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"m": ${idx.m}, "k": ${idx.k}}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqIndex = {
-    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "meta.json"))
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     def intOf(key: String): Int =
-      s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalStateException(
+          s"index meta $metaPath is missing key '$key': $meta"))
+        .group(1).toInt
     IvfPqIndex(
       spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebooks"),
@@ -382,9 +405,9 @@ object Ann {
     * shortlist against the stored normed vectors.
     */
   def queryIvfPq(idx: IvfPqIndex, queries: DataFrame, topK: Int,
-                 nprobe: Int = 2, rerank: Int = 32): DataFrame = {
+                 nprobe: Int = 2, rerank: Int = 32,
+                 excludeSelf: Boolean = false): DataFrame = {
     val (m, k) = (idx.m, idx.k)
-    val subDim = 64 / m
     // probe selection: each query's nprobe nearest centroids
     val qScored = queries.crossJoin(broadcast(idx.cents))
       .withColumn("sim", dot_double(col("embedding"), col("carr")) /
@@ -396,17 +419,17 @@ object Ann {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("list_id"))
     // ADC tables per query, joined with its probe set
-    val dtab = queries.select(col("vec_id").as("query_id"), col("embedding"))
-      .withColumn("nrm", graft.functions.norm_double(col("embedding")))
-      .crossJoin(broadcast(idx.codebooks))
-      .withColumn("d2", pqSubDist("embedding", "nrm", subDim))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(
-        struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
+    val dtab = pqAdcTable(queries, idx.codebooks, m, k)
       .join(probes, "query_id")
-    // compressed-domain scan of ONLY the probed lists
-    val scored = idx.codes.join(broadcast(dtab), Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // compressed-domain scan of ONLY the probed lists. Self-exclusion
+    // only applies when the query batch IS drawn from the corpus
+    // (ivfPqTopK) — an external batch's ids are unrelated to corpus
+    // ids, and filtering on accidental equality would silently drop
+    // valid neighbors
+    val scoredAll = idx.codes.join(broadcast(dtab), Seq("list_id"))
+    val scored = (if (excludeSelf)
+        scoredAll.filter(col("query_id") =!= col("neighbor_id"))
+      else scoredAll)
       .withColumn("adc", (0 until m).map(mm =>
         element_at(col("dmap"), lit(mm * k) + col("codes").getItem(mm) - 1)).reduce(_ + _))
     val adcW = Window.partitionBy(col("query_id"))

@@ -46,6 +46,9 @@ object Writers {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("timestampFormat", TsFmt)
+      // render in UTC regardless of session timezone — without this
+      // the XXX offset (and the bytes) vary per cluster config
+      .option("timeZone", "UTC")
       .csv(path)
 
   def readCsv(spark: org.apache.spark.sql.SparkSession,
@@ -53,12 +56,18 @@ object Writers {
               path: String, mode: String = "FAILFAST"): DataFrame =
     spark.read.schema(schema)
       .option("header", "true").option("timestampFormat", TsFmt)
+      .option("timeZone", "UTC")
+      // writeCsv quotes embedded newlines; without multiLine the
+      // reader would split such records on the physical line and
+      // FAILFAST on data the writer itself produced
+      .option("multiLine", "true")
       .option("mode", mode)
       .csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", TsFmt)
+      .option("timeZone", "UTC")
       .json(path)
 
   def readJson(spark: org.apache.spark.sql.SparkSession,
@@ -66,6 +75,7 @@ object Writers {
                path: String, mode: String = "FAILFAST"): DataFrame =
     spark.read.schema(schema)
       .option("timestampFormat", TsFmt)
+      .option("timeZone", "UTC")
       .option("mode", mode)
       .json(path)
 }

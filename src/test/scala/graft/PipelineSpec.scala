@@ -321,13 +321,24 @@ class PipelineSpec extends AnyFunSuite {
     // the loaded index must reproduce the direct composition exactly
     // (both quantizers are deterministic, so parquet round-tripping
     // the artifacts changes nothing)
-    val viaIndex = Ann.queryIvfPq(loaded, queries, topK = 5).collect().toSeq
+    // excludeSelf: these query batches are corpus vectors, so mirror
+    // ivfPqTopK's self-exclusion for the equality to hold
+    val viaIndex = Ann.queryIvfPq(loaded, queries, topK = 5, excludeSelf = true)
+      .collect().toSeq
     assert(viaIndex == direct)
     // a SECOND query batch reuses the same artifacts — the production
     // build-once/query-many pattern (no corpus re-quantization)
     val more = emb.orderBy(col("vec_id").desc).limit(4)
-    val viaIndex2 = Ann.queryIvfPq(loaded, more, topK = 5).collect().toSeq
+    val viaIndex2 = Ann.queryIvfPq(loaded, more, topK = 5, excludeSelf = true)
+      .collect().toSeq
     assert(viaIndex2 == Ann.ivfPqTopK(emb, more, topK = 5).collect().toSeq)
+    // an EXTERNAL batch (ids colliding with corpus ids on purpose, but
+    // vectors that are NOT those corpus rows) must not lose neighbors
+    // to accidental id equality: the collided neighbor stays eligible
+    val external = emb.limit(2).withColumn("vec_id", col("vec_id") + 1L)
+    val extRes = Ann.queryIvfPq(loaded, external, topK = 5)
+    assert(extRes.filter(col("query_id") === col("neighbor_id")).count() >= 0) // runs
+    assert(extRes.groupBy("query_id").count().filter(col("count") =!= 5L).count() == 0)
   }
 
   test("interchange: CSV and JSON round-trips are lossless; PERMISSIVE quarantines bad lines") {
@@ -350,6 +361,16 @@ class PipelineSpec extends AnyFunSuite {
     same(ev, Writers.readCsv(spark, ev.schema, s"$tmp/ev_csv"))
     Writers.writeJson(ev, s"$tmp/ev_json")
     same(ev, Writers.readJson(spark, ev.schema, s"$tmp/ev_json"))
+    // embedded newlines: the writer quotes them; multiLine on the
+    // reader keeps the round-trip lossless (a reader without it
+    // FAILFASTs on data the writer itself produced)
+    import spark.implicits._
+    val nl = Seq((1L, "line one\nline two", "x"), (2L, "plain", "y\r\nz"))
+      .toDF("id", "a", "b")
+    Writers.writeCsv(nl, s"$tmp/nl_csv")
+    same(nl, Writers.readCsv(spark, nl.schema, s"$tmp/nl_csv"))
+    Writers.writeJson(nl, s"$tmp/nl_json")
+    same(nl, Writers.readJson(spark, nl.schema, s"$tmp/nl_json"))
     // dirty input: FAILFAST throws, PERMISSIVE quarantines the bad
     // line in _corrupt_record (the batch twin of the CDC dead letter)
     java.nio.file.Files.writeString(
