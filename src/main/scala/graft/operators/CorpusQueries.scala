@@ -219,6 +219,30 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C37: overlapping-window chunking — the RAG/embedding-pipeline
+    * splitter: each doc becomes size-64 token windows at stride 48
+    * (16-token overlap so no boundary loses context), emitted with
+    * stable chunk ids. Pure map-side array math (one transform per
+    * row, no shuffle before the sink); the chunk COUNT formula
+    * ceil(max(0, n-64)/48)+1 is mirrored in the oracle. Tokens are
+    * materialized before the lambda (inlined split() re-evaluates
+    * per element).
+    */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 64
+    val stride = 48
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(greatest(size(w) - $winSize, 0) / $stride.0) as int))," +
+          s" i -> array_join(slice(w, i*$stride + 1, $winSize), ' '))")))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** C34: per-document keyword extraction — the TF-IDF shape with
     * integer-exact ordering: the top distinguishing term is max tf,
     * then MIN document frequency, then lexicographic word. No float
@@ -270,6 +294,7 @@ object CorpusQueries {
     "q_bottomk_sample"      -> (qBottomkSample _),
     "q_seg_boilerplate"     -> (qSegBoilerplate _),
     "q_seg_clean"           -> (qSegClean _),
+    "q_chunk_overlap"       -> (qChunkOverlap _),
     "q_doc_keywords"        -> (qDocKeywords _),
     "q_word_pairs"          -> (qWordPairs _),
   )
@@ -366,6 +391,18 @@ object CorpusQueries {
         |      ELSE len(string_split(a.clean_text, ' ')) END AS BIGINT) AS n_words
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch0 AS (SELECT doc_id,
+        |  unnest([struct_pack(ci := i, cv := array_to_string(w[i*48+1 : i*48+64], ' '))
+        |    for i in generate_series(0,
+        |      CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT))]) AS u
+        | FROM toks)
+        |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.cv AS chunk,
+        | CAST(len(string_split(u.cv, ' ')) AS BIGINT) AS n_tokens
+        |FROM ch0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_keywords" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -329,7 +329,68 @@ object Extended {
       .orderBy(col("user_id"))
   }
 
+  /** B38: ratio-to-total (the RATIO_TO_REPORT analytic) — each
+    * nation's share of global revenue. The total is a ONE-ROW
+    * aggregate of the already-aggregated per-nation frame broadcast
+    * under the division — never a window over an empty partition
+    * spec (which would single-partition the frame) and never a
+    * second pass over the facts. Numerator and denominator are exact
+    * scaled cents; each share is one double division.
+    */
+  def qRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev4 = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4")
+    val rev = t.lineitem.select(col("l_orderkey"), rev4)
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev4")).as("rev4"))
+    val total = rev.agg(sum(col("rev4")).as("tot4"))
+    rev.join(broadcast(total))
+      .select(col("n_name"), (col("rev4") / 10000.0).as("revenue"),
+        (lit(100.0) * col("rev4") / col("tot4")).as("share_pct"))
+      .orderBy(col("n_name"))
+  }
+
+  /** B39: funnel analysis — users progressing view -> click ->
+    * purchase in timestamp order. One pivot-style aggregate collapses
+    * each user to three first-seen timestamps (map-side partials, a
+    * single user-keyed exchange), the stage flags are projections,
+    * and the result is a three-row frame. No raw timestamps in the
+    * output (counts only), so the oracle compares exactly.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val firsts = t.events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click").isNotNull && col("t_click") >= col("t_view")
+    val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") >= col("t_click")
+    firsts.agg(
+        sum(s1.cast("long")).as("n_view"),
+        sum(s2.cast("long")).as("n_view_click"),
+        sum(s3.cast("long")).as("n_view_click_purchase"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n_view").as("n_users")),
+        struct(lit("2_view_click").as("stage"), col("n_view_click").as("n_users")),
+        struct(lit("3_view_click_purchase").as("stage"),
+          col("n_view_click_purchase").as("n_users")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_share" -> (qRevenueShare _),
+    "q_funnel"       -> (qFunnel _),
     "q_rank_funcs"   -> (qRankFuncs _),
     "q_first_last"   -> (qFirstLast _),
     "q_pivot"        -> (qPivot _),
@@ -355,6 +416,41 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_share" ->
+      """WITH rev AS (
+        | SELECT n_name,
+        |  sum(cast(round(l_extendedprice*100) as bigint)
+        |    * (100 - cast(round(l_discount*100) as bigint))) AS rev4
+        | FROM lineitem, orders, customer, nation
+        | WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |   AND c_nationkey = n_nationkey
+        | GROUP BY n_name)
+        |SELECT n_name, rev4/10000.0 AS revenue,
+        | 100.0 * rev4 / (SELECT sum(rev4) FROM rev) AS share_pct
+        |FROM rev ORDER BY n_name""".stripMargin,
+
+    "q_funnel" ->
+      """WITH firsts AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN cast(ts as timestamp) END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN cast(ts as timestamp) END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN cast(ts as timestamp) END) AS t_purchase
+        | FROM events GROUP BY user_id),
+        |flags AS (SELECT
+        |  (t_view IS NOT NULL) AS s1,
+        |  (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view) AS s2,
+        |  (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+        |   AND t_purchase IS NOT NULL AND t_purchase >= t_click) AS s3
+        | FROM firsts),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+        | FROM flags)
+        |SELECT '1_view' AS stage, n_view AS n_users FROM agg
+        |UNION ALL SELECT '2_view_click', n_view_click FROM agg
+        |UNION ALL SELECT '3_view_click_purchase', n_view_click_purchase FROM agg
+        |ORDER BY stage""".stripMargin,
     // the Morton interleave replayed with shift/mask arithmetic:
     // a-bit i -> position 2i, b-bit i -> 2i+1, low 21 bits each
     "q_zorder_key" ->
