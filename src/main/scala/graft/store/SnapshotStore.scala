@@ -59,6 +59,14 @@ final class SnapshotStore(
   private val pointer = Paths.get(root, "LATEST")
   Files.createDirectories(manifestDir)
 
+  /** Instrumentation: rows collected to the driver by the last
+    * [[mergeWith]] file-hit planning pass. Bounded by the manifest's
+    * elementary-segment count (<= 2 × files), NEVER by delta key
+    * cardinality — specs assert this stays tiny under a
+    * million-distinct-key merge.
+    */
+  @volatile private[graft] var lastMergeSummaryRows: Long = -1L
+
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
 
@@ -73,6 +81,9 @@ final class SnapshotStore(
           case Array(p, r, mn, mx, b64) =>
             DataFileEntry(p, r.toLong, mn.toLong, mx.toLong,
               Some(java.util.Base64.getDecoder.decode(b64)))
+          case _ => throw new IllegalStateException(
+            s"corrupt manifest ${manifestDir.resolve(s"m$v.tsv")}: " +
+              s"expected 4 or 5 tab-separated fields, got line: $l")
         }
       }
 
@@ -312,9 +323,12 @@ final class SnapshotStore(
     // would double-count. Callers pass the monotonic streaming
     // batchId; a replayed (<= last applied) txn is a no-op. The txn
     // id commits atomically with the version (manifest header).
-    txn.foreach { id =>
-      if (lastTxn.exists(_ >= id)) return currentVersion.getOrElse(-1L)
-    }
+    // (Plain method-level conditional, NOT a return from inside a
+    // closure: a NonLocalReturnControl would be silently swallowed if
+    // this method ever gained a catch-all try/catch, re-opening the
+    // double-count window this guard closes.)
+    if (txn.exists(id => lastTxn.exists(_ >= id)))
+      return currentVersion.getOrElse(-1L)
     // NOTE: `deltas` is evaluated twice (key-set collection, then the
     // fold) — callers with an expensive delta lineage should persist
     // it first (the streaming sink does).
@@ -338,18 +352,57 @@ final class SnapshotStore(
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
-        // the delta's distinct keys are delta-sized (tiny vs the
-        // table): collect their per-range hit set against the
-        // manifest index. At a billion files this join would itself
-        // be distributed; the manifest is driver-resident here.
-        val deltaKeys = keyed.select(col(keyCol).cast("long").as("k"))
-          .distinct().collect().map(_.getLong(0)).sorted
-        if (deltaKeys.isEmpty) return cur // empty fold: no version churn
+        // Which stored files does the delta touch? The delta's
+        // distinct-key set can be BACKFILL-sized (1e8+ keys), so it
+        // must never materialize on the driver. Instead, decompose
+        // the manifest's file key-ranges into ELEMENTARY SEGMENTS —
+        // the boundaries are the sorted distinct endpoints, at most
+        // 2×files of them, and every segment lies either fully inside
+        // or fully outside each file's range. A distributed pass maps
+        // every delta key to its segment (per-partition binary
+        // search + local dedup), and only the DISTINCT HIT SEGMENTS
+        // come back to the driver: the collected summary is bounded
+        // by manifest size, never by delta cardinality, and the
+        // file-hit decision it yields is EXACT (a file is hit iff
+        // some hit segment starts within its range), not a
+        // conservative over-approximation.
+        val bnd: Array[Long] =
+          (all.map(_.minKey) ++ all.map(_.maxKey + 1L)).distinct.sorted.toArray
+        val bndB = spark.sparkContext.broadcast(bnd)
+        import spark.implicits._
+        val hitSegs: Array[Int] =
+          try {
+            keyed.select(col(keyCol).cast("long")).as[Long]
+              .mapPartitions { it =>
+                val b = bndB.value
+                val seen = new java.util.HashSet[Integer]()
+                it.foreach { k =>
+                  // upper_bound: count of boundaries <= k, minus 1
+                  var lo = 0; var hi = b.length
+                  while (lo < hi) {
+                    val m = (lo + hi) >>> 1
+                    if (b(m) <= k) lo = m + 1 else hi = m
+                  }
+                  seen.add(lo - 1)
+                }
+                seen.iterator().asScala.map(_.intValue)
+              }.distinct().collect()
+          } finally bndB.unpersist(blocking = false)
+        lastMergeSummaryRows = hitSegs.length.toLong
+        if (hitSegs.isEmpty) return cur // empty fold: no version churn
+        // segment j covers [bnd(j), bnd(j+1)); j = -1 (below all
+        // files) and j = len-1 (above: the top boundary is
+        // max(maxKey)+1) can hit nothing but still witness "delta
+        // has keys"
+        val hitStarts: Array[Long] = hitSegs
+          .filter(j => j >= 0 && j < bnd.length - 1).map(bnd(_)).sorted
         def hit(f: DataFileEntry): Boolean = {
-          // binary search: any delta key within [minKey, maxKey]?
-          val i = java.util.Arrays.binarySearch(deltaKeys, f.minKey)
+          // any hit-segment start within [minKey, maxKey]? (file
+          // endpoints are themselves boundaries, so a segment
+          // containing a key of this file necessarily starts here)
+          val i = java.util.Arrays.binarySearch(hitStarts, f.minKey)
           val from = if (i >= 0) i else -i - 1
-          from < deltaKeys.length && deltaKeys(from) <= f.maxKey
+          from < hitStarts.length && hitStarts(from) <= f.maxKey
         }
         val (affected, carried) = all.partition(hit)
         // read the affected slice through readFiles (the manifest

@@ -352,6 +352,67 @@ class StoreSpec extends AnyFunSuite {
     assert(store.changes(1L, 1L).count() == 0)
   }
 
+  test("merge planning never materializes the delta key set on the driver") {
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    store.commit(spark.range(0L, 2000000L)
+      .select(col("id").as("k"), (col("id") * 2).as("v")))
+    val nFiles = store.manifest(store.currentVersion.get).size
+    // a backfill-sized delta: 1.1e6 DISTINCT keys — the regime where
+    // a driver-side distinct().collect() of the key set would be a
+    // heap cliff
+    val delta = spark.range(500000L, 1600000L)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+    val lastWriteWins = (b: DataFrame, d: DataFrame) => d.unionByName(
+      b.join(d.select(col("k").as("dk")), col("k") === col("dk"), "left_anti")
+        .drop("dk"))
+    store.mergeWith(delta, identity[DataFrame], lastWriteWins)
+    // the file-hit planning pass collected only the elementary-segment
+    // summary: bounded by the manifest (<= 2 x files), never by the
+    // delta's key cardinality
+    assert(store.lastMergeSummaryRows >= 0 &&
+      store.lastMergeSummaryRows <= 2L * nFiles,
+      s"driver summary ${store.lastMergeSummaryRows} rows for $nFiles files")
+    val after = store.read().get
+    assert(after.count() == 2000000L)
+    assert(after.filter(col("v") === -1L).count() == 1100000L)
+    assert(after.filter(col("k") === 0L).head.getLong(1) == 0L)
+    // untouched low/high key files carried over (CoW still file-local)
+    val v0 = store.manifest(0L).map(_.path).toSet
+    val v1 = store.manifest(1L).map(_.path).toSet
+    assert((v0 & v1).nonEmpty, "wide merge rewrote even unaffected files")
+  }
+
+  test("vacuum under concurrent readers: retained version survives, vacuumed fails cleanly") {
+    val store = new SnapshotStore(spark, newRoot(), "user_id", keepVersions = 2)
+    val log = parsedLog
+    store.merge(log.filter(col("id") < 400))
+    val readerV0 = store.read().get // file list resolved NOW, at v0
+    val v0Count = readerV0.count()
+    store.merge(log.filter(col("id") >= 400 && col("id") < 700))
+    // v0 is inside the retention window: the in-flight reader is whole
+    assert(readerV0.count() == v0Count)
+    assertSameRows(readerV0, store.readVersion(0L))
+    // v2 pushes v0 out of the window
+    store.merge(log.filter(col("id") >= 700))
+    assert(store.versions().min == 1L)
+    // precondition for the stale-reader check: at least one v0 file
+    // was actually reclaimed (not carried into a retained version)
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    val retained = store.versions().flatMap(store.manifest(_))
+      .map(e => norm(e.path)).toSet
+    assert(readerV0.inputFiles.exists(f => !retained.contains(norm(f))),
+      "every v0 file carried over; vacuum reclaimed nothing to test")
+    // a NEW read of the vacuumed version fails cleanly — the manifest
+    // is gone, so there is no path to a partial file list
+    intercept[Exception] { store.readVersion(0L) }
+    // the STALE reader (plan resolved pre-vacuum) must error, never
+    // silently return partial data from its surviving files
+    intercept[Exception] { readerV0.count() }
+    // and the current version is complete and correct
+    assertSameRows(store.read().get,
+      CdcOps.softDeleteSnapshot(log, col("user_id")))
+  }
+
   test("vacuum retains only the versions in-flight readers can need") {
     val root = newRoot()
     val store = new SnapshotStore(spark, root, "user_id", keepVersions = 2)
