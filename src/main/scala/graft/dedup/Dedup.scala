@@ -118,7 +118,21 @@ object Dedup {
     * probability 2^-sampleBits per hot key — with thousands of
     * head keys the estimate is stable (spec'd on both corpus shapes).
     */
-  def shingleDfSkew(docs: DataFrame, k: Int = 3, sampleBits: Int = 4): Double = {
+  def shingleDfSkew(docs: DataFrame, k: Int = 3, sampleBits: Int = 4): Double =
+    shingleStats(docs, k, sampleBits).skew
+
+  /** Both runtime statistics the adaptive dispatchers need, from the
+    * ONE sampled stats job [[shingleDfSkew]] describes: the df skew
+    * (which path) and the estimated CANDIDATE MASS sum(df^2) (whether
+    * the plain path is affordable at all). The sample keeps
+    * 1/2^sampleBits of the shingle key space with exact dfs, so the
+    * full-corpus sum(df^2) estimate is the sampled sum scaled by
+    * 2^sampleBits (unbiased: each key is kept independently by a
+    * uniform hash).
+    */
+  final case class ShingleStats(skew: Double, estPairMass: Double)
+
+  def shingleStats(docs: DataFrame, k: Int = 3, sampleBits: Int = 4): ShingleStats = {
     val mask = (1L << sampleBits) - 1L
     val df = hashedShingles(docs, k)
       .select(explode(col("shh")).as("gh"))
@@ -129,7 +143,8 @@ object Dedup {
       coalesce(sum(col("df").cast("double") * col("df").cast("double")), lit(0.0)).as("s2"),
       count(lit(1)).as("g")).first()
     val (p, s2, g) = (r.getLong(0).toDouble, r.getDouble(1), r.getLong(2).toDouble)
-    if (p == 0.0) 0.0 else (s2 / p) / (p / g)
+    val skew = if (p == 0.0) 0.0 else (s2 / p) / (p / g)
+    ShingleStats(skew, s2 * (1L << sampleBits).toDouble)
   }
 
   /** C4c: shingle CONTAINMENT pairs — |A ∩ B| / |A| >= t, the
@@ -213,11 +228,39 @@ object Dedup {
     * wins) or the asymmetric prefix-filtered join (Zipfian corpora:
     * hot posting lists never pair). Both paths are exact, so the
     * dispatch changes the physical plan, never the result.
+    *
+    * BUDGET GUARD: the plain path's join output is sum(df^2) rows by
+    * construction, and a UNIFORM-df corpus — exactly the regime the
+    * skew rule dispatches to the plain path — is also where that
+    * mass can explode (every doc shares some shingle with many
+    * others, no Zipf head for prefix filtering to cut). The same
+    * stats job estimates sum(df^2) up front; over `pairMassBudget`
+    * the dispatch REFUSES with the estimate in the message instead
+    * of launching a silent multi-hour job. (Prefix filtering is no
+    * rescue on uniform df — it trims candidate mass by only the
+    * constant factor (1 - t), so a refused corpus needs minhashLsh /
+    * semanticDedup, a sharper threshold, or an explicit budget.)
+    * Default budget: measured sum(df^2) is ~2.8e6 at sf0.1 and
+    * ~2.8e8 at the 10x stress replication (df scales linearly with
+    * replication, so mass scales quadratically); 1e10 gives the
+    * legitimate stress runs ~35x headroom while refusing the 100x+
+    * adversarial regime, where the candidate shuffle alone is
+    * hundreds of GB.
     */
   def containmentPairsAdaptive(docs: DataFrame, minContainment: Double,
-                               skewThreshold: Double = 8.0): DataFrame =
-    if (shingleDfSkew(docs) >= skewThreshold) containmentPairsPrefix(docs, minContainment)
+                               skewThreshold: Double = 8.0,
+                               pairMassBudget: Double = 1e10): DataFrame = {
+    val stats = shingleStats(docs)
+    if (stats.skew >= skewThreshold) containmentPairsPrefix(docs, minContainment)
+    else if (stats.estPairMass > pairMassBudget)
+      throw new IllegalStateException(
+        f"containment candidate mass ~${stats.estPairMass}%.3g candidate rows " +
+          f"exceeds pairMassBudget ${pairMassBudget}%.3g, and the corpus df is " +
+          f"uniform (skew ${stats.skew}%.1f < $skewThreshold%.1f) so prefix " +
+          "filtering cannot bound it. Raise pairMassBudget explicitly, raise " +
+          "minContainment, or use minhashLsh/semanticDedup for this corpus.")
     else containmentPairs(docs, minContainment)
+  }
 
   /** C4 under a Zipfian tail: PPJoin-style prefix filtering, exact.
     * Shingles are canonically ordered rarest-first (global df, then

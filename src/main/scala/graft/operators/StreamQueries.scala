@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cdc.ChangeModel
+import graft.sources.Tables
+import graft.streaming.{AggStream, CdcStream, EventStream}
+
+/** The streaming tier (A9/A15/A22) wired into the DRIVER'S ORACLE
+  * GATE, not just ScalaTest equivalence specs: each query drives the
+  * real Structured Streaming pipeline to completion (file source →
+  * checkpointed sink, multiple micro-batches) and returns the sink's
+  * FINAL TABLE as a batch frame. Because the change stream derives
+  * deterministically from `events` (ChangeModel), a DuckDB oracle can
+  * recompute every result from the raw parquet — the same hard check
+  * the batch queries get. The reference is first a streaming system
+  * [ref: ConsumerMain.scala:91-152]; this makes its core loop visible
+  * to the correctness gate, not only to specs.
+  */
+object StreamQueries {
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** A9 under the gate: the full CDC ingest — JSON change lines
+    * arriving in TWO deterministic chunks, checkpointed foreachBatch
+    * MERGE through the SnapshotStore seam — then the stored snapshot.
+    * Equals the batch soft-delete snapshot over the whole log for ANY
+    * arrival split (the compaction-fold law the store specs pin).
+    */
+  def qStreamCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val lines = ChangeModel.changeLines(Tables(spark, dir).events).select("line")
+    val linesDir = tmp("gq-cdc-lines")
+    val snapDir = tmp("gq-cdc-snap")
+    val ckpt = tmp("gq-cdc-ckpt")
+    // first arrival: even ids; second arrival: the rest — interleaved
+    // key ranges, so the second merge REWRITES files, not just appends
+    val idIsEven = get_json_object(col("line"), "$.after.ID").cast("long") % 2 === 0
+    lines.filter(idIsEven).coalesce(1)
+      .write.mode("overwrite").text(linesDir + "/batch0")
+    val q = CdcStream.start(spark, linesDir + "/*/", snapDir, ckpt)
+    q.processAllAvailable()
+    lines.filter(!idIsEven).coalesce(1)
+      .write.mode("overwrite").text(linesDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    CdcStream.readSnapshot(spark, snapDir).get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A15 under the gate: at-least-once delivery (every event lands
+    * TWICE) deduplicated by the watermarked streaming dedup. One
+    * AvailableNow batch, so no event is ever "late" vs the watermark
+    * — the result is exactly the original event set.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val inDir = tmp("gq-dedup-in")
+    val outDir = tmp("gq-dedup-out")
+    val ckpt = tmp("gq-dedup-ckpt")
+    events.write.mode("overwrite").parquet(inDir + "/a")
+    events.write.mode("overwrite").parquet(inDir + "/b")
+    val streamIn = spark.readStream.schema(
+      spark.read.parquet(inDir + "/a").schema).parquet(inDir + "/*/")
+    val q = EventStream.dedupStream(streamIn)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  /** A22 under the gate: the continuously-maintained aggregate table
+    * — per-batch partials folded ADDITIVELY into the SnapshotStore
+    * via the txn-guarded copy-on-write merge, across two arrivals —
+    * then the stored table. Equals the one-shot groupBy over all
+    * events (additive partials are fold-order-free on counts and
+    * scaled-cents longs; never float sums).
+    */
+  def qStreamAggTable(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    val inDir = tmp("gq-agg-in")
+    val storeDir = tmp("gq-agg-store")
+    val ckpt = tmp("gq-agg-ckpt")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = AggStream.start(spark, inDir + "/*/", inDir + "/batch0", storeDir, ckpt)
+    q.processAllAvailable()
+    events.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    AggStream.readTable(spark, storeDir).get
+      .select(col("user_id"), col("n_events"), col("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
+    "q_stream_dedup"        -> (qStreamDedup _),
+    "q_stream_agg_table"    -> (qStreamAggTable _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical to q_cdc_softdelete's oracle: the streamed store must
+    // converge to the batch soft-delete snapshot of the whole log
+    "q_stream_cdc_snapshot" ->
+      """SELECT user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // doubled delivery dedups back to exactly the original event set
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the maintained table == one-shot aggregate over all events
+    "q_stream_agg_table" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(cast(round(value*100) as bigint)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

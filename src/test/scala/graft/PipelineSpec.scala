@@ -208,6 +208,32 @@ class PipelineSpec extends AnyFunSuite {
     zipf.unpersist()
   }
 
+  test("C4c: candidate-mass budget refuses uniform blowups, never gates the prefix path") {
+    val flat = docs
+    // the sampled sum(df^2) estimate tracks the exact mass (computed
+    // with sampling off) within sampling error
+    val exact = Dedup.shingleStats(flat, sampleBits = 0).estPairMass
+    val est = Dedup.shingleStats(flat).estPairMass
+    assert(est > exact / 3 && est < exact * 3,
+      s"estimate $est vs exact $exact drifted beyond sampling error")
+    // a uniform-df corpus over budget REFUSES with the estimate in the
+    // message — the silent multi-hour regime fails fast instead
+    val e = intercept[IllegalStateException] {
+      Dedup.containmentPairsAdaptive(flat, 0.6, pairMassBudget = 10.0)
+    }
+    assert(e.getMessage.contains("candidate mass") &&
+      e.getMessage.contains("pairMassBudget"), e.getMessage)
+    // under budget the plain path runs as before
+    assert(Dedup.containmentPairsAdaptive(flat, 0.6).count() > 0)
+    // a ZIPFIAN corpus over the same tiny budget is not refused — the
+    // skew rule routes it to the prefix path, which bounds the mass
+    val zipf = graft.tools.Corpora.zipf(spark, nDocs = 1500, vocab = 8000, docLen = 40)
+      .cache()
+    zipf.count()
+    assert(Dedup.containmentPairsAdaptive(zipf, 0.6, pairMassBudget = 10.0).count() > 0)
+    zipf.unpersist()
+  }
+
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
     import graft.functions.rolling_hash64
     val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))
