@@ -285,6 +285,11 @@ object Ann {
         struct((col("sub") * k + col("code") - 1).as("key"), col("d2").as("value")))).as("dmap"))
   }
 
+  /** One-shot PQ ADC top-k. Internally builds (and CACHES, session
+    * lifetime) the codebook frame each call — repeated callers over
+    * the same corpus should [[buildIvfPqIndex]] once and
+    * [[queryIvfPq]] per batch, releasing via [[IvfPqIndex.release]];
+    * clearCache() is the coarse alternative. */
   def pqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
              m: Int = 8, k: Int = 16, rerank: Int = 0): DataFrame = {
     val cb = pqCodebooks(emb, m, k)
@@ -349,8 +354,24 @@ object Ann {
     */
   final case class IvfPqIndex(cents: DataFrame, codebooks: DataFrame,
                               codes: DataFrame, vectors: DataFrame,
-                              m: Int, k: Int)
+                              m: Int, k: Int) {
+    /** Unpersist the session-lifetime frames this index pins
+      * (centroids + codebooks are cached because their lineage is a
+      * full corpus pass). Call when the index is retired; a loaded
+      * (parquet-backed) index holds no cache, so this is a no-op
+      * there. After release, further queries against the index
+      * re-run the build lineage on next action. */
+    def release(): Unit = {
+      cents.unpersist(); codebooks.unpersist(); ()
+    }
+  }
 
+  /** Builds the IVF-PQ index artifacts. NOTE: the returned index PINS
+    * two small cached frames (centroids, codebooks) whose lineage is
+    * a full corpus pass — cache lifetime is the session. A service
+    * building many indexes must call [[IvfPqIndex.release]] (or
+    * `spark.catalog.clearCache()`) per retired generation, or pinned
+    * frames accumulate until LRU eviction. */
   def buildIvfPqIndex(emb: DataFrame, nLists: Int = 8,
                       m: Int = 8, k: Int = 16): IvfPqIndex = {
     // coarse tier: refined centroids + per-vector list assignment

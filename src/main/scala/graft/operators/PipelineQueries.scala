@@ -181,21 +181,18 @@ object PipelineQueries {
     * the decision structure a dedup pipeline actually keeps (drop all
     * non-canonical members per cluster).
     */
-  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, lenBand = 20)
-      .select("id_a", "id_b")
-    Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersTable(spark, dir, Tables(spark, dir).documents)
       .orderBy(col("id"))
-  }
 
   /** C36: dup-cluster size distribution — the curation report built
-    * ON TOP of C19's cluster formation (how much of the corpus is
+    * ON TOP of C19's PERSISTED cluster map (how much of the corpus is
     * singleton vs 2-dup vs n-dup): two tiny aggregations over the
-    * cluster frame; cost is C19's, the report adds nothing at scale.
+    * shared [[Dedup.clustersTable]] snapshot — CC runs once per
+    * corpus, every report after that is a parquet read.
     */
   def qClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    qDupClusters(spark, dir)
+    Dedup.clustersTable(spark, dir, Tables(spark, dir).documents)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))

@@ -51,16 +51,20 @@ object Writers {
       .option("timeZone", "UTC")
       .csv(path)
 
+  /** `multiLine` defaults true to stay lossless against [[writeCsv]]
+    * output (which quotes embedded newlines — line-mode would split
+    * those records and FAILFAST on data the writer itself produced),
+    * but multiLine files are NOT splittable: one task per file. For
+    * large externally-produced CSVs known to be newline-free, pass
+    * `multiLine = false` to keep splittable line-mode reads. */
   def readCsv(spark: org.apache.spark.sql.SparkSession,
               schema: org.apache.spark.sql.types.StructType,
-              path: String, mode: String = "FAILFAST"): DataFrame =
+              path: String, mode: String = "FAILFAST",
+              multiLine: Boolean = true): DataFrame =
     spark.read.schema(schema)
       .option("header", "true").option("timestampFormat", TsFmt)
       .option("timeZone", "UTC")
-      // writeCsv quotes embedded newlines; without multiLine the
-      // reader would split such records on the physical line and
-      // FAILFAST on data the writer itself produced
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("mode", mode)
       .csv(path)
 

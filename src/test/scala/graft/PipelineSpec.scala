@@ -298,6 +298,30 @@ class PipelineSpec extends AnyFunSuite {
     release() // must not throw; frees the internally-pinned frame
   }
 
+  test("dup clusters: clustersTable persists once and is shared across callers") {
+    // first call builds + commits the cluster snapshot; the second
+    // must read the SAME committed version (no CC re-run, no new
+    // commit) and agree with a freshly-computed CC on the corpus
+    val first = Dedup.clustersTable(spark, sf, docs)
+    val store = new graft.store.SnapshotStore(spark,
+      Dedup.clusterStoreRoot(sf, 0.5, 20), keyCol = "id")
+    val v0 = store.currentVersion
+    assert(v0.isDefined, "first clustersTable call must commit a snapshot")
+    val second = Dedup.clustersTable(spark, sf, docs)
+    assert(store.currentVersion == v0,
+      "second call must reuse the committed snapshot, not re-commit")
+    val a = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = second.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val direct = {
+      val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, lenBand = 20)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(a == direct, "persisted cluster map must equal a direct CC run")
+  }
+
   test("sketch: space-saving top-k matches exact counts when under capacity") {
     import graft.functions.topk_freq
     val ev = Tables(spark, sf).events.repartition(7) // force partial+merge
@@ -365,6 +389,13 @@ class PipelineSpec extends AnyFunSuite {
     val extRes = Ann.queryIvfPq(loaded, external, topK = 5)
     assert(extRes.filter(col("query_id") === col("neighbor_id")).count() >= 0) // runs
     assert(extRes.groupBy("query_id").count().filter(col("count") =!= 5L).count() == 0)
+    // release() drops the pinned build-side frames and is a safe
+    // no-op on a parquet-backed loaded index
+    val built = Ann.buildIvfPqIndex(emb)
+    built.release()
+    assert(built.cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(built.codebooks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    loaded.release() // no cache held: must not throw
   }
 
   test("interchange: CSV and JSON round-trips are lossless; PERMISSIVE quarantines bad lines") {
