@@ -53,6 +53,7 @@ object SparkEntry {
     "q_solo_returns"   -> (Relational.qSoloReturns _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
+    "q_interval_merge" -> (Relational.qIntervalMerge _),
     "q_custdist"       -> (Relational.qCustdist _),
     "q_supplier_variety" -> (Relational.qSupplierVariety _),
     "q_idle_rich"      -> (Relational.qIdleRich _),
@@ -304,6 +305,30 @@ object SparkEntry {
         |  FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // gaps-and-islands: interval [s, s+300s) per event, running-max
+    // coalescing; islands merge on overlap, not gap-to-previous
+    "q_interval_merge" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(cast(ts as timestamp)) AS s,
+        |        epoch_us(cast(ts as timestamp)) + 300000000 AS en
+        | FROM events),
+        |m AS (
+        | SELECT user_id, event_id, s, en,
+        |  max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM e),
+        |g AS (
+        | SELECT user_id, s, en,
+        |  sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        | FROM m),
+        |isl AS (SELECT user_id, isl, min(s) AS st, max(en) AS e2
+        |        FROM g GROUP BY user_id, isl)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e2 - st) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the OUTER-JOIN-with-ON-filter form on purpose: the Spark side
     // runs the decorrelated pre-aggregated rewrite

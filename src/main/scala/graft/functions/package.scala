@@ -55,6 +55,12 @@ package object functions {
   def bottomk_sample(c: Column, k: Int, seed: String): Column =
     toCol(BottomKSample(toExpr(c), k, seed).toAggregateExpression())
 
+  /** k smallest distinct values of a LONG column, ascending — the
+    * raw KMV sketch when fed a hash (mergeable, deterministic).
+    */
+  def min_k(c: Column, k: Int): Column =
+    toCol(MinKLongs(toExpr(c), k).toAggregateExpression())
+
   /** Space-saving top-k heavy hitters of a string column: mergeable
     * bounded-memory sketch (TypedImperativeAggregate).
     */

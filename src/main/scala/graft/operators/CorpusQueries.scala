@@ -286,6 +286,119 @@ object CorpusQueries {
       .limit(30)
   }
 
+  /** C38: repeated-substring span detection — the distributed shape
+    * of suffix-array exact-substring dedup (find every W-token span
+    * that appears in more than one document, then score each doc by
+    * how much of it is duplicated material). Spans are W-token
+    * shingles with their positions; the dup set is one groupBy on the
+    * shingle key; the per-doc score is a semi-join-shaped left join
+    * back. At 100 TB the shuffle key is the 8-byte xxhash64 of the
+    * span — the span STRING never shuffles (the oracle groups by the
+    * string; counts agree absent 64-bit collisions, ~n²/2⁶⁴).
+    */
+  def qSubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${W - 1}), i -> array_join(slice(w, i, $W), ' '))"))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("isdup"))
+    sh.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("isdup")), lit(0L)).as("n_dup_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C39: cross-source vocabulary overlap via KMV (bottom-k) sketches
+    * — the sketch-tier answer to "how much do these corpus slices
+    * share?" without an all-pairs token join. Each source keeps its k
+    * smallest token hashes; a pair's Jaccard estimate is membership
+    * counting inside the k-truncated union sketch. Output carries the
+    * EXACT intersection/union counts plus a boolean asserting the
+    * sketch landed within tolerance (the q_hll_distinct pattern: the
+    * oracle verifies estimator accuracy, not just that it ran). At
+    * scale the exact pair join disappears and only the k-row sketches
+    * move — the estimate is the product.
+    */
+  def qSketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    // ONE distinct pass over the token stream, cached: the exact pair
+    // join (test-scale oracle anchor), the per-source counts and the
+    // sketches all read it — without the pin each consumer re-runs
+    // explode+distinct over the corpus. Cache lifetime ends at the
+    // session's next clearCache (Bench clears between iterations).
+    val tok = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .distinct().cache()
+    val inter = tok.alias("a")
+      .join(tok.alias("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // count + KMV sketch in one mergeable aggregate pass: min_k
+    // partials move k longs per source per partition — at 100 TB the
+    // sketch side never shuffles the vocabulary (a row_number window
+    // would sort every distinct token within each source)
+    val stats = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.min_k(xxhash64(col("t")), k).as("sk"))
+    inter
+      .join(stats.select(col("source").as("src_a"), col("n").as("na"),
+        col("sk").as("ska")), "src_a")
+      .join(stats.select(col("source").as("src_b"), col("n").as("nb"),
+        col("sk").as("skb")), "src_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      // k-truncated union sketch; denominator is its actual size so
+      // sub-k sources degrade to the exact Jaccard
+      .withColumn("uk", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("est",
+        size(array_intersect(array_intersect(col("uk"), col("ska")), col("skb")))
+          .cast("double") / size(col("uk")))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        (abs(col("est") - col("n_inter").cast("double") / col("n_union")) <= 0.12)
+          .as("kmv_ok"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** C43: collocation mining — adjacent pairs ranked by PMI-style
+    * lift. PMI = log(npair·N²/(Np·n1·n2)); since N and Np are
+    * constant across rows and log is monotone, the ORDER is exactly
+    * that of npair/(n1·n2) — one IEEE division of exact BIGINTs
+    * (correctly rounded, so the ranking replays bit-identically in
+    * any engine, unlike log-PMI float sums). Only integer counts are
+    * output; the lift ratio orders the top-30. Min support 3 keeps
+    * one-off juxtapositions out.
+    */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toksDoc = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("w"))
+    val uni = toksDoc.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n1c"))
+    val pairs = toksDoc.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("npair"))
+      .filter(col("npair") >= 3)
+    pairs
+      .join(uni.select(col("t").as("w1"), col("n1c").as("n1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n1c").as("n2")), "w2")
+      .withColumn("lift",
+        col("npair").cast("double") / (col("n1") * col("n2")).cast("double"))
+      .select(col("w1"), col("w2"), col("npair"), col("n1"), col("n2"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(30)
+      .select(col("w1"), col("w2"), col("npair"), col("n1"), col("n2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact"          -> (qPiiRedact _),
     "q_bloom_contamination" -> (qBloomContamination _),
@@ -297,6 +410,9 @@ object CorpusQueries {
     "q_chunk_overlap"       -> (qChunkOverlap _),
     "q_doc_keywords"        -> (qDocKeywords _),
     "q_word_pairs"          -> (qWordPairs _),
+    "q_substring_dup"       -> (qSubstringDup _),
+    "q_sketch_overlap"      -> (qSketchOverlap _),
+    "q_collocations"        -> (qCollocations _),
   )
 
   // NOTE: no line may start with '||' — this string is interpolated
@@ -424,6 +540,47 @@ object CorpusQueries {
         |SELECT p.a AS w1, p.b AS w2, count(*) AS n
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2
+        |LIMIT 30""".stripMargin,
+
+    // the oracle groups by the span STRING; the engine shuffles its
+    // 8-byte hash — identical counts absent 64-bit collisions
+    "q_substring_dup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
+        |                              for i in generate_series(1, len(w)-7)]) AS s
+        |       FROM toks WHERE len(w) >= 8),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT h.doc_id, count(*) AS n_shingles,
+        |  CAST(count(d.s) AS BIGINT) AS n_dup_pos
+        |FROM sh h LEFT JOIN dup d ON h.s = d.s
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    // exact counts + accuracy gate; the KMV estimate itself is
+    // hash-derived and can't replay in SQL (the q_hll_distinct pattern)
+    "q_sketch_overlap" ->
+      """WITH raw AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tok AS (SELECT DISTINCT source, t FROM raw),
+        |n AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |      FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_inter,
+        |  na.n + nb.n - n_inter AS n_union, true AS kmv_ok
+        |FROM i JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t, count(*) AS n1c FROM
+        |         (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+        |pairs AS (SELECT p.a AS w1, p.b AS w2, count(*) AS npair FROM
+        |           (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+        |                           for i in generate_series(1, len(w)-1)]) AS p
+        |            FROM toks WHERE len(w) >= 2)
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, npair, u1.n1c AS n1, u2.n1c AS n2
+        |FROM pairs JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2
+        |ORDER BY CAST(npair AS DOUBLE) / (u1.n1c * u2.n1c) DESC, w1, w2
         |LIMIT 30""".stripMargin,
   )
 }

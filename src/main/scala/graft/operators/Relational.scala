@@ -366,6 +366,38 @@ object Relational {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** B40: interval coalescing (gaps-and-islands) — each event keeps
+    * its user "active" for a horizon; overlapping/touching activity
+    * intervals merge into islands, reported as per-user island count
+    * and total covered micros. The classic running-max formulation:
+    * an interval starts a new island iff its start exceeds the max
+    * end seen so far (one window pass, no self-join — at 100 TB this
+    * is a single shuffle on user_id, same cost as sessionize; the
+    * self-join formulation would be quadratic per user). Differs from
+    * sessionization: islands merge on interval OVERLAP (start vs max
+    * end), not on gap-to-previous-event, so out-of-order long
+    * intervals that swallow later ones coalesce correctly.
+    */
+  def qIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 300L * 1000000L
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("en", col("s") + horizonUs)
+      .withColumn("pmax", max(col("en")).over(prev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(run))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("s")).as("st"), max(col("en")).as("e2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e2") - col("st")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** B25 (TPC-H Q18 shape): HAVING-subquery + multi-join — large-order
     * customers. The "orders above an aggregate threshold" set is a
     * semi-join against a pre-aggregated lineitem (the HAVING

@@ -68,6 +68,20 @@ object Writers {
       .option("mode", mode)
       .csv(path)
 
+  /** ORC interchange — the columnar exchange format next to parquet
+    * (splittable, predicate-pushdown-capable, zlib by default). Spark
+    * ships a native vectorized ORC reader, so a scan here gets the
+    * same columnar batch path as parquet. Schema is still explicit on
+    * read: ORC files carry their own schema, but pinning it rejects
+    * drifted files at plan time instead of failing mid-job. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+              schema: org.apache.spark.sql.types.StructType,
+              path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", TsFmt)

@@ -418,6 +418,17 @@ class PipelineSpec extends AnyFunSuite {
     same(ev, Writers.readCsv(spark, ev.schema, s"$tmp/ev_csv"))
     Writers.writeJson(ev, s"$tmp/ev_json")
     same(ev, Writers.readJson(spark, ev.schema, s"$tmp/ev_json"))
+    // ORC: binary columnar round-trip (timestamps carried natively,
+    // no format pinning needed) through Spark's vectorized reader
+    Writers.writeOrc(d, s"$tmp/d_orc")
+    same(d, Writers.readOrc(spark, d.schema, s"$tmp/d_orc"))
+    Writers.writeOrc(ev, s"$tmp/ev_orc")
+    same(ev, Writers.readOrc(spark, ev.schema, s"$tmp/ev_orc"))
+    // line-mode CSV read (multiLine=false) on newline-free data stays
+    // lossless while keeping files splittable
+    val flat = d.withColumn("text", regexp_replace(col("text"), "\n", " "))
+    Writers.writeCsv(flat, s"$tmp/flat_csv")
+    same(flat, Writers.readCsv(spark, flat.schema, s"$tmp/flat_csv", multiLine = false))
     // embedded newlines: the writer quotes them; multiLine on the
     // reader keeps the round-trip lossless (a reader without it
     // FAILFASTs on data the writer itself produced)
