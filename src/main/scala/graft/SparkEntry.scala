@@ -54,6 +54,12 @@ object SparkEntry {
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_interval_merge" -> (Relational.qIntervalMerge _),
+    "q_revenue_forecast"  -> (Relational.qRevenueForecast _),
+    "q_volume_shipping"   -> (Relational.qVolumeShipping _),
+    "q_market_share"      -> (Relational.qMarketShare _),
+    "q_product_profit"    -> (Relational.qProductProfit _),
+    "q_important_stock"   -> (Relational.qImportantStock _),
+    "q_dominant_suppliers" -> (Relational.qDominantSuppliers _),
     "q_custdist"       -> (Relational.qCustdist _),
     "q_supplier_variety" -> (Relational.qSupplierVariety _),
     "q_idle_rich"      -> (Relational.qIdleRich _),
@@ -305,6 +311,104 @@ object SparkEntry {
         |  FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // TPC-H Q6 shape: pure scan-filter-aggregate, exact 10^-4 dollars
+    "q_revenue_forecast" ->
+      """SELECT CAST(sum(cast(round(l_extendedprice*100) as bigint)
+        |  * cast(round(l_discount*100) as bigint)) AS BIGINT) AS rev4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND cast(round(l_discount*100) as bigint) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q7 shape: symmetric nation-pair volume by ship year
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(sum(cast(round(l_extendedprice*100) as bigint)
+        |   * (100 - cast(round(l_discount*100) as bigint))) AS BIGINT) AS rev4
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // TPC-H Q8 shape: exact scaled-long numerator/denominator, one
+    // final IEEE division for the share
+    "q_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN d4 ELSE 0 END) AS BIGINT) AS num4,
+        | CAST(sum(d4) AS BIGINT) AS den4,
+        | CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN d4 ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(d4) AS BIGINT) AS mkt_share
+        |FROM (SELECT l_orderkey, l_suppkey,
+        |        cast(round(l_extendedprice*100) as bigint)
+        |          * (100 - cast(round(l_discount*100) as bigint)) AS d4
+        |      FROM lineitem) l
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | JOIN region ON n2.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q9 shape: profit with p_retailprice as the cost proxy
+    // (this schema carries no partsupp table)
+    "q_product_profit" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        | CAST(sum(cast(round(l_extendedprice*100) as bigint)
+        |    * (100 - cast(round(l_discount*100) as bigint))
+        |  - cast(round(p_retailprice*100) as bigint) * 100
+        |    * cast(round(l_quantity) as bigint)) AS BIGINT) AS profit4
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q11 shape: integer threshold (value*500 > total) against
+    // the global scalar
+    "q_important_stock" ->
+      """WITH v AS (
+        | SELECT l_partkey, sum(cast(round(l_extendedprice*100) as bigint)) AS value2
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3' GROUP BY 1),
+        |tot AS (SELECT sum(value2) AS t2 FROM v)
+        |SELECT l_partkey, CAST(value2 AS BIGINT) AS value2
+        |FROM v, tot WHERE value2 * 500 > t2
+        |ORDER BY value2 DESC, l_partkey""".stripMargin,
+
+    // TPC-H Q20 shape: 2*qty > total is the integer half-threshold
+    "q_dominant_suppliers" ->
+      """WITH q AS (
+        | SELECT l_partkey, l_suppkey, sum(cast(round(l_quantity) as bigint)) AS qty
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_name LIKE 'small%'
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(qty) AS tq FROM q GROUP BY 1)
+        |SELECT DISTINCT s_name
+        |FROM q JOIN tot USING (l_partkey)
+        | JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE 2*qty > tq
+        |ORDER BY s_name""".stripMargin,
 
     // gaps-and-islands: interval [s, s+300s) per event, running-max
     // coalescing; islands merge on overlap, not gap-to-previous

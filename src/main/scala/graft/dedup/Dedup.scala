@@ -92,6 +92,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Fuzzy cross-split decontamination: n-gram Jaccard near-dups
+    * BETWEEN two corpora (eval benchmark vs training corpus) — the
+    * asymmetric sibling of [[ngramJaccardPairs]]. Exact by
+    * construction (inverted index, not LSH: banded MinHash recall at
+    * J=0.5 is only ~65%, unacceptable for a contamination gate).
+    * The eval side's posting list is BROADCAST — a benchmark suite
+    * is tiny relative to a 100 TB training corpus, so the corpus
+    * never shuffles: one scan, map-side join, one aggregate on the
+    * (eval, train) pair key. Drop the hint if the eval set is itself
+    * corpus-sized. No length band: contamination can be an eval doc
+    * embedded in a longer training doc.
+    */
+  def crossNearDups(evalDocs: DataFrame, trainDocs: DataFrame,
+                    minJaccard: Double): DataFrame = {
+    def postings(d: DataFrame, idName: String, cName: String) =
+      d.select(col("doc_id"),
+          graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+        .select(col("doc_id").as(idName), size(col("shh")).as(cName),
+          explode(col("shh")).as("gh"))
+    val e = postings(evalDocs, "eval_id", "ce")
+    val t = postings(trainDocs, "train_id", "ct")
+    t.join(broadcast(e), Seq("gh"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("ce")).as("ce"), max(col("ct")).as("ct"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("ce") + col("ct") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("eval_id"), col("train_id"), col("jaccard"))
+  }
+
   /** Hashed distinct shingle sets per doc (8-byte elements), one
     * codegen'd pass (ShingleHashes expression).
     */

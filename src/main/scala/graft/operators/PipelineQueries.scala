@@ -25,6 +25,21 @@ object PipelineQueries {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables(spark, dir).documents, minJaccard = 0.5, lenBand = 20)
 
+  /** C41: fuzzy decontamination — near-dup pairs BETWEEN the eval
+    * slice (src0 plays the benchmark) and the training remainder;
+    * the drop-list a training pipeline applies before a run. Exact
+    * inverted-index join with the tiny eval side broadcast (the
+    * corpus never shuffles); complements q_contamination /
+    * q_bloom_contamination, which catch exact n-gram hits only.
+    */
+  def qCrossNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup.crossNearDups(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), minJaccard = 0.5)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   /** C4-adaptive: same exact semantics as q_ngram_jaccard, but the
     * plan is chosen at runtime from the measured shingle df skew
     * (plain inverted-index join on flat corpora, PPJoin prefix
@@ -176,6 +191,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C44: TextRank keyword importance — top-50 words by fixed-point
+    * PageRank over the word-adjacency graph ([[TextAnalysis.textrank]]
+    * — integer floor arithmetic, so the oracle replays all five
+    * iterations exactly as unrolled SQL).
+    */
+  def qTextrank(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.textrank(Tables(spark, dir).documents, iterations = 5)
+      .orderBy(col("r").desc, col("w"))
+      .limit(50)
+
   /** Dup clusters: connected components over the trigram-Jaccard
     * near-dup graph (J >= 0.5), cluster id = min reachable doc id —
     * the decision structure a dedup pipeline actually keeps (drop all
@@ -267,7 +292,22 @@ object PipelineQueries {
     "q_dup_clusters"    -> (qDupClusters _),
     "q_cluster_sizes"   -> (qClusterSizes _),
     "q_group_topk"      -> (qGroupTopk _),
+    "q_cross_neardup"   -> (qCrossNeardup _),
+    "q_textrank"        -> (qTextrank _),
   )
+
+  /** One unrolled TextRank iteration as SQL: r_k from r_{k-1} — the
+    * oracle replays the exact integer fixed-point arithmetic of
+    * [[graft.text.TextAnalysis.textrank]] (div == DuckDB // on
+    * positive BIGINTs).
+    */
+  private def trLayer(k: Int): String =
+    s"""r$k AS (SELECT n.w,
+       |  CAST(150000000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+       | FROM nodes n LEFT JOIN (
+       |  SELECT e.w2 AS w, sum(p.r // o.od) AS s
+       |  FROM edges e JOIN r${k - 1} p ON p.w = e.w1 JOIN outd o ON o.u = e.w1
+       |  GROUP BY e.w2) s ON s.w = n.w)""".stripMargin
 
   private val triCte =
     """toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
@@ -408,6 +448,33 @@ object PipelineQueries {
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_textrank" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |rawe AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+         |                        for i in generate_series(1, len(w)-1)]) AS p
+         |         FROM toks WHERE len(w) >= 2),
+         |edges AS (SELECT DISTINCT p.a AS w1, p.b AS w2 FROM rawe),
+         |outd AS (SELECT w1 AS u, count(*) AS od FROM edges GROUP BY 1),
+         |nodes AS (SELECT w1 AS w FROM edges UNION SELECT w2 FROM edges),
+         |r0 AS (SELECT w, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+         |${(1 to 5).map(trLayer).mkString(",\n")}
+         |SELECT w, r FROM r5 ORDER BY r DESC, w LIMIT 50""".stripMargin,
+
+    "q_cross_neardup" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |tri AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                        for i in generate_series(1, len(w)-2)])) AS g FROM toks),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM tri GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS i
+        |  FROM tri a JOIN tri b USING (g)
+        |  WHERE a.source = 'src0' AND b.source != 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT eval_id, train_id, i*1.0/(ca.c + cb.c - i) AS jaccard
+        |FROM inter JOIN cnt ca ON eval_id = ca.doc_id JOIN cnt cb ON train_id = cb.doc_id
+        |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $triCte,

@@ -366,6 +366,157 @@ object Relational {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** B41 (TPC-H Q6 shape): forecasting revenue change — the pure
+    * scan-filter-aggregate: no join, no group; the whole query is one
+    * codegen span over the pushed-down scan. Revenue in exact 10⁻⁴
+    * dollars (cents × discount-percent), so the single output row is
+    * a BIGINT the oracle matches bit-for-bit.
+    */
+  def qRevenueForecast(spark: SparkSession, dir: String): DataFrame = {
+    val d100 = round(col("l_discount") * 100).cast("long")
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        d100.between(5L, 7L) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice")) * d100).as("rev4"))
+  }
+
+  /** B42 (TPC-H Q7 shape): volume shipping between two nations — the
+    * symmetric nation-pair filter (A→B or B→A) over a 4-dim join,
+    * grouped by direction and ship year. Dimensions broadcast; the
+    * fact shuffles once for the final aggregate.
+    */
+  def qVolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val disc4 = (cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("disc4")
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), disc4)
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+      .join(t.nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("disc4")).as("rev4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** B43 (TPC-H Q8 shape): national market share — the ratio of one
+    * supplier nation's discounted volume to a whole region's imports,
+    * per order year. Numerator/denominator are exact scaled longs
+    * (conditional sum); the share is ONE final IEEE division, so the
+    * double matches the oracle bit-for-bit.
+    */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val disc4 = (cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("disc4")
+    t.lineitem.select(col("l_orderkey"), col("l_suppkey"), disc4)
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.nation.select(col("n_nationkey").as("cnk"), col("n_regionkey")),
+        col("c_nationkey") === col("cnk"))
+      .join(t.region.filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_1", col("disc4")).otherwise(0L))
+          .as("num4"),
+        sum(col("disc4")).as("den4"))
+      .withColumn("mkt_share", col("num4").cast("double") / col("den4"))
+      .orderBy(col("o_year"))
+  }
+
+  /** B44 (TPC-H Q9 shape): product-line profit by supplier nation and
+    * year. The classic profit expression adapted to this schema's
+    * cost proxy (p_retailprice stands in for ps_supplycost — no
+    * partsupp table in the testdata): amount4 = price·(100-disc) −
+    * retail·100·qty, all exact scaled longs.
+    */
+  def qProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val amount4 = (cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+      cents(col("p_retailprice")) * lit(100L) *
+        round(col("l_quantity")).cast("long")).as("amount4")
+    t.lineitem
+      .join(t.part.filter(col("p_name").like("red%"))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name").as("nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), year(col("l_shipdate")).cast("long").as("o_year"), amount4)
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount4")).as("profit4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** B45 (TPC-H Q11 shape): important stock — per-part value from one
+    * nation's suppliers, kept when it exceeds a fraction of that
+    * nation's total (the global-scalar HAVING subquery, decorrelated
+    * to a broadcast single-row cross join). The threshold compare is
+    * INTEGER (value·500 > total), no float fraction.
+    */
+  def qImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val natLines = t.lineitem
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation.filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("c2"))
+    val v = natLines.groupBy(col("l_partkey")).agg(sum(col("c2")).as("value2"))
+    val tot = v.agg(sum(col("value2")).as("t2"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value2") * 500L > col("t2"))
+      .select(col("l_partkey"), col("value2"))
+      .orderBy(col("value2").desc, col("l_partkey"))
+  }
+
+  /** B46 (TPC-H Q20 shape): dominant suppliers — suppliers who shipped
+    * more than HALF of some small-part's 1996 volume (the nested
+    * aggregate-threshold subquery, here as a per-part total joined
+    * back; 2·qty > total is the integer form of qty > 0.5·total).
+    */
+  def qDominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .join(t.part.filter(col("p_name").like("small%")).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+    val tot = q.groupBy(col("l_partkey")).agg(sum(col("qty")).as("tq"))
+    q.join(tot, "l_partkey")
+      .filter(col("qty") * 2L > col("tq"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name")).distinct()
+      .orderBy(col("s_name"))
+  }
+
   /** B40: interval coalescing (gaps-and-islands) — each event keeps
     * its user "active" for a horizon; overlapping/touching activity
     * intervals merge into islands, reported as per-user island count

@@ -107,10 +107,51 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A11 under the gate: stateful gap sessionization
+    * (flatMapGroupsWithState) across TWO time-split arrivals — each
+    * user's open session must CARRY in state over the micro-batch
+    * boundary and close correctly when its successor arrives. The
+    * emitted set is every closed session; the open tail per user
+    * stays in state, so the oracle is the batch sessionization minus
+    * each user's final session.
+    */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val inDir = tmp("gq-sess-in")
+    val outDir = tmp("gq-sess-out")
+    val ckpt = tmp("gq-sess-ckpt")
+    // time-split arrivals (per-user order preserved): sessions that
+    // straddle the cut exercise state continuity, not just replay
+    val mm = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val streamIn = spark.readStream.schema(events.schema).parquet(inDir + "/*/")
+      .as[graft.streaming.EventStream.SessionEvent]
+    val q = graft.streaming.EventStream.sessionize(streamIn, gapMinutes = 60)
+      .toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
+    "q_stream_session"      -> (qStreamSession _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +177,30 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(cast(round(value*100) as bigint)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch sessionization (q_sessionize's oracle) minus each user's
+    // final — still open — session, which stays in streaming state
+    "q_stream_session" ->
+      """WITH sess AS (
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(tsx), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(tsx), '%Y-%m-%d %H:%M:%S') AS session_end
+        | FROM (
+        |  SELECT user_id, event_id, tsx,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, cast(ts as timestamp) AS tsx,
+        |    CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) IS NULL
+        |      OR epoch_us(cast(ts as timestamp)) - lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) > 3600000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |   FROM events))
+        | GROUP BY user_id, session_id)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS msid FROM sess)
+        |WHERE session_id < msid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

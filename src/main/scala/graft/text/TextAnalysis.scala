@@ -83,4 +83,44 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       size(tokens(col("text"))).as("n_ws_tokens"),
       regexTokenCount(col("text")).as("n_regex_tokens"))
+
+  /** C44: TextRank — PageRank over the corpus word-adjacency graph
+    * (directed edge w1→w2 per distinct adjacent pair), the classic
+    * graph notion of term importance. Ranks are FIXED-POINT LONGS
+    * (scale 10¹²) with every step an integer floor op:
+    *   contrib(u) = r(u) div outdeg(u)
+    *   r'(v)      = 0.15·SCALE + (85 · Σ contrib(in(v))) div 100
+    * so the iteration is bit-deterministic on any engine or
+    * partitioning — float PageRank drifts with aggregation order and
+    * can't be oracle-checked. Dangling mass is dropped (documented
+    * simplification, mirrored by the oracle). Each iteration is one
+    * join + one aggregate over the EDGE frame; the driver loop holds
+    * no data (the CC pattern). Total mass ≤ |V|·SCALE keeps every
+    * sum far inside BIGINT.
+    */
+  def textrank(docs: DataFrame, iterations: Int = 5): DataFrame = {
+    val Scale = 1000000000000L
+    val base = Scale * 15L / 100L
+    val toks = docs.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val edges = toks.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .distinct().cache()
+    val outd = edges.groupBy(col("w1").as("u")).agg(count(lit(1)).as("od"))
+    val nodes = edges.select(col("w1").as("w"))
+      .unionAll(edges.select(col("w2").as("w"))).distinct()
+    var r = nodes.withColumn("r", lit(Scale))
+    (1 to iterations).foreach { _ =>
+      val s = edges
+        .join(r.withColumnRenamed("w", "w1"), "w1")
+        .join(outd.withColumnRenamed("u", "w1"), "w1")
+        .select(col("w2").as("w"), expr("r div od").as("c"))
+        .groupBy(col("w")).agg(sum(col("c")).as("s"))
+      r = nodes.join(s, Seq("w"), "left")
+        .select(col("w"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    r
+  }
 }
