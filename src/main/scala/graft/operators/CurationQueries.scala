@@ -253,6 +253,56 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C45: weighted systematic (PPS — probability proportional to
+    * size) sampling: a fixed grid of k points over the cumulative
+    * weight axis; a doc is picked once per grid point falling in its
+    * weight interval (long docs can be picked twice — by design, PPS
+    * with replacement). Everything is integer: grid step = total div
+    * k, pick count = floor-division difference — bit-identical in
+    * any engine, unlike u^(1/w) priority sampling whose pow/log
+    * floats drift.
+    *
+    * The global cumulative weight uses the distributed two-pass
+    * prefix sum — range-partition by doc_id, per-partition totals
+    * (ONE long per partition to the driver), offset-seeded
+    * in-partition scan — NOT a single-partition window; the scan
+    * stays parallel at any corpus size. The RDD hop is deliberate:
+    * an order-sensitive running scan is genuine per-partition
+    * imperative logic.
+    */
+  def qPpsSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 50L
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("w"))
+    val parts = base.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)].rdd
+    val partTotals = parts.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    require(total >= k, s"total weight $total < k=$k: step would be 0")
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val cum = parts.mapPartitionsWithIndex { (i, it) =>
+      var acc = bcOff.value(i)
+      it.map { case (id, wt) => acc += wt; (id, wt, acc) }
+    }.toDF("doc_id", "w", "cw")
+    val step = total / k
+    val o = step / 2
+    // picks in (cw-w, cw]: count of grid points o + j*step inside —
+    // the +step shift keeps numerators positive so div == floor in
+    // both engines
+    val nPicks = expr(
+      s"((cw - 1 - $o + $step) div $step) - ((cw - w - 1 - $o + $step) div $step)")
+    cum.withColumn("n_picks", nPicks)
+      .filter(col("n_picks") >= 1L)
+      .select(col("doc_id"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rarity_score"    -> (qRarityScore _),
     "q_mixture_apply"   -> (qMixtureApply _),
@@ -266,6 +316,7 @@ object CurationQueries {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_mixture_plan"    -> (qMixturePlan _),
     "q_quality_filter"  -> (qQualityFilter _),
+    "q_pps_sample"      -> (qPpsSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +405,25 @@ object CurationQueries {
         |    AS int) AS keep
         | FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replay of the integer PPS grid: step/offset from the total,
+    // pick counts by floor-division difference (// == div on the
+    // positive-shifted numerators)
+    "q_pps_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  sum(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM d),
+        |t AS (SELECT sum(w) AS tw FROM d),
+        |p AS (SELECT doc_id, w, cw, tw // 50 AS step, (tw // 50) // 2 AS o
+        |      FROM c, t)
+        |SELECT doc_id,
+        | CAST(((cw - 1 - o + step) // step)
+        |   - ((cw - w - 1 - o + step) // step) AS BIGINT) AS n_picks
+        |FROM p
+        |WHERE ((cw - 1 - o + step) // step)
+        |   - ((cw - w - 1 - o + step) // step) >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mixture_plan" ->
       """SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tokens,

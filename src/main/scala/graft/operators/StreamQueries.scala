@@ -147,11 +147,51 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** A10 under the gate: the watermarked tumbling-window aggregate —
+    * hourly counts and scaled-cents sums per event type in APPEND
+    * mode (a window emits only once, when the watermark passes it).
+    * A far-future sentinel event in a second arrival advances the
+    * watermark past every real window so they all finalize; the
+    * sentinel's own window never closes and is filtered defensively.
+    * Oracle: the batch hourly bucket aggregate (q_time_bucket's SQL).
+    */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val inDir = tmp("gq-win-in")
+    val outDir = tmp("gq-win-out")
+    val ckpt = tmp("gq-win-ckpt")
+    events.coalesce(1).write.mode("overwrite").parquet(inDir + "/batch0")
+    val streamIn = spark.readStream.schema(events.schema).parquet(inDir + "/*/")
+    val agg = streamIn
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum2"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), (col("sum2") / 100.0).as("sum_value"))
+    val q = agg.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L)
+    Seq((sentinel, "zzz_sentinel", 0.0)).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "zzz_sentinel")
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
     "q_stream_session"      -> (qStreamSession _),
+    "q_stream_window"       -> (qStreamWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +217,16 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(cast(round(value*100) as bigint)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // every real window finalizes (sentinel-flushed) == the batch
+    // hourly bucket aggregate
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n,
+        | sum(cast(round(value*100) as bigint))/100.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // batch sessionization (q_sessionize's oracle) minus each user's
     // final — still open — session, which stays in streaming state

@@ -103,10 +103,19 @@ object TextAnalysis {
     val base = Scale * 15L / 100L
     val toks = docs.select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    val edges = toks.select(explode(expr(
+    val edges0 = toks.select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .distinct().cache()
+    // loop parallelism follows the WORD GRAPH's size, not the
+    // session's shuffle width (the CC pattern): a vocabulary graph is
+    // tiny next to the corpus, and running its per-iteration joins at
+    // full width bills fixed task overhead 32x per stage, 5 times
+    // over. The eager count doubles as the cache materializer.
+    val nEdges = edges0.count()
+    val loopParts = math.max(1, math.min(
+      edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
+    val edges = edges0.coalesce(loopParts)
     val outd = edges.groupBy(col("w1").as("u")).agg(count(lit(1)).as("od"))
     val nodes = edges.select(col("w1").as("w"))
       .unionAll(edges.select(col("w2").as("w"))).distinct()
