@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** E-block: product/ops analytics shapes a curation team runs next to
+  * the pipeline proper — cohort retention, entity resolution, Pareto
+  * fronts, graph triangle counts. All integer-or-IEEE-exact so every
+  * query carries a DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  /** E1: weekly cohort retention over the events stream — users
+    * grouped by first-activity week, counted distinctly per week
+    * offset. Two hash aggregations (cohort assignment, then the
+    * matrix); the user->cohort join shuffles on user_id, the same key
+    * as the cohort aggregate, so AQE reuses the exchange. Week ids
+    * are integer day-diffs floor-divided by 7 (epoch-anchored Monday
+    * 1970-01-05) — exact in any engine.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(lit("1970-01-05"))) / 7)
+          .cast("long").as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** E2: blocked entity resolution (record linkage) — candidate pairs
+    * only within a (nation, segment) block, matched on edit distance
+    * <= 1 plus a balance band. The block join is an equi-join (no
+    * all-pairs): candidate mass is sum over blocks of |block|², the
+    * standard blocking bound; at 100 TB the block key would come from
+    * a phonetic/sorted-neighborhood key, same plan shape. levenshtein
+    * is integer-exact in both engines.
+    */
+  def qRecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal_b"))
+    a.join(b, Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("name_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("name_dist") <= 1 &&
+        abs(col("bal_a") - col("bal_b")) < lit(100.0))
+      .select(col("id_a"), col("id_b"), col("name_dist").cast("long").as("name_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** E3: 2-D Pareto front (skyline) over parts — minimize
+    * (p_retailprice, p_size). A part survives iff no other part is <=
+    * on both dims and < on one. Shape: collapse to one row per
+    * distinct price (min size) — that aggregate is the only big
+    * shuffle — then a running strict-predecessor min over the
+    * price-ordered group rows, then join back. The ordered pass runs
+    * over the *price-distinct* frame, orders of magnitude smaller
+    * than the fact table; the final join is broadcast-able for the
+    * same reason. Comparisons are raw parquet doubles (no arithmetic)
+    * so both engines order identically.
+    */
+  def qParetoFront(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).part
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val perPrice = p.groupBy(col("p_retailprice"))
+      .agg(min(col("p_size")).as("grp_min"))
+    val w = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perPrice.withColumn("prev_min", min(col("grp_min")).over(w))
+    p.join(broadcast(withPrev), Seq("p_retailprice"))
+      .filter(col("p_size") === col("grp_min") &&
+        (col("prev_min").isNull || col("p_size") < col("prev_min")))
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** E4: triangle counting over the word-adjacency graph
+    * (degree-ordered orientation, Schank & Wagner 2005 / Suri &
+    * Vassilvitskii 2011 MapReduce form). Each undirected edge is
+    * oriented from the lower-(degree, word) endpoint to the higher,
+    * so every wedge is enumerated exactly once at its lowest-rank
+    * apex and wedge mass is bounded by sum(min(deg)) <= O(m^1.5) —
+    * the property that makes the self-join survive a power-law graph
+    * at 100 TB (a hub of degree d contributes d wedges as a spoke,
+    * not d²). Output: the 20 words in the most triangles.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val edges = toks.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as a, w[i+1] as b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("w")).unionAll(edges.select(col("v").as("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("d"))
+    // orient each edge from lower (degree, word) to higher
+    val du = deg.select(col("w").as("u"), col("d").as("du"))
+    val dv = deg.select(col("w").as("v"), col("d").as("dv"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"))
+    val e1 = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    val e2 = oriented.select(col("lo").as("y"), col("hi").as("z"))
+    val wedges = e1.join(e2, "y").select(col("x"), col("y"), col("z"))
+    // close the wedge: (x,z) must be an oriented edge (x,z) — x is the
+    // wedge's lowest rank, so the closing edge is oriented x->z
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("z"))
+    val tris = wedges.join(closing, Seq("x", "z"))
+    val perWord = tris.select(col("x").as("word"))
+      .unionAll(tris.select(col("y").as("word")))
+      .unionAll(tris.select(col("z").as("word")))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_triangles"))
+    perWord.orderBy(col("n_triangles").desc, col("word")).limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_record_linkage"   -> (qRecordLinkage _),
+    "q_pareto_front"     -> (qParetoFront _),
+    "q_triangles"        -> (qTriangles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+        | FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_record_linkage" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |  AND abs(a.c_acctbal - b.c_acctbal) < 100.0
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_pareto_front" ->
+      """WITH pp AS (SELECT p_retailprice, min(p_size) AS grp_min
+        |  FROM part GROUP BY p_retailprice),
+        |pm AS (SELECT p_retailprice, grp_min,
+        |  min(grp_min) OVER (ORDER BY p_retailprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        |  FROM pp)
+        |SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p JOIN pm ON p.p_retailprice = pm.p_retailprice
+        |WHERE p.p_size = pm.grp_min
+        |  AND (pm.prev_min IS NULL OR p.p_size < pm.prev_min)
+        |ORDER BY p.p_partkey""".stripMargin,
+    "q_triangles" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |adj AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in generate_series(1, len(w)-1)]) AS p FROM toks),
+        |edges AS (SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+        |          FROM adj WHERE p.a <> p.b),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS w FROM edges UNION ALL SELECT v FROM edges) GROUP BY w),
+        |oriented AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS lo,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS hi
+        |  FROM edges e JOIN deg du ON du.w = e.u JOIN deg dv ON dv.w = e.v),
+        |tris AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |  FROM oriented e1 JOIN oriented e2 ON e2.lo = e1.hi
+        |  JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT x AS word FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+        |  GROUP BY word)
+        |SELECT word, n_triangles FROM pw
+        |ORDER BY n_triangles DESC, word LIMIT 20""".stripMargin,
+  )
+}
