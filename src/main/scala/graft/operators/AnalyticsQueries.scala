@@ -105,23 +105,36 @@ object AnalyticsQueries {
     val toks = Tables(spark, dir).documents
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
+    // The edge list and the oriented edge list are each consumed by
+    // several branches below (degree count + orientation join; wedge
+    // e1/e2 + closing). Without pinning, every branch would re-derive
+    // its whole upstream — measured 90 corpus scans in one plan — so
+    // both frames are cached: ONE corpus pass total. Cache lifetime is
+    // the session's (same contract as Dedup's CC step frames); callers
+    // needing reclamation can spark.catalog.clearCache() after the
+    // action, the frames are edge-sized (two words per row), not
+    // corpus-sized.
     val edges = toks.select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] as a, w[i+1] as b))")).as("p"))
       .select(col("p.a"), col("p.b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    val deg = edges.select(col("u").as("w")).unionAll(edges.select(col("v").as("w")))
+      .cache()
+    // single-pass degree: explode both endpoints instead of a
+    // two-branch union (one read of the cached edges, one aggregate)
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("d"))
     // orient each edge from lower (degree, word) to higher
     val du = deg.select(col("w").as("u"), col("d").as("du"))
     val dv = deg.select(col("w").as("v"), col("d").as("dv"))
+    val lowerFirst =
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges.join(du, "u").join(dv, "v")
       .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("lo"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("hi"))
+        when(lowerFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(lowerFirst, col("v")).otherwise(col("u")).as("hi"))
+      .cache()
     val e1 = oriented.select(col("lo").as("x"), col("hi").as("y"))
     val e2 = oriented.select(col("lo").as("y"), col("hi").as("z"))
     val wedges = e1.join(e2, "y").select(col("x"), col("y"), col("z"))
@@ -129,9 +142,8 @@ object AnalyticsQueries {
     // wedge's lowest rank, so the closing edge is oriented x->z
     val closing = oriented.select(col("lo").as("x"), col("hi").as("z"))
     val tris = wedges.join(closing, Seq("x", "z"))
-    val perWord = tris.select(col("x").as("word"))
-      .unionAll(tris.select(col("y").as("word")))
-      .unionAll(tris.select(col("z").as("word")))
+    val perWord = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n_triangles"))
     perWord.orderBy(col("n_triangles").desc, col("word")).limit(20)
   }
