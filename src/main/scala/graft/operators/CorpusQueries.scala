@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -399,7 +400,63 @@ object CorpusQueries {
       .select(col("w1"), col("w2"), col("npair"), col("n1"), col("n2"))
   }
 
+  /** C46: TF-IDF term scoring — top-3 terms per document. The IDF is
+    * the scaled rational (N * 1e6) div df rather than ln(N/df): the
+    * ranking it induces is the same monotone order in df, and integer
+    * division makes the score engine-exact (a float log would hash-
+    * drift between libm builds). Shape: one (doc, term) aggregate
+    * (fact-sized, map-side partials), a term-level df aggregate over
+    * the *distinct-pairs* frame, a broadcast one-row corpus count,
+    * and a per-doc top-3 window — the window partitions by doc_id,
+    * so it parallelizes across documents.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfn"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nd))
+      .withColumn("score", expr("tf * ((nd * 1000000) div dfn)"))
+    val top = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rn", row_number().over(top)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** C47: table profiling — per-column row/null/distinct counts and
+    * min/max rendered as strings, the standard data-quality summary a
+    * curation pipeline runs before ingestion. One single-row
+    * aggregate computes every metric in one pass over the facts
+    * (the multi-count(distinct) plans as one Expand of width
+    * #profiled-columns — bounded by the column list, not the data),
+    * then a stack() pivots the row into one row per column. Dates
+    * are ISO-cast so both engines render identically.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .withColumn("l_shipdate_day", to_date(col("l_shipdate")))
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",
+      "l_shipdate_day")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+    val outName = (c: String) => c.stripSuffix("_day")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + cols.size + ", " +
+        cols.map(c => s"'${outName(c)}', n_rows, n_rows - cnt_$c, nd_$c, min_$c, max_$c")
+          .mkString(", ") +
+        ") as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"               -> (qTfidf _),
+    "q_profile"             -> (qProfile _),
     "q_pii_redact"          -> (qPiiRedact _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
@@ -426,6 +483,52 @@ object CorpusQueries {
       "ELSE '' END"
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS dfn FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |scored AS (SELECT doc_id, w,
+        |  tf * ((nd.nd * 1000000) // dfn) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN nd)
+        |SELECT doc_id, w AS term, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, w) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_partkey) AS BIGINT),
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |  CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_linestatus) AS BIGINT),
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_shipdate) AS BIGINT),
+        |  CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT),
+        |  CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |  FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents)
          |SELECT doc_id,

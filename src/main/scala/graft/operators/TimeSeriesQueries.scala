@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** F-block: time-series and event-sequence analytics — gap filling,
+  * rolling anomaly detection, EWMA smoothing, day-of-week seasonal
+  * indexes, Markov transition matrices, path mining, and A/B
+  * comparison. The reference's event stream (pub_event routing,
+  * ConsumerMain.scala:91-152) feeds exactly this kind of downstream
+  * reporting; here each shape is a declarative Spark plan with a
+  * DuckDB oracle.
+  *
+  * House rule (same as the E-block): every score that could drift in
+  * IEEE arithmetic is computed in integer fixed-point — cents,
+  * parts-per-million, scaled rational weights — so the oracle replays
+  * it bit-exactly. Squares that can exceed 2^63 are cast to
+  * decimal(38,0) (HUGEINT on the DuckDB side) before multiplying.
+  */
+object TimeSeriesQueries {
+
+  /** F1: gap fill + forward fill (densify). Each user's last observed
+    * event value per day, carried forward over the global observed-day
+    * calendar (days before a user's first observation are dropped, not
+    * zero-filled). Shape: a per-(user, day) row_number dedup, a
+    * users x days cross join against two *aggregate-sized* frames
+    * (distinct users, distinct days), then an ffill window partitioned
+    * by user — every window partition is one user's series, so the
+    * fill parallelizes across users; nothing here is fact-table-wide
+    * except the first dedup shuffle. Values carried as cents (exact).
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // (user_id, ts) is unique in the generator, so ORDER BY ts is total
+    val rn = Window.partitionBy(col("user_id"), col("d")).orderBy(col("ts").desc)
+    val daily = ev.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1).select(col("user_id"), col("d"), col("cents"))
+    val users = ev.select(col("user_id")).distinct()
+    val days = ev.select(col("d")).distinct()
+    val ffill = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled_cents",
+        last(col("cents"), ignoreNulls = true).over(ffill))
+      .filter(col("filled_cents").isNotNull)
+      .select(col("user_id"), col("d"), col("filled_cents"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  /** F2: rolling z-score anomaly flag on daily order revenue. A day is
+    * anomalous when its revenue deviates from the trailing-30-day mean
+    * by more than 3 sigma, with at least 15 trailing days. The test is
+    * the square-compared form — (n*x - S)^2 > 9 * (n*Q - S^2) — which
+    * needs no sqrt and no division, so it is exact in decimal(38,0) /
+    * HUGEINT. The global-order window runs over the *daily aggregate*
+    * (thousands of rows at any corpus size), not the fact table: the
+    * only fact-sized operation is the first groupBy, which shuffles on
+    * the date key. Same frame-size argument as the E3 Pareto pass.
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val w = Window.orderBy(col("d")).rowsBetween(-30, -1)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    daily
+      .withColumn("n", count(col("r")).over(w))
+      .withColumn("s", sum(col("r")).over(w))
+      .withColumn("q", sum(dec(col("r")) * dec(col("r"))).over(w))
+      .withColumn("is_anomaly",
+        (col("n") >= 15 &&
+          (dec(col("n")) * dec(col("r")) - dec(col("s"))) *
+            (dec(col("n")) * dec(col("r")) - dec(col("s"))) >
+          lit(9) * (dec(col("n")) * dec(col("q")) - dec(col("s")) * dec(col("s"))))
+          .cast("long"))
+      .select(col("d"), col("r").as("revenue_cents"), col("is_anomaly"))
+      .orderBy(col("d"))
+  }
+
+  /** EWMA lag weights, alpha = 1/5, truncated at 10 days, scaled by
+    * 5^10 so every weight is an exact integer: W_k = 4^k * 5^(9-k).
+    * Their sum is 5^10 - 4^10 = 8717049.
+    */
+  private[operators] val EwmaWeights: Seq[Long] =
+    (0 to 9).map(k => (BigInt(4).pow(k) * BigInt(5).pow(9 - k)).toLong)
+
+  /** F3: truncated EWMA smoothing of daily revenue (alpha=1/5, 10-day
+    * horizon, calendar-time lags — a missing day's weight is simply
+    * absent and the normalizer shrinks with it). Instead of a
+    * non-equi self-join over [d-9, d] (which Spark would plan as a
+    * broadcast nested loop), each source day *scatters* its 10 future
+    * contributions via explode(sequence(0,9)) and a single groupBy(t)
+    * gathers them: one linear shuffle on the day key, exactly the
+    * partial-aggregate shape that scales. Weighted sums stay in long
+    * range (cents * 5^9 * 10 << 2^63 even at 100x).
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val wts = array(EwmaWeights.map(lit): _*)
+    val contrib = daily
+      .select(col("d"), col("r"), explode(expr("sequence(0, 9)")).as("k"))
+      .select(date_add(col("d"), col("k")).as("t"),
+        element_at(wts, col("k") + 1).as("wt"), col("r"))
+    val gathered = contrib.groupBy(col("t"))
+      .agg(sum(col("r") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
+    daily.join(gathered, col("d") === col("t"))
+      .select(col("d"), col("r").as("revenue_cents"),
+        expr("num div wsum").as("ewma_cents"))
+      .orderBy(col("d"))
+  }
+
+  /** F4: day-of-week seasonal index. For each weekday (0 = Monday,
+    * epoch-anchored integer arithmetic — no engine-specific dow()
+    * numbering), the ratio of its per-day average order count and
+    * revenue to the overall per-day average, in ppm:
+    * idx = (x_dow * days_total * 1e6) div (days_dow * x_total).
+    * Revenue is coarsened to kilodollars before the ppm product so
+    * the int64 bound holds at 100x. The totals frame is one row,
+    * broadcast; everything upstream is one fact-sized groupBy.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("dow",
+        pmod(datediff(col("d"), to_date(lit("1970-01-05"))), lit(7)).cast("long"))
+    val perDow = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("n_orders"),
+        expr("sum(cents) div 100000").as("rev_k"))
+    val totals = perDow.agg(sum(col("n_days")).as("t_days"),
+      sum(col("n_orders")).as("t_orders"), sum(col("rev_k")).as("t_rev_k"))
+    perDow.crossJoin(broadcast(totals))
+      .select(col("dow"), col("n_days"), col("n_orders"),
+        expr("(n_orders * t_days * 1000000) div (n_days * t_orders)")
+          .as("cnt_idx_ppm"),
+        expr("(rev_k * t_days * 1000000) div (n_days * t_rev_k)")
+          .as("rev_idx_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  /** F5: first-order Markov transition matrix over per-user event
+    * sequences. lead() within the (user, ts) window — (user_id, ts)
+    * is unique so the order is total — then one aggregate; the
+    * per-source row total comes from a second window over the
+    * 25-row transition frame, not another pass over the facts.
+    * Probabilities in exact ppm (count * 1e6 div row_total).
+    */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val pairs = ev
+      .withColumn("to_et", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_et").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_et"), col("to_et"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = Window.partitionBy(col("from_et"))
+    counts
+      .withColumn("tot", sum(col("n")).over(rowTot))
+      .withColumn("prob_ppm", expr("n * 1000000 div tot"))
+      .select(col("from_et"), col("to_et"), col("n"), col("prob_ppm"))
+      .orderBy(col("from_et"), col("to_et"))
+  }
+
+  /** F6: path mining — the 10 most common 3-step event-type paths per
+    * user timeline (two stacked lead()s in one window pass, then one
+    * aggregate). The top-10 order (n desc, path asc) is total because
+    * paths are distinct after the groupBy.
+    */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.withColumn("e2", lead(col("event_type"), 1).over(seq))
+      .withColumn("e3", lead(col("event_type"), 2).over(seq))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  /** F7: A/B comparison with a two-proportion z-test. Variants are
+    * user_id parity; conversion is >=1 high-value purchase (value >=
+    * 200, a raw-parquet-double comparison — no arithmetic, so both
+    * engines agree bitwise; ~20% of users qualify, so the proportions
+    * have real variance instead of saturating at 100%). The
+    * significance test is the cross-multiplied square form
+    * 10000 * (c_a*n_b - c_b*n_a)^2 * n  >  38415 * c*(n-c) * n_a*n_b
+    * (z^2 > 3.8415, i.e. |z| > 1.96, p < 0.05 two-sided) — division-
+    * and sqrt-free, exact in decimal(38,0)/HUGEINT at any corpus
+    * size. One row out; the only fact-sized work is the per-user
+    * conversion aggregate.
+    */
+  def qAbCompare(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("v", pmod(col("user_id"), lit(2)))
+    val row = perUser.agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("c_b"))
+    val dec = (e: String) => expr(s"cast($e as decimal(38,0))")
+    row
+      .withColumn("conv_a_ppm", expr("c_a * 1000000 div n_a"))
+      .withColumn("conv_b_ppm", expr("c_b * 1000000 div n_b"))
+      .withColumn("lift_ppm", col("conv_a_ppm") - col("conv_b_ppm"))
+      .withColumn("significant",
+        (dec("10000") * dec("c_a * n_b - c_b * n_a") * dec("c_a * n_b - c_b * n_a") *
+          dec("n_a + n_b") >
+          dec("38415") * dec("c_a + c_b") * dec("(n_a + n_b) - (c_a + c_b)") *
+            dec("n_a") * dec("n_b")).cast("long"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("conv_a_ppm"), col("conv_b_ppm"), col("lift_ppm"), col("significant"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill"           -> (qGapFill _),
+    "q_anomaly"            -> (qAnomaly _),
+    "q_ewma"               -> (qEwma _),
+    "q_seasonality"        -> (qSeasonality _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_event_paths"        -> (qEventPaths _),
+    "q_ab_compare"         -> (qAbCompare _),
+  )
+
+  private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, ts,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT user_id, d, cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC) AS rn
+        |  FROM ev) WHERE rn = 1),
+        |cal AS (SELECT u.user_id, dd.d
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (SELECT DISTINCT d FROM ev) dd)
+        |SELECT user_id, d, filled_cents FROM (
+        |  SELECT cal.user_id, cal.d,
+        |    last_value(daily.cents IGNORE NULLS) OVER (
+        |      PARTITION BY cal.user_id ORDER BY cal.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |  FROM cal LEFT JOIN daily USING (user_id, d))
+        |WHERE filled_cents IS NOT NULL
+        |ORDER BY user_id, d""".stripMargin,
+    "q_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT d, r,
+        |  count(r)  OVER w AS n,
+        |  sum(r)    OVER w AS s,
+        |  sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) OVER w AS q
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT d, r AS revenue_cents,
+        |  CAST(n >= 15 AND
+        |    (CAST(n AS HUGEINT)*CAST(r AS HUGEINT) - CAST(s AS HUGEINT))
+        |      * (CAST(n AS HUGEINT)*CAST(r AS HUGEINT) - CAST(s AS HUGEINT))
+        |    > 9 * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*CAST(s AS HUGEINT))
+        |    AS BIGINT) AS is_anomaly
+        |FROM st ORDER BY d""".stripMargin,
+    "q_ewma" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |contrib AS (SELECT d + CAST(g.k AS INTEGER) AS t,
+        |  ($ewmaWeightsSql)[CAST(g.k AS INTEGER) + 1] AS wt, r
+        |  FROM daily CROSS JOIN generate_series(0, 9) AS g(k)),
+        |gathered AS (SELECT t, CAST(sum(r * wt) AS BIGINT) AS num,
+        |  CAST(sum(wt) AS BIGINT) AS wsum
+        |  FROM contrib GROUP BY t)
+        |SELECT d, r AS revenue_cents, num // wsum AS ewma_cents
+        |FROM daily JOIN gathered ON d = t
+        |ORDER BY d""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |perdow AS (SELECT
+        |  CAST(((datediff('day', DATE '1970-01-05', d) % 7) + 7) % 7 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(cnt) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) // 100000 AS BIGINT) AS rev_k
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS t_days,
+        |  CAST(sum(n_orders) AS BIGINT) AS t_orders,
+        |  CAST(sum(rev_k) AS BIGINT) AS t_rev_k FROM perdow)
+        |SELECT dow, n_days, n_orders,
+        |  (n_orders * t_days * 1000000) // (n_days * t_orders) AS cnt_idx_ppm,
+        |  (rev_k * t_days * 1000000) // (n_days * t_rev_k) AS rev_idx_ppm
+        |FROM perdow CROSS JOIN tot ORDER BY dow""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH pairs AS (SELECT event_type AS from_et,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_et
+        |  FROM events),
+        |counts AS (SELECT from_et, to_et, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_et IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_et, to_et, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_et) AS BIGINT) AS prob_ppm
+        |FROM counts ORDER BY from_et, to_et""".stripMargin,
+    "q_event_paths" ->
+      """WITH t AS (SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_ab_compare" ->
+      """WITH pu AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+        |      THEN 1 ELSE 0 END) AS conv,
+        |  user_id % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM pu)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  c_a * 1000000 // n_a AS conv_a_ppm,
+        |  c_b * 1000000 // n_b AS conv_b_ppm,
+        |  (c_a * 1000000 // n_a) - (c_b * 1000000 // n_b) AS lift_ppm,
+        |  CAST(10000 * CAST(c_a*n_b - c_b*n_a AS HUGEINT) * CAST(c_a*n_b - c_b*n_a AS HUGEINT)
+        |      * CAST(n_a + n_b AS HUGEINT)
+        |    > 38415 * CAST(c_a + c_b AS HUGEINT)
+        |      * CAST((n_a + n_b) - (c_a + c_b) AS HUGEINT)
+        |      * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS BIGINT) AS significant
+        |FROM agg""".stripMargin,
+  )
+}

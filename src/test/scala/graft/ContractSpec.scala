@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     val qKeys = SparkEntry.queries.keySet
     val oKeys = SparkEntry.oracleSql.keySet
     assert((oKeys -- qKeys).isEmpty, s"oracles without queries: ${oKeys -- qKeys}")
-    // Map ++ silently drops duplicate keys between blocks — ALL EIGHT
+    // Map ++ silently drops duplicate keys between blocks — ALL NINE
     // blocks (incl. the relational one) must be pairwise disjoint so
     // no query gets shadowed, and their sizes must sum to the total
     // (that sum check is what catches a block missing from this list)
@@ -30,14 +30,15 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.CurationQueries.queries.keySet,
       graft.operators.CorpusQueries.queries.keySet,
       graft.operators.StreamQueries.queries.keySet,
-      graft.operators.AnalyticsQueries.queries.keySet)
+      graft.operators.AnalyticsQueries.queries.keySet,
+      graft.operators.TimeSeriesQueries.queries.keySet)
     for (i <- blocks.indices; j <- blocks.indices if i < j)
       assert((blocks(i) & blocks(j)).isEmpty,
         s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")
     assert(blocks.map(_.size).sum == qKeys.size,
       s"block sizes ${blocks.map(_.size)} don't sum to ${qKeys.size} — " +
         "a block is missing from this list or a key is shadowed")
-    assert(qKeys.size >= 129, s"query count dropped to ${qKeys.size}")
+    assert(qKeys.size >= 142, s"query count dropped to ${qKeys.size}")
   }
 
   test("A16: compact(snapshot(A), B) == snapshot(A ∪ B) for several splits") {
