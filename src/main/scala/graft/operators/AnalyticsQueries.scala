@@ -148,7 +148,112 @@ object AnalyticsQueries {
     perWord.orderBy(col("n_triangles").desc, col("word")).limit(20)
   }
 
+  /** E5: sliding-window distinct count — 7-day trailing distinct
+    * active users per day. The naive shape (a distinct count per day
+    * over a range window) rescans 7 days of facts per output day;
+    * instead each (user, day) observation *scatters* to the <=7
+    * target days it is visible in, and one distinct aggregate per
+    * target day does the rest — the same scatter/gather shape as the
+    * F3 EWMA, linear in the fact count with a x7 fan-out of the
+    * (user, day)-distinct frame, never quadratic.
+    */
+  def qSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val scattered = ev
+      .select(col("d"), col("user_id"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(date_add(col("d"), col("k")).as("t"), col("user_id"))
+    val counts = scattered.groupBy(col("t"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+    val days = ev.select(col("d")).distinct()
+    counts.join(days, col("t") === col("d"))
+      .select(col("d"), col("n_users_7d")).orderBy(col("d"))
+  }
+
+  /** E6: RFM segmentation — recency/frequency/monetary quintiles per
+    * customer. Each quintile needs a global rank over the customer
+    * aggregate; a single-partition window would serialize that, so
+    * each rank is a distributed total sort (range-partitioned) +
+    * zipWithIndex — the same no-single-partition pattern as the C30
+    * curriculum order. Scores are 1 + (5*(rank-1)) div n (exact
+    * integer bucketing, identical in both engines; ties broken by
+    * custkey so the order is total).
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+    val mx = per.agg(max(col("last_d")).as("mxd"))
+    val base = per.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("mxd"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def rankBy(metric: String, descending: Boolean): DataFrame = {
+      val ordered =
+        if (descending) base.orderBy(col(metric).desc, col("o_custkey"))
+        else base.orderBy(col(metric), col("o_custkey"))
+      ordered.select(col("o_custkey"), col(metric)).as[(Long, Long)].rdd
+        .zipWithIndex()
+        .map { case ((ck, _), i) => (ck, i + 1L) }
+        .toDF("o_custkey", s"${metric}_rank")
+    }
+    val n = base.agg(count(lit(1)).as("n_c"))
+    base
+      .join(rankBy("recency_days", descending = true), "o_custkey")
+      .join(rankBy("frequency", descending = false), "o_custkey")
+      .join(rankBy("monetary_cents", descending = false), "o_custkey")
+      .crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        expr("1 + (5 * (recency_days_rank - 1)) div n_c").as("r_score"),
+        expr("1 + (5 * (frequency_rank - 1)) div n_c").as("f_score"),
+        expr("1 + (5 * (monetary_cents_rank - 1)) div n_c").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** E7: Benford first-digit audit over order totals — the classic
+    * fabricated-data screen. The leading digit comes from the cents
+    * integer rendered as a string (no float log10), counts in one
+    * aggregate, shares in exact ppm. Nine-row output; one fact-sized
+    * groupBy with map-side partials.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables(spark, dir).orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), expr("n * 1000000 div t").as("share_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** E8: mixture diversity — Gini impurity of the language mix per
+    * source, 1 - sum(p²) in exact ppm: (n² - sum(c²)) * 1e6 div n².
+    * Rational, so no float entropy drift; two aggregates, both
+    * fact-linear, joined on the source key.
+    */
+  def qSourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("source"), col("lang"))
+    val perLang = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    perLang.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n"), col("n_langs"),
+        expr("(n * n - ss) * 1000000 div (n * n)").as("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_distinct" -> (qSlidingDistinct _),
+    "q_rfm"              -> (qRfm _),
+    "q_benford"          -> (qBenford _),
+    "q_source_gini"      -> (qSourceGini _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_record_linkage"   -> (qRecordLinkage _),
     "q_pareto_front"     -> (qParetoFront _),
@@ -156,6 +261,55 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sliding_distinct" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |sc AS (SELECT d + CAST(g.k AS INTEGER) AS t, user_id
+        |  FROM ev CROSS JOIN generate_series(0, 6) AS g(k)),
+        |cnt AS (SELECT t, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |  FROM sc GROUP BY t)
+        |SELECT dd.d, cnt.n_users_7d
+        |FROM (SELECT DISTINCT d FROM ev) dd JOIN cnt ON cnt.t = dd.d
+        |ORDER BY dd.d""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey,
+        |  max(CAST(o_orderdate AS DATE)) AS last_d,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM per),
+        |base AS (SELECT o_custkey,
+        |  CAST(datediff('day', last_d, mxd) AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents FROM per CROSS JOIN mx),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM base),
+        |rk AS (SELECT *,
+        |  CAST(row_number() OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_rank,
+        |  CAST(row_number() OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_rank,
+        |  CAST(row_number() OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_rank
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  1 + (5 * (r_rank - 1)) // n_c AS r_score,
+        |  1 + (5 * (f_rank - 1)) // n_c AS f_score,
+        |  1 + (5 * (m_rank - 1)) // n_c AS m_score,
+        |  (1 + (5 * (r_rank - 1)) // n_c) * 100
+        |    + (1 + (5 * (f_rank - 1)) // n_c) * 10
+        |    + (1 + (5 * (m_rank - 1)) // n_c) AS rfm_code
+        |FROM rk CROSS JOIN n ORDER BY o_custkey""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit FROM orders),
+        |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+        |SELECT digit, n, n * 1000000 // t AS share_ppm
+        |FROM counts CROSS JOIN tot ORDER BY digit""".stripMargin,
+    "q_source_gini" ->
+      """WITH pl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
+        |    - CAST(sum(c*c) AS BIGINT)) * 1000000
+        |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS gini_ppm
+        |FROM pl GROUP BY source ORDER BY source""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (SELECT user_id,
         |  CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS BIGINT) AS week

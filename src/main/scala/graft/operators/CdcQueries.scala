@@ -82,7 +82,40 @@ object CdcQueries {
       .select(col("id"), col("user_id"), col("op_type"), col("value"))
       .orderBy(col("id"))
 
+  /** A23: snapshot reconciliation diff — the audit a CDC operator
+    * runs to answer "what changed between the table as of T and the
+    * table now": per key added / removed / changed / unchanged, where
+    * "live" drops keys whose last operation is a delete (so a key
+    * deleted after T really shows as removed). One full-outer join of
+    * two *snapshot-sized* frames on the snapshot key — the same
+    * shuffle key as the snapshots themselves, so AQE can reuse the
+    * exchange; nothing here rescans the raw log twice beyond the two
+    * snapshot builds. current_ts is the second-resolution string the
+    * reference's OGG format carries; its lexicographic order is
+    * chronological, so the cutoff is a plain string compare.
+    */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsed(spark, dir)
+    def live(df: DataFrame) =
+      CdcOps.softDeleteSnapshot(df, col("user_id"))
+        .filter(col("delete_state") === "0")
+        .select(col("user_id"), col("id"))
+    val asOfT = live(p.filter(col("current_ts") <= "2024-01-15 00:00:00"))
+      .select(col("user_id"), col("id").as("old_last_id"))
+    val now = live(p)
+      .select(col("user_id"), col("id").as("new_last_id"))
+    asOfT.join(now, Seq("user_id"), "full_outer")
+      .withColumn("kind",
+        when(col("old_last_id").isNull, "added")
+          .when(col("new_last_id").isNull, "removed")
+          .when(col("old_last_id") === col("new_last_id"), "unchanged")
+          .otherwise("changed"))
+      .select(col("user_id"), col("old_last_id"), col("new_last_id"), col("kind"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff"     -> (qTableDiff _),
     "q_cdc_parse"      -> (qCdcParse _),
     "q_cdc_typemap"    -> (qCdcTypemap _),
     "q_cdc_upsert"     -> (qCdcUpsert _),
@@ -99,6 +132,27 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_table_diff" ->
+      s"""WITH ev AS (SELECT event_id, user_id, $opCase AS op, $tsSec AS cts
+         |  FROM events),
+         |oldsnap AS (SELECT user_id, event_id AS old_last_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY cts DESC, event_id DESC) AS rn
+         |  FROM ev WHERE cts <= '2024-01-15 00:00:00')
+         |  WHERE rn = 1 AND op <> 'D'),
+         |newsnap AS (SELECT user_id, event_id AS new_last_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY cts DESC, event_id DESC) AS rn FROM ev)
+         |  WHERE rn = 1 AND op <> 'D')
+         |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         |  o.old_last_id, n.new_last_id,
+         |  CASE WHEN o.user_id IS NULL THEN 'added'
+         |       WHEN n.user_id IS NULL THEN 'removed'
+         |       WHEN o.old_last_id = n.new_last_id THEN 'unchanged'
+         |       ELSE 'changed' END AS kind
+         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.user_id = n.user_id
+         |ORDER BY user_id""".stripMargin,
+
     "q_cdc_parse" ->
       s"""SELECT event_id AS id, user_id, event_type, value,
          | $opCase AS op_type, $tsSec AS current_ts

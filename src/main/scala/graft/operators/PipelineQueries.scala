@@ -94,6 +94,35 @@ object PipelineQueries {
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** C48: kNN label assignment — the standard weak-labeling /
+    * label-propagation step of a curation pipeline: each held-out
+    * query vector (a deterministic ~3% slice, vec_id % 29 == 0) takes
+    * the majority label of its 5 exact-cosine nearest neighbors
+    * (ties to the smallest label). Built on the same bruteTopK plan
+    * as C6 — corpus never pair-shuffles, queries broadcast — so the
+    * scale path is whatever the ANN family provides (swap bruteTopK
+    * for ivfTopK at 100 TB); the vote is two tiny aggregates over
+    * queries x 5 rows. Fully oracled including the float cosine rank
+    * (same fixed-order IEEE sums as C6).
+    */
+  def qKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val top = Ann.bruteTopK(emb, emb.filter(pmod(col("vec_id"), lit(29)) === 0), k = 5)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = top
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("n"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(min_by(col("nlabel"), struct((-col("n")).as("nn"), col("nlabel")))
+        .as("pred_label"))
+    pred
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .withColumn("correct", (col("pred_label") === col("true_label")).cast("long"))
+      .orderBy(col("query_id"))
+  }
+
   /** C7 (approximate — recall vs C6 measured in spec — yet fully
     * oracle-checked: the deterministic hyperplane buckets are
     * replicated in SQL, so DuckDB reproduces the exact candidate
@@ -276,6 +305,7 @@ object PipelineQueries {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
+    "q_knn_label"       -> (qKnnLabel _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
     "q_ann_pq"          -> (qAnnPq _),
@@ -508,6 +538,30 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_label" ->
+      s"""WITH $embCte,
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  list_sum(list_transform(list_zip(q.e, c.e), s -> s[1]*s[2]))/(nq.nrm*nc.nrm) AS cos
+         | FROM ed q JOIN ed c ON q.vec_id != c.vec_id
+         |  JOIN nm nq ON q.vec_id = nq.vec_id JOIN nm nc ON c.vec_id = nc.vec_id
+         | WHERE q.vec_id % 29 = 0),
+         |top5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5),
+         |votes AS (SELECT t.query_id, lb.label AS nlabel,
+         |  CAST(count(*) AS BIGINT) AS n
+         |  FROM top5 t JOIN lb ON lb.vec_id = t.neighbor_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nlabel AS pred_label FROM (
+         |  SELECT query_id, nlabel, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY n DESC, nlabel) AS rn FROM votes)
+         |  WHERE rn = 1)
+         |SELECT p.query_id, p.pred_label, q.label AS true_label,
+         |  CAST(p.pred_label = q.label AS BIGINT) AS correct
+         |FROM pred p JOIN lb q ON q.vec_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
 
     // FNV-1a 64-bit with wraparound as HUGEINT arithmetic mod 2^64
     // (text is hashed byte-wise; the corpus is ASCII so ascii() ==
