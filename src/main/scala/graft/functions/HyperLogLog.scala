@@ -102,3 +102,93 @@ case class HllDistinct(
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): HllDistinct = copy(child = cs.head)
 }
+
+/** The HLL register file AS a value: aggregates a key column into the
+  * serialized sketch (binary) instead of the estimate, so sketches
+  * can be stored per segment (day, partition, shard) and re-merged
+  * later — the pre-aggregated form that makes sliding-window and
+  * rollup distinct counts segment-frame-sized instead of
+  * fact-sized. Pair with [[HllMergeEstimate]].
+  */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+  require(p >= 4 && p <= 18, "hll precision p must be in [4, 18]")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(XxHash64Function.hash(v, child.dataType, 42L))
+    b
+  }
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = { b.mergeIn(o); b }
+  override def eval(b: HllBuffer): Any = serialize(b)
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + b.m)
+    out(0) = b.p.toByte
+    System.arraycopy(b.regs, 0, out, 1, b.m)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.regs, 0, buf.m)
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllSketchAgg = copy(child = cs.head)
+}
+
+/** Merge serialized HLL sketches (the [[HllSketchAgg]] output) back
+  * into one estimate — register-wise max, so merge order and
+  * partial-aggregation grouping never change the result.
+  */
+case class HllMergeEstimate(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+  require(p >= 4 && p <= 18, "hll precision p must be in [4, 18]")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == b.m + 1 && bytes(0).toInt == b.p,
+        s"sketch precision ${bytes(0)} != aggregate precision ${b.p}")
+      b.mergeIn(deserialize(bytes))
+    }
+    b
+  }
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = { b.mergeIn(o); b }
+  override def eval(b: HllBuffer): Any = math.round(b.estimate)
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + b.m)
+    out(0) = b.p.toByte
+    System.arraycopy(b.regs, 0, out, 1, b.m)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.regs, 0, buf.m)
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeEstimate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeEstimate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllMergeEstimate = copy(child = cs.head)
+}

@@ -74,6 +74,16 @@ package object functions {
   def hll_distinct(c: Column, p: Int = 12): Column =
     toCol(HllDistinct(toExpr(c), p).toAggregateExpression())
 
+  /** HLL register file as a storable binary value — pre-aggregate a
+    * segment (day, shard) once, re-merge with [[hll_merge]] later.
+    */
+  def hll_sketch(c: Column, p: Int = 12): Column =
+    toCol(HllSketchAgg(toExpr(c), p).toAggregateExpression())
+
+  /** Merge [[hll_sketch]] binaries back into one distinct estimate. */
+  def hll_merge(c: Column, p: Int = 12): Column =
+    toCol(HllMergeEstimate(toExpr(c), p).toAggregateExpression())
+
   /** Mergeable approximate quantile (weighted-compactor sketch,
     * TypedImperativeAggregate): fixed memory per group, rank error
     * ~collapses/capacity (~1% at the default 2048).

@@ -95,22 +95,28 @@ object CdcQueries {
     * chronological, so the cutoff is a plain string compare.
     */
   def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
-    val p = parsed(spark, dir)
-    def live(df: DataFrame) =
-      CdcOps.softDeleteSnapshot(df, col("user_id"))
-        .filter(col("delete_state") === "0")
-        .select(col("user_id"), col("id"))
-    val asOfT = live(p.filter(col("current_ts") <= "2024-01-15 00:00:00"))
-      .select(col("user_id"), col("id").as("old_last_id"))
-    val now = live(p)
-      .select(col("user_id"), col("id").as("new_last_id"))
-    asOfT.join(now, Seq("user_id"), "full_outer")
+    val cutoff = "2024-01-15 00:00:00"
+    // Both snapshots in ONE pass over one parse of the log: the
+    // last-write-wins ordering (current_ts, id) is exactly the
+    // lexicographic order of struct(current_ts, id, ...), so a plain
+    // conditional struct-max per key is each snapshot's head row —
+    // no second log scan, no self-join, one shuffle on the key.
+    val lastRow = struct(col("current_ts"), col("id"), col("op_type"))
+    val heads = parsed(spark, dir).groupBy(col("user_id"))
+      .agg(max(when(col("current_ts") <= cutoff, lastRow)).as("o"),
+        max(lastRow).as("n"))
+    val oldLive = col("o").isNotNull && col("o.op_type") =!= "D"
+    val newLive = col("n.op_type") =!= "D"
+    heads
+      .filter(oldLive || newLive)
+      .select(col("user_id"),
+        when(oldLive, col("o.id")).as("old_last_id"),
+        when(newLive, col("n.id")).as("new_last_id"))
       .withColumn("kind",
         when(col("old_last_id").isNull, "added")
           .when(col("new_last_id").isNull, "removed")
           .when(col("old_last_id") === col("new_last_id"), "unchanged")
           .otherwise("changed"))
-      .select(col("user_id"), col("old_last_id"), col("new_last_id"), col("kind"))
       .orderBy(col("user_id"))
   }
 

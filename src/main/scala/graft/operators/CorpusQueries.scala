@@ -427,30 +427,35 @@ object CorpusQueries {
 
   /** C47: table profiling — per-column row/null/distinct counts and
     * min/max rendered as strings, the standard data-quality summary a
-    * curation pipeline runs before ingestion. One single-row
-    * aggregate computes every metric in one pass over the facts
-    * (the multi-count(distinct) plans as one Expand of width
-    * #profiled-columns — bounded by the column list, not the data),
-    * then a stack() pivots the row into one row per column. Dates
-    * are ISO-cast so both engines render identically.
+    * curation pipeline runs before ingestion. One aggregate PER
+    * COLUMN, unioned — on a columnar store each branch scans exactly
+    * its one column (column pruning makes the five passes cost about
+    * one pass over five columns) and each exact-distinct is a
+    * single-column two-stage aggregate. The all-in-one-aggregate
+    * alternative plans a width-5 Expand (5x the row volume through
+    * one shuffle) and measured ~50x slower at sf0.1 (6.9s vs 0.13s).
+    * Typed min/max
+    * are cast to ISO strings AFTER aggregation, so both engines
+    * render identically and numerics never compare as text.
     */
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-      .withColumn("l_shipdate_day", to_date(col("l_shipdate")))
-    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",
-      "l_shipdate_day")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c")))
-    val outName = (c: String) => c.stripSuffix("_day")
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(expr("stack(" + cols.size + ", " +
-        cols.map(c => s"'${outName(c)}', n_rows, n_rows - cnt_$c, nd_$c, min_$c, max_$c")
-          .mkString(", ") +
-        ") as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+    def prof(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      li.select(v.as("v"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("cnt"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"))
+        .select(lit(name).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("cnt")).as("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+    Seq(
+      prof("l_orderkey", col("l_orderkey")),
+      prof("l_partkey", col("l_partkey")),
+      prof("l_returnflag", col("l_returnflag")),
+      prof("l_linestatus", col("l_linestatus")),
+      prof("l_shipdate", to_date(col("l_shipdate"))))
+      .reduce(_.unionAll(_))
       .orderBy(col("col_name"))
   }
 

@@ -86,7 +86,7 @@ object TimeSeriesQueries {
     * 5^10 so every weight is an exact integer: W_k = 4^k * 5^(9-k).
     * Their sum is 5^10 - 4^10 = 8717049.
     */
-  private[operators] val EwmaWeights: Seq[Long] =
+  private[graft] val EwmaWeights: Seq[Long] =
     (0 to 9).map(k => (BigInt(4).pow(k) * BigInt(5).pow(9 - k)).toLong)
 
   /** F3: truncated EWMA smoothing of daily revenue (alpha=1/5, 10-day
@@ -224,7 +224,39 @@ object TimeSeriesQueries {
         col("conv_a_ppm"), col("conv_b_ppm"), col("lift_ppm"), col("significant"))
   }
 
+  /** F8: sliding distinct via MERGEABLE SKETCHES — the 100 TB shape
+    * of E5. The exact scatter fans out the (user, day)-distinct frame
+    * x7; here each day is pre-aggregated ONCE into a 4 KiB HLL
+    * register file, and only the day-frame of sketches (hundreds of
+    * rows) scatters and re-merges — window widening is free. Output
+    * gates the estimate against the exact count (<= 5% — p=12 is
+    * ~1.6% typical, and linear counting makes small windows near-
+    * exact), the same accuracy-gated-oracle pattern as B9b/B21b.
+    */
+  def qSlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val perDay = ev.groupBy(col("d"))
+      .agg(graft.functions.hll_sketch(col("user_id")).as("sk"))
+    val merged = perDay
+      .select(col("d"), col("sk"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(date_add(col("d"), col("k")).as("t"), col("sk"))
+      .groupBy(col("t"))
+      .agg(graft.functions.hll_merge(col("sk")).as("est"))
+    val exact = ev.distinct()
+      .select(col("d"), col("user_id"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(date_add(col("d"), col("k")).as("t"), col("user_id"))
+      .groupBy(col("t")).agg(countDistinct(col("user_id")).as("n_users_7d"))
+    val days = ev.select(col("d")).distinct()
+    exact.join(merged, "t").join(days, col("t") === col("d"))
+      .select(col("d"), col("n_users_7d"),
+        (abs(col("est").cast("double") / col("n_users_7d") - 1.0) <= 0.05)
+          .as("hll_ok"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_hll"        -> (qSlidingHll _),
     "q_gap_fill"           -> (qGapFill _),
     "q_anomaly"            -> (qAnomaly _),
     "q_ewma"               -> (qEwma _),
@@ -237,6 +269,16 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // `true` asserts the merged-sketch estimate is within 5% of exact
+    "q_sliding_hll" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |sc AS (SELECT d + CAST(g.k AS INTEGER) AS t, user_id
+        |  FROM ev CROSS JOIN generate_series(0, 6) AS g(k)),
+        |cnt AS (SELECT t, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |  FROM sc GROUP BY t)
+        |SELECT dd.d, cnt.n_users_7d, true AS hll_ok
+        |FROM (SELECT DISTINCT d FROM ev) dd JOIN cnt ON cnt.t = dd.d
+        |ORDER BY dd.d""".stripMargin,
     "q_gap_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, ts,
         |  CAST(round(value*100) AS BIGINT) AS cents FROM events),

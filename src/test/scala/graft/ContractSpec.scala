@@ -38,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
     assert(blocks.map(_.size).sum == qKeys.size,
       s"block sizes ${blocks.map(_.size)} don't sum to ${qKeys.size} — " +
         "a block is missing from this list or a key is shadowed")
-    assert(qKeys.size >= 148, s"query count dropped to ${qKeys.size}")
+    assert(qKeys.size >= 149, s"query count dropped to ${qKeys.size}")
   }
 
   test("A16: compact(snapshot(A), B) == snapshot(A ∪ B) for several splits") {
@@ -74,6 +74,29 @@ class ContractSpec extends AnyFunSuite {
     val snap = graft.cdc.CdcOps.snapshot(ev, col("user_id"))
     assert(snap.count() > 0 && snap.groupBy("user_id").count()
       .filter(col("count") > 1).count() == 0)
+  }
+
+  test("F/G-block invariants: EWMA weights, Markov rows, RFM buckets") {
+    import org.apache.spark.sql.functions._
+    // exact geometric weights: sum telescopes to 5^10 - 4^10
+    assert(graft.operators.TimeSeriesQueries.EwmaWeights.sum == 8717049L)
+    val dir = "/root/testdata/sf0.001"
+    // each Markov row's probabilities sum to <= 1e6 (floor-division
+    // remainder only) and never exceed it
+    val mk = graft.operators.TimeSeriesQueries.qMarkovTransitions(spark, dir)
+      .groupBy(col("from_et")).agg(sum(col("prob_ppm")).as("s"))
+    assert(mk.filter(col("s") > 1000000L || col("s") < 900000L).count() == 0)
+    // RFM: scores stay in 1..5 and every metric's buckets are
+    // near-equal (quintile property of the rank formula)
+    val rfm = graft.operators.AnalyticsQueries.qRfm(spark, dir).cache()
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      assert(rfm.filter(col(c) < 1 || col(c) > 5).count() == 0)
+      val sizes = rfm.groupBy(col(c)).count().select("count")
+        .collect().map(_.getLong(0))
+      assert(sizes.length == 5 && sizes.max - sizes.min <= 1,
+        s"$c buckets not quintiles: ${sizes.mkString(",")}")
+    }
+    rfm.unpersist()
   }
 
   test("every query runs against sf0.001 without throwing") {
