@@ -174,6 +174,30 @@ class ApiSurfaceSpec extends AnyFunSuite {
       s"all-null group: sketch=${r(1).get(1)} exact=${r(1).get(2)}")
   }
 
+  test("hll_sketch/hll_merge: stored per-segment sketches re-merge to the direct estimate, bit-exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5000 keys over 10 segments with cross-segment overlap
+    val rows = (0 until 5000).map(i => (i % 10, (i * 37) % 3000L)).toDF("seg", "k")
+    // direct one-shot estimate over all rows
+    val direct = rows.agg(graft.functions.hll_distinct(col("k"))).first().getLong(0)
+    // per-segment binary sketches, round-tripped through parquet
+    // (the store-then-merge lifecycle the sketch column exists for),
+    // then merged back
+    val dir = java.nio.file.Files.createTempDirectory("hll-seg").toString
+    rows.groupBy(col("seg")).agg(graft.functions.hll_sketch(col("k")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(graft.functions.hll_merge(col("sk"))).first().getLong(0)
+    // register-wise max merge is exact: the merged register file IS
+    // the direct one, so the estimates are equal, not merely close
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    // and the estimate itself is sane against the true cardinality
+    val exact = rows.select(col("k")).distinct().count()
+    assert(math.abs(merged.toDouble / exact - 1.0) <= 0.05,
+      s"est=$merged exact=$exact")
+  }
+
   test("typed Aggregator: weighted mean partial-aggregates correctly") {
     import spark.implicits._
     val ev = Tables(spark, sf).events
