@@ -187,10 +187,17 @@ object AnalyticsQueries {
         count(lit(1)).as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
     val mx = per.agg(max(col("last_d")).as("mxd"))
+    // base is consumed four times (three rank sorts + the final
+    // join); uncached, every consumer re-runs the fact-table scan and
+    // groupBy — measured 7.4s at 10x stress vs ~2s pinned. The frame
+    // is customer-aggregate-sized (one row per purchasing customer),
+    // the same bounded-cache contract as the E4 edge frames; callers
+    // can clearCache() after the action.
     val base = per.crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("mxd"), col("last_d")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
+      .cache()
     def rankBy(metric: String, descending: Boolean): DataFrame = {
       val ordered =
         if (descending) base.orderBy(col(metric).desc, col("o_custkey"))
