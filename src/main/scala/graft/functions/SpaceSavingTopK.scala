@@ -105,7 +105,27 @@ case class SpaceSavingTopK(
     new GenericArrayData(top.toArray[Any])
   }
 
-  override def serialize(b: SpaceSavingBuffer): Array[Byte] = {
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] =
+    SpaceSavingCodec.write(b)
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SpaceSavingTopK = copy(child = cs.head)
+}
+
+/** Shared wire format for [[SpaceSavingBuffer]] — one codec for the
+  * in-flight partial-aggregate state AND the storable sketch value,
+  * so a sketch written by [[SpaceSavingSketchAgg]] is exactly the
+  * bytes [[SpaceSavingMergeTopK]] consumes.
+  */
+object SpaceSavingCodec {
+  def write(b: SpaceSavingBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.capacity)
@@ -118,7 +138,7 @@ case class SpaceSavingTopK(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+  def read(bytes: Array[Byte]): SpaceSavingBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new SpaceSavingBuffer(in.readInt())
     val n = in.readInt()
@@ -131,11 +151,85 @@ case class SpaceSavingTopK(
     }
     buf
   }
+}
 
-  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopK =
+/** The space-saving state AS a storable binary value (the
+  * [[HllSketchAgg]] pattern for heavy hitters): pre-aggregate a
+  * segment once, re-merge later with [[SpaceSavingMergeTopK]].
+  * Counts stay exact whenever per-merged-scope distinct items fit
+  * the capacity; otherwise the mergeable-summaries floor bound
+  * applies (err tracks it).
+  */
+case class SpaceSavingSketchAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+  override def update(b: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String].toString)
+    b
+  }
+  override def merge(b: SpaceSavingBuffer, o: SpaceSavingBuffer): SpaceSavingBuffer = {
+    b.mergeIn(o); b
+  }
+  override def eval(b: SpaceSavingBuffer): Any = SpaceSavingCodec.write(b)
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] = SpaceSavingCodec.write(b)
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingSketchAgg =
     copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopK =
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingSketchAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
-      cs: IndexedSeq[Expression]): SpaceSavingTopK = copy(child = cs.head)
+      cs: IndexedSeq[Expression]): SpaceSavingSketchAgg = copy(child = cs.head)
+}
+
+/** Merge stored [[SpaceSavingSketchAgg]] binaries and emit the top-k
+  * (same output shape and ordering as [[SpaceSavingTopK]]).
+  */
+case class SpaceSavingMergeTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("cnt", LongType),
+    StructField("err", LongType))), containsNull = false)
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+  override def update(b: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.mergeIn(SpaceSavingCodec.read(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: SpaceSavingBuffer, o: SpaceSavingBuffer): SpaceSavingBuffer = {
+    b.mergeIn(o); b
+  }
+  override def eval(b: SpaceSavingBuffer): Any = {
+    val top = b.counts.toSeq
+      .sortBy { case (i, (c, _)) => (-c, i) }
+      .take(k)
+      .map { case (i, (c, e)) => InternalRow(UTF8String.fromString(i), c, e) }
+    new GenericArrayData(top.toArray[Any])
+  }
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] = SpaceSavingCodec.write(b)
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingMergeTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingMergeTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SpaceSavingMergeTopK = copy(child = cs.head)
 }

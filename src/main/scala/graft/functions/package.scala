@@ -67,6 +67,18 @@ package object functions {
   def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
     toCol(SpaceSavingTopK(toExpr(c), k, capacity).toAggregateExpression())
 
+  /** Space-saving state as a storable binary — pre-aggregate a
+    * segment once, re-merge later with [[topk_merge]].
+    */
+  def topk_sketch(c: Column, capacity: Int = 4096): Column =
+    toCol(SpaceSavingSketchAgg(toExpr(c), capacity).toAggregateExpression())
+
+  /** Merge [[topk_sketch]] binaries and emit the top-k (same shape
+    * and ordering as [[topk_freq]]).
+    */
+  def topk_merge(c: Column, k: Int, capacity: Int = 4096): Column =
+    toCol(SpaceSavingMergeTopK(toExpr(c), k, capacity).toAggregateExpression())
+
   /** HyperLogLog approximate COUNT(DISTINCT): 2^p-byte mergeable
     * sketch per group (TypedImperativeAggregate), std err
     * ~1.04/sqrt(2^p).

@@ -255,7 +255,36 @@ object TimeSeriesQueries {
       .orderBy(col("d"))
   }
 
+  /** F9: sliding heavy hitters — top-3 most active users per 7-day
+    * trailing window, via stored per-day SpaceSaving sketches
+    * re-merged per window (the F8 pattern for frequency instead of
+    * cardinality). Only the day-frame of sketches scatters x7; the
+    * facts are touched once. With distinct users <= the 4096
+    * capacity the sketch is EXACT (no evictions, merge floor 0), so
+    * the oracle checks counts and err=0 bit-for-bit — and the same
+    * plan degrades gracefully to the Metwally/mergeable-summaries
+    * overestimate bound when cardinality exceeds capacity at 100 TB.
+    */
+  def qSlidingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("d"), col("user_id").cast("string").as("item"))
+    val perDay = ev.groupBy(col("d"))
+      .agg(graft.functions.topk_sketch(col("item")).as("sk"))
+    val merged = perDay
+      .select(col("d"), col("sk"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(date_add(col("d"), col("k")).as("t"), col("sk"))
+      .groupBy(col("t"))
+      .agg(graft.functions.topk_merge(col("sk"), k = 3).as("top"))
+    val days = ev.select(col("d")).distinct()
+    merged.join(days, col("t") === col("d"))
+      .select(col("d"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("d"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("item"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+      .orderBy(col("d"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_topk"       -> (qSlidingTopk _),
     "q_sliding_hll"        -> (qSlidingHll _),
     "q_gap_fill"           -> (qGapFill _),
     "q_anomaly"            -> (qAnomaly _),
@@ -269,6 +298,23 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // distinct users fit the sketch capacity, so merged counts are
+    // exact and err is identically 0 — the oracle replays the top-3
+    // from plain counts
+    "q_sliding_topk" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d,
+        |  CAST(user_id AS VARCHAR) AS item FROM events),
+        |sc AS (SELECT d + CAST(g.k AS INTEGER) AS t, item
+        |  FROM ev CROSS JOIN generate_series(0, 6) AS g(k)),
+        |cnt AS (SELECT t, item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM sc GROUP BY 1, 2),
+        |ranked AS (SELECT t, item, cnt, CAST(row_number() OVER (
+        |    PARTITION BY t ORDER BY cnt DESC, item) AS BIGINT) AS rank
+        |  FROM cnt)
+        |SELECT dd.d, r.rank, r.item, r.cnt, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT DISTINCT d FROM ev) dd
+        |JOIN ranked r ON r.t = dd.d AND r.rank <= 3
+        |ORDER BY dd.d, r.rank""".stripMargin,
     // `true` asserts the merged-sketch estimate is within 5% of exact
     "q_sliding_hll" ->
       """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
