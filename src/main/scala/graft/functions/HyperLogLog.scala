@@ -147,6 +147,54 @@ case class HllSketchAgg(
       cs: IndexedSeq[Expression]): HllSketchAgg = copy(child = cs.head)
 }
 
+/** Union serialized HLL sketches (the [[HllSketchAgg]] output) into
+  * one MERGED SKETCH (binary), not an estimate — the fold step of an
+  * incrementally-maintained sketch table: yesterday's stored register
+  * file unions with today's batch sketch and the result is stored
+  * back. Register-wise max, so fold order never matters.
+  */
+case class HllUnionSketch(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+  require(p >= 4 && p <= 18, "hll precision p must be in [4, 18]")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == b.m + 1 && bytes(0).toInt == b.p,
+        s"sketch precision ${bytes(0)} != aggregate precision ${b.p}")
+      b.mergeIn(deserialize(bytes))
+    }
+    b
+  }
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = { b.mergeIn(o); b }
+  override def eval(b: HllBuffer): Any = serialize(b)
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + b.m)
+    out(0) = b.p.toByte
+    System.arraycopy(b.regs, 0, out, 1, b.m)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.regs, 0, buf.m)
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllUnionSketch = copy(child = cs.head)
+}
+
 /** Merge serialized HLL sketches (the [[HllSketchAgg]] output) back
   * into one estimate — register-wise max, so merge order and
   * partial-aggregation grouping never change the result.

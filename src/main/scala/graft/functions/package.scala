@@ -96,6 +96,12 @@ package object functions {
   def hll_merge(c: Column, p: Int = 12): Column =
     toCol(HllMergeEstimate(toExpr(c), p).toAggregateExpression())
 
+  /** Union [[hll_sketch]] binaries into one merged SKETCH (binary) —
+    * the fold step of an incrementally-maintained sketch table.
+    */
+  def hll_union(c: Column, p: Int = 12): Column =
+    toCol(HllUnionSketch(toExpr(c), p).toAggregateExpression())
+
   /** Mergeable approximate quantile (weighted-compactor sketch,
     * TypedImperativeAggregate): fixed memory per group, rank error
     * ~collapses/capacity (~1% at the default 2048).

@@ -431,6 +431,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.versions().nonEmpty)
   }
 
+  test("A24: continuously-maintained sketch table == one-shot sketches, register-exact") {
+    val events = Tables(spark, sf).events
+    val evDir = tmp("sk-in")
+    val storeDir = tmp("sk-store")
+    val ckpt = tmp("sk-ckpt")
+
+    // three arrivals splitting every day's users across batches, so
+    // per-day registers only converge if the stored fold really
+    // unions (a last-write-wins fold would drop earlier arrivals)
+    for (r <- 0 to 2)
+      events.filter(pmod(col("event_id"), lit(3)) === r)
+        .write.mode("overwrite").parquet(evDir.resolve(s"b$r").toString)
+    val q = SketchStream.start(spark, evDir.toString + "/*/",
+      evDir.resolve("b0").toString, storeDir.toString, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = SketchStream.readTable(spark, storeDir.toString).get
+    // register-file equality, not just estimate equality: the stored
+    // sketch IS the one-shot sketch, byte for byte (base64 so array
+    // equality is structural)
+    val batch = SketchStream.partials(events)
+    assert(sortedRows(streamed.select(col("day"), base64(col("sk")))) ==
+      sortedRows(batch.select(col("day"), base64(col("sk")))))
+    // and the estimates it serves are within the HLL band of exact
+    val est = SketchStream.estimates(streamed)
+    val exact = events.groupBy(
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+    val joined = est.join(exact, "day")
+      .select(abs(col("est").cast("double") / col("n") - 1.0).as("relerr"))
+    assert(joined.filter(col("relerr") > 0.05).count() == 0)
+  }
+
   test("A12: rate listener reports per-batch totals like LoggerManager") {
     val events = Tables(spark, sf).events
     val evDir = tmp("rate-in")
