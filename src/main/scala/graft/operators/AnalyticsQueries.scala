@@ -256,7 +256,29 @@ object AnalyticsQueries {
       .orderBy(col("source"))
   }
 
+  /** E9: market-basket co-purchase pairs — the support counts of
+    * association-rule mining. Pair generation is a self-equi-join on
+    * the basket key with p1 < p2, so candidate mass is
+    * sum(|basket|²) — bounded by the max basket size (~7 line items
+    * per order), NOT corpus-squared; the join and the pair aggregate
+    * both shuffle on natural keys. Top-20 by (support desc, pair) —
+    * a total order, so the cut is deterministic.
+    */
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase"       -> (qCopurchase _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_rfm"              -> (qRfm _),
     "q_benford"          -> (qBenford _),
@@ -268,6 +290,13 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
     "q_sliding_distinct" ->
       """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
         |sc AS (SELECT d + CAST(g.k AS INTEGER) AS t, user_id

@@ -38,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
     assert(blocks.map(_.size).sum == qKeys.size,
       s"block sizes ${blocks.map(_.size)} don't sum to ${qKeys.size} — " +
         "a block is missing from this list or a key is shadowed")
-    assert(qKeys.size >= 150, s"query count dropped to ${qKeys.size}")
+    assert(qKeys.size >= 151, s"query count dropped to ${qKeys.size}")
   }
 
   test("A16: compact(snapshot(A), B) == snapshot(A ∪ B) for several splits") {
