@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ApproxQuantile, DotProduct, HllDistinct, MinHashSig, RollingHash64, ShingleHashes, SimHash64}
+import graft.functions.{ApproxQuantile, DotProduct, HllDistinct, HllMergeEstimate, HllSketchAgg, HllUnionSketch, MinHashSig, RollingHash64, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
@@ -125,5 +125,26 @@ object GraftExtensions {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => other.toString
         }).toAggregateExpression()),
+    ("hll_sketch", "hll_sketch(col[, p]) - HLL register file as a storable binary",
+      (exprs: Seq[Expression]) => HllSketchAgg(exprs.head,
+        if (exprs.size > 1) intArg("hll_sketch", exprs(1)) else 12)
+        .toAggregateExpression()),
+    ("hll_merge", "hll_merge(sketch[, p]) - merge stored HLL sketches into a distinct estimate",
+      (exprs: Seq[Expression]) => HllMergeEstimate(exprs.head,
+        if (exprs.size > 1) intArg("hll_merge", exprs(1)) else 12)
+        .toAggregateExpression()),
+    ("hll_union", "hll_union(sketch[, p]) - union stored HLL sketches into one merged sketch",
+      (exprs: Seq[Expression]) => HllUnionSketch(exprs.head,
+        if (exprs.size > 1) intArg("hll_union", exprs(1)) else 12)
+        .toAggregateExpression()),
+    ("topk_sketch", "topk_sketch(col[, capacity]) - SpaceSaving state as a storable binary",
+      (exprs: Seq[Expression]) => graft.functions.SpaceSavingSketchAgg(exprs.head,
+        if (exprs.size > 1) intArg("topk_sketch", exprs(1)) else 4096)
+        .toAggregateExpression()),
+    ("topk_merge", "topk_merge(sketch, k[, capacity]) - merge stored SpaceSaving sketches, emit top-k",
+      (exprs: Seq[Expression]) => graft.functions.SpaceSavingMergeTopK(exprs.head,
+        intArg("topk_merge", exprs(1)),
+        if (exprs.size > 2) intArg("topk_merge", exprs(2)) else 4096)
+        .toAggregateExpression()),
   )
 }

@@ -60,6 +60,20 @@ class ApiSurfaceSpec extends AnyFunSuite {
       """SELECT explode(topk_freq(w, 3, 4096)) FROM
         | (SELECT explode(split(text, ' ')) AS w FROM docs_plain)""".stripMargin)
     assert(tk.count() == 3)
+    // the storable-sketch lifecycle from pure SQL: segment sketches
+    // -> stored binary -> re-merged estimate / top-k
+    val hm = plain.sql(
+      """SELECT hll_merge(sk) AS est FROM
+        | (SELECT hll_sketch(doc_id) AS sk FROM docs_plain GROUP BY doc_id % 3)"""
+        .stripMargin).first().getLong(0)
+    val exact = plain.sql("SELECT count(DISTINCT doc_id) FROM docs_plain")
+      .first().getLong(0)
+    assert(math.abs(hm.toDouble / exact - 1.0) <= 0.05, s"est=$hm exact=$exact")
+    val tm = plain.sql(
+      """SELECT explode(topk_merge(sk, 2)) FROM
+        | (SELECT topk_sketch(source) AS sk FROM docs_plain GROUP BY doc_id % 3)"""
+        .stripMargin)
+    assert(tm.count() == 2)
   }
 
   test("GraftExtensions exposes the custom expressions to SQL") {
