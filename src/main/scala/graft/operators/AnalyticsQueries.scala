@@ -277,7 +277,39 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** E10: audience-overlap matrix — pairwise Jaccard between the
+    * engaged audiences of each event type ("engaged" = >= 15 events
+    * of that type, so the sets differ; with no threshold every user
+    * hits every type and the matrix is degenerate). Shape: one
+    * fact-sized (user, type) aggregate, then the pair join runs on
+    * the AUDIENCE frame (users x 5 types at most), never the fact
+    * table — per-user type lists are tiny, so the within-user pair
+    * explosion is bounded by |types|² per user. Jaccard reported in
+    * exact integer ppm (inter, union counts carried alongside).
+    */
+  def qUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("n_ev"))
+      .filter(col("n_ev") >= 15)
+      .select(col("user_id"), col("et"))
+    val tot = ut.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("et").as("t1"))
+    val b = ut.select(col("user_id"), col("et").as("t2"))
+    val pairs = a.join(b, "user_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(tot.select(col("et").as("t1"), col("n").as("n_t1"))), "t1")
+      .join(broadcast(tot.select(col("et").as("t2"), col("n").as("n_t2"))), "t2")
+      .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"),
+        expr("n_both * 1000000 div (n_t1 + n_t2 - n_both)").as("jaccard_ppm"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_overlap"     -> (qUserOverlap _),
     "q_copurchase"       -> (qCopurchase _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_rfm"              -> (qRfm _),
@@ -290,6 +322,17 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_user_overlap" ->
+      """WITH ut AS (SELECT user_id, event_type AS et FROM events
+        |  GROUP BY 1, 2 HAVING count(*) >= 15),
+        |tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY et),
+        |pairs AS (SELECT a.et AS t1, b.et AS t2, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_both, ta.n AS n_t1, tb.n AS n_t2,
+        |  p.n_both * 1000000 // (ta.n + tb.n - p.n_both) AS jaccard_ppm
+        |FROM pairs p JOIN tot ta ON ta.et = p.t1 JOIN tot tb ON tb.et = p.t2
+        |ORDER BY p.t1, p.t2""".stripMargin,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS p1, b.l_partkey AS p2,

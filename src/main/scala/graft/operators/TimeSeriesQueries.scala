@@ -283,7 +283,97 @@ object TimeSeriesQueries {
       .orderBy(col("d"), col("rank"))
   }
 
+  /** F10: multi-touch revenue attribution — the marketing-analytics
+    * staple over the event stream: each purchase credits the
+    * click/view touches that preceded it within a 7-day lookback,
+    * under three models at once (first-touch, last-touch, linear).
+    * Shape: ONE pass over each user's ordered series — the lookback
+    * is a RANGE window on epoch-micros, the first/last touch are
+    * conditional struct-min/max inside that frame (the q_table_diff
+    * trick: struct ordering leads with the timestamp, so min/max IS
+    * first/last), and the per-type touch counts for the linear split
+    * are conditional sums over the same frame. No touches×purchases
+    * self-join at any scale; the only shuffle is the user_id window
+    * partition. Money stays in cents; the linear split is floor
+    * division with the remainder credited to the last-touch model's
+    * bucket, so every model's column sums to the identical total
+    * (conservation is part of the contract the oracle checks).
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackMicros = 604800000000L // 7 days
+    val e = Tables(spark, dir).events.select(
+      col("user_id"), unix_micros(col("ts")).as("tus"),
+      col("event_type").as("et"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val lb = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-lookbackMicros, -1)
+    val isTouch = col("et").isin("click", "view")
+    val w = e
+      .withColumn("lastt", max(when(isTouch, struct(col("tus"), col("et")))).over(lb))
+      .withColumn("firstt", min(when(isTouch, struct(col("tus"), col("et")))).over(lb))
+      .withColumn("n_click", sum(when(col("et") === "click", 1).otherwise(0)).over(lb))
+      .withColumn("n_view", sum(when(col("et") === "view", 1).otherwise(0)).over(lb))
+    val p = w.filter(col("et") === "purchase").select(
+      col("cents"),
+      coalesce(col("lastt.et"), lit("none")).as("last_et"),
+      coalesce(col("firstt.et"), lit("none")).as("first_et"),
+      coalesce(col("n_click"), lit(0L)).as("nc"),
+      coalesce(col("n_view"), lit(0L)).as("nv"))
+    val c = p.select(
+      col("cents"), col("last_et"), col("first_et"),
+      when(col("nc") + col("nv") === 0, 0L)
+        .otherwise(expr("cents * nc div (nc + nv)")).as("lin_click"),
+      when(col("nc") + col("nv") === 0, 0L)
+        .otherwise(expr("cents * nv div (nc + nv)")).as("lin_view"))
+    val types = spark.range(1).select(
+      explode(array(lit("click"), lit("view"), lit("none"))).as("touch_type"))
+    c.crossJoin(broadcast(types))
+      .groupBy(col("touch_type"))
+      .agg(
+        coalesce(sum(when(col("last_et") === col("touch_type"), col("cents"))), lit(0L))
+          .as("last_touch_cents"),
+        coalesce(sum(when(col("first_et") === col("touch_type"), col("cents"))), lit(0L))
+          .as("first_touch_cents"),
+        coalesce(sum(
+          when(col("touch_type") === "click", col("lin_click"))
+            .when(col("touch_type") === "view", col("lin_view"))
+            .otherwise(when(col("last_et") === "none", col("cents"))
+              .otherwise(col("cents") - col("lin_click") - col("lin_view")))), lit(0L))
+          .as("linear_cents"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** F11: CUSUM changepoint detection on daily order revenue — the
+    * classic "where did the level shift" scan: S_k = Σ_{i<=k}(r_i - μ)
+    * peaks at the most likely changepoint. μ is the exact integer
+    * floor-mean (total div n), so every S_k is exact BIGINT cents and
+    * the argmax is engine-identical. The prefix sum runs over the
+    * DAILY aggregate (thousands of rows at any corpus size — same
+    * frame-size argument as F2's anomaly window); the only fact-sized
+    * operation is the date groupBy shuffle.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val m = daily.agg((sum(col("r")).cast("long")).as("tot"),
+      count(lit(1)).as("n"))
+      .select(expr("tot div n").as("mu"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val c = daily.crossJoin(broadcast(m))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("cusum", sum(col("r")).over(w) - col("k") * col("mu"))
+    val peak = c.agg(max(abs(col("cusum"))).as("peak"))
+    c.crossJoin(broadcast(peak))
+      .select(col("d"), col("r").as("revenue_cents"),
+        col("cusum").cast("long").as("cusum_cents"),
+        (abs(col("cusum")) === col("peak")).cast("long").as("is_peak"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution"        -> (qAttribution _),
+    "q_changepoint"        -> (qChangepoint _),
     "q_sliding_topk"       -> (qSlidingTopk _),
     "q_sliding_hll"        -> (qSlidingHll _),
     "q_gap_fill"           -> (qGapFill _),
@@ -430,5 +520,52 @@ object TimeSeriesQueries {
         |      * CAST((n_a + n_b) - (c_a + c_b) AS HUGEINT)
         |      * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS BIGINT) AS significant
         |FROM agg""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT user_id, tus, et, cents,
+        |  max(CASE WHEN et IN ('click','view')
+        |      THEN struct_pack(tus := tus, et := et) END) OVER lb AS lastt,
+        |  min(CASE WHEN et IN ('click','view')
+        |      THEN struct_pack(tus := tus, et := et) END) OVER lb AS firstt,
+        |  sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END) OVER lb AS n_click,
+        |  sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END) OVER lb AS n_view
+        |  FROM e WINDOW lb AS (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT cents, coalesce(lastt.et, 'none') AS last_et,
+        |    coalesce(firstt.et, 'none') AS first_et,
+        |    coalesce(n_click, 0) AS nc, coalesce(n_view, 0) AS nv
+        |  FROM w WHERE et = 'purchase'),
+        |c AS (SELECT cents, last_et, first_et,
+        |    CASE WHEN nc + nv = 0 THEN 0 ELSE cents * nc // (nc + nv) END AS lin_click,
+        |    CASE WHEN nc + nv = 0 THEN 0 ELSE cents * nv // (nc + nv) END AS lin_view
+        |  FROM p),
+        |t AS (SELECT unnest(['click', 'view', 'none']) AS touch_type)
+        |SELECT t.touch_type,
+        |  CAST(coalesce(sum(CASE WHEN c.last_et = t.touch_type THEN c.cents END), 0)
+        |    AS BIGINT) AS last_touch_cents,
+        |  CAST(coalesce(sum(CASE WHEN c.first_et = t.touch_type THEN c.cents END), 0)
+        |    AS BIGINT) AS first_touch_cents,
+        |  CAST(coalesce(sum(CASE WHEN t.touch_type = 'click' THEN c.lin_click
+        |      WHEN t.touch_type = 'view' THEN c.lin_view
+        |      ELSE CASE WHEN c.last_et = 'none' THEN c.cents
+        |           ELSE c.cents - c.lin_click - c.lin_view END END), 0)
+        |    AS BIGINT) AS linear_cents
+        |FROM t CROSS JOIN c
+        |GROUP BY t.touch_type ORDER BY t.touch_type""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(sum(r) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+        |  FROM daily),
+        |c AS (SELECT d, r,
+        |    sum(r) OVER (ORDER BY d)
+        |      - (row_number() OVER (ORDER BY d)) * (SELECT mu FROM m) AS cusum
+        |  FROM daily)
+        |SELECT d, r AS revenue_cents, CAST(cusum AS BIGINT) AS cusum_cents,
+        |  CAST(CASE WHEN abs(cusum) = (SELECT max(abs(cusum)) FROM c)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM c ORDER BY d""".stripMargin,
   )
 }

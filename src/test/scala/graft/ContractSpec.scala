@@ -99,6 +99,32 @@ class ContractSpec extends AnyFunSuite {
     rfm.unpersist()
   }
 
+  test("F10/F11/E10 invariants: attribution conserves, CUSUM closes, overlap bounds") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // every attribution model allocates the identical total: the
+    // linear split's floor remainders are folded into the last-touch
+    // bucket by construction, so the three columns sum equal
+    val at = graft.operators.TimeSeriesQueries.qAttribution(spark, dir)
+      .agg(sum("last_touch_cents").as("l"), sum("first_touch_cents").as("f"),
+        sum("linear_cents").as("n")).collect()(0)
+    assert(at.getLong(0) == at.getLong(1) && at.getLong(1) == at.getLong(2),
+      s"attribution models disagree on total: $at")
+    // CUSUM telescopes: the final prefix value is total - n*floor(mean),
+    // i.e. the division remainder, which lies in [0, n)
+    val cp = graft.operators.TimeSeriesQueries.qChangepoint(spark, dir).cache()
+    val nDays = cp.count()
+    val lastCusum = cp.orderBy(col("d").desc).limit(1)
+      .select("cusum_cents").collect()(0).getLong(0)
+    assert(lastCusum >= 0 && lastCusum < nDays, s"CUSUM tail $lastCusum not the mean remainder")
+    assert(cp.filter(col("is_peak") === 1).count() >= 1)
+    cp.unpersist()
+    // overlap: intersection bounded by both audiences, Jaccard <= 1
+    val ov = graft.operators.AnalyticsQueries.qUserOverlap(spark, dir)
+    assert(ov.filter(col("n_both") > least(col("n_t1"), col("n_t2")) ||
+      col("jaccard_ppm") > 1000000L).count() == 0)
+  }
+
   test("every query runs against sf0.001 without throwing") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }
