@@ -61,6 +61,40 @@ object Multimodal {
       .toDF()
   }
 
+  case class PhashRecord(doc_id: Long, ph: Long)
+
+  /** STUB perceptual hash — the signature stage of an image/media
+    * dedup pipeline (real pHash: decode → grayscale → DCT → sign
+    * bits). Here: 60 parity bits over the payload's byte-value
+    * histogram (group = byte mod 60, bit = count parity). Like a real
+    * perceptual hash — and unlike a cryptographic digest — it is
+    * LOCALITY-SENSITIVE: a small payload edit perturbs a handful of
+    * histogram buckets, flipping few bits, so near-identical media
+    * land at small hamming distance. Deterministic, so the oracle
+    * replays it from the UTF-8 payload bytes.
+    */
+  private def phashBatch(batch: Seq[MediaRecord]): Seq[PhashRecord] =
+    batch.map { r =>
+      val cnt = new Array[Long](60)
+      var i = 0
+      while (i < r.payload.length) { cnt((r.payload(i) & 0xff) % 60) += 1; i += 1 }
+      var ph = 0L
+      var g = 0
+      while (g < 60) { ph |= (cnt(g) & 1L) << g; g += 1 }
+      PhashRecord(r.doc_id, ph)
+    }
+
+  /** Signature extraction with the same partition-local batch shape
+    * as [[decodePipeline]]: binary in, one 60-bit signature row out.
+    */
+  def phashPipeline(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(phashBatch))
+      .toDF()
+  }
+
   case class FrameRecord(doc_id: Long, frame_idx: Long, off: Long,
                          frame_len: Long, frame_sum: Long)
 

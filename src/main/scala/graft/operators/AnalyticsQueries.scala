@@ -308,7 +308,52 @@ object AnalyticsQueries {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** E11: k-core decomposition (4 peel rounds, k=3) of the
+    * co-purchase graph — the "dense cohesive subgraph" report
+    * (community cores, fraud rings, bot clusters). The graph is the
+    * E9 co-purchase pair set thresholded at support >= 2 (the
+    * unthresholded graph is near-complete and peeling is trivial).
+    * Each round is one degree aggregate (explode both endpoints, a
+    * single groupBy) plus two semi-joins restricting edges to
+    * surviving nodes — O(rounds) linear shuffles, no all-pairs work,
+    * the same fixed-iteration discipline as TextRank (C44): a bounded
+    * round count keeps the oracle expressible as unrolled SQL, and
+    * each round's edge frame is cached so round r+1 reads a
+    * materialized frame instead of re-deriving the whole peel chain
+    * (the q_triangles lesson; frames are edge-sized and
+    * support-pruned, reclaim via clearCache()). Reported per round:
+    * surviving node and edge counts — the convergence profile IS the
+    * analytics output.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ea = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val eb = items.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val e0 = ea.join(eb, "l_orderkey").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2).select(col("u"), col("v")).cache()
+    var e = e0
+    val stats = (1 to 4).map { r =>
+      val deg = e.select(explode(array(col("u"), col("v"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("d"))
+      val nodes = deg.filter(col("d") >= k).select(col("w")).cache()
+      val pruned = e
+        .join(nodes.withColumnRenamed("w", "u"), Seq("u"), "left_semi")
+        .join(nodes.withColumnRenamed("w", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).cache()
+      val row = nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(pruned.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      e = pruned
+      row
+    }
+    stats.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"            -> (qKcore _),
     "q_user_overlap"     -> (qUserOverlap _),
     "q_copurchase"       -> (qCopurchase _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
@@ -321,7 +366,30 @@ object AnalyticsQueries {
     "q_triangles"        -> (qTriangles _),
   )
 
+  private def kcoreLayer(r: Int): String =
+    s"""d$r AS MATERIALIZED (SELECT w, count(*) AS d FROM
+       |  (SELECT u AS w FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY w),
+       |n$r AS MATERIALIZED (SELECT w FROM d$r WHERE d >= 3),
+       |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+       |  WHERE u IN (SELECT w FROM n$r) AND v IN (SELECT w FROM n$r))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_kcore" ->
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT u, v FROM (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS sup
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2) WHERE sup >= 2),
+         |${(1 to 4).map(kcoreLayer).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM n1) AS n_nodes,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
+         |  UNION ALL SELECT 4, (SELECT count(*) FROM n4), (SELECT count(*) FROM e4))
+         |ORDER BY round""".stripMargin,
     "q_user_overlap" ->
       """WITH ut AS (SELECT user_id, event_type AS et FROM events
         |  GROUP BY 1, 2 HAVING count(*) >= 15),

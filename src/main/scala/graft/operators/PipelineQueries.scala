@@ -295,6 +295,39 @@ object PipelineQueries {
     Multimodal.frameSample(Multimodal.asMedia(Tables(spark, dir).documents))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** C49: media near-duplicate detection — the image-dedup pipeline
+    * shape: binary payload → perceptual-hash signature (the
+    * [[Multimodal.phashPipeline]] batch codec stub, 60
+    * locality-sensitive bits) → banded LSH self-join → exact hamming
+    * verify. 6 bands x 10 bits with threshold <= 5 is the pigeonhole
+    * guarantee (two hashes within hamming 5 agree on >= 1 band), so
+    * recall is EXACT — no all-pairs comparison at any scale: the
+    * corpus shuffles once on (band_idx, band_value), candidate mass
+    * is bucket-bounded, and the 60-bit xor/bit_count verify runs only
+    * inside buckets. The same plan is how you dedup a billion images:
+    * only signatures (8 bytes) move, payloads never shuffle.
+    */
+  def qMmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Multimodal.phashPipeline(
+      Multimodal.asMedia(Tables(spark, dir).documents))
+    val bandArr = array((0 to 5).map(i =>
+      shiftright(col("ph"), 10 * i).bitwiseAND(lit(1023L))): _*)
+    val bands = sig.select(col("doc_id"), col("ph"),
+      posexplode(bandArr).as(Seq("i", "band")))
+    val a = bands.select(col("i"), col("band"),
+      col("doc_id").as("doc_a"), col("ph").as("pa"))
+    val b = bands.select(col("i"), col("band"),
+      col("doc_id").as("doc_b"), col("ph").as("pb"))
+    a.join(b, Seq("i", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= 5)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
@@ -318,6 +351,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_binary"       -> (qMmBinary _),
     "q_mm_frames"       -> (qMmFrames _),
+    "q_mm_phash"        -> (qMmPhash _),
     "q_topk_freq"       -> (qTopkFreq _),
     "q_dup_clusters"    -> (qDupClusters _),
     "q_cluster_sizes"   -> (qClusterSizes _),
@@ -871,5 +905,34 @@ object PipelineQueries {
         | CAST(list_sum(list_transform(generate_series(1, least(16, n - fi*32)),
         |    i -> ascii(substr(text, fi*32 + i, 1)))) AS BIGINT) AS frame_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // replays the stub pHash from UTF-8 payload bytes (the q_mm_binary
+    // codepoint->byte expansion), then the same 6x10-bit banded join
+    "q_mm_phash" ->
+      """WITH cps AS (
+        | SELECT doc_id,
+        |  list_transform(regexp_extract_all(text, '.', 0, 's'), ch -> ord(ch)) AS cp
+        | FROM documents),
+        |bytes AS (
+        | SELECT doc_id, unnest(flatten(list_transform(cp, c ->
+        |   CASE WHEN c < 128 THEN [c]
+        |        WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+        |        WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+        |        ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+        |              128 + (c // 64) % 64, 128 + c % 64]
+        |   END))) AS b
+        | FROM cps),
+        |grp AS (SELECT doc_id, b % 60 AS g, count(*) AS n FROM bytes GROUP BY 1, 2),
+        |ph AS (SELECT d.doc_id, CAST(coalesce(sum((n % 2) * (1::BIGINT << g)), 0) AS BIGINT) AS ph
+        |  FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id GROUP BY d.doc_id),
+        |bands AS (SELECT doc_id, ph, g.i, (ph >> (10*g.i)) & 1023 AS band
+        |  FROM ph, generate_series(0,5) AS g(i)),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.ph AS pa, b2.ph AS pb
+        |  FROM bands a JOIN bands b2
+        |  ON a.i = b2.i AND a.band = b2.band AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM p WHERE bit_count(xor(pa, pb)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -261,6 +261,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("checksum") == text.getBytes("UTF-8").map(_ & 0xff).sum.toLong)
   }
 
+  test("C49: banded pHash join recalls EXACTLY the brute-force hamming<=5 pairs") {
+    import graft.multimodal.Multimodal
+    val sig = Multimodal.phashPipeline(Multimodal.asMedia(docs)).cache()
+    // brute force: all pairs, exact hamming
+    val a = sig.select(col("doc_id").as("doc_a"), col("ph").as("pa"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("ph").as("pb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= 5)
+      .select("doc_a", "doc_b", "hamming")
+    val banded = graft.operators.PipelineQueries.qMmPhash(spark, sf)
+    // pigeonhole guarantee: band join loses nothing vs brute force
+    assert(banded.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(banded).count() == 0,
+      "banded pHash join must equal brute-force pair set")
+    // locality: the signature separates docs (not all-zero, not constant)
+    assert(sig.select(countDistinct(col("ph"))).head.getLong(0) > docs.count() / 2)
+    sig.unpersist()
+  }
+
+  test("E11: k-core peel is monotone and the final round is internally consistent") {
+    val out = graft.operators.AnalyticsQueries.qKcore(spark, sf)
+      .orderBy(col("round")).collect()
+    assert(out.length == 4)
+    val nodes = out.map(_.getAs[Long]("n_nodes"))
+    val edges = out.map(_.getAs[Long]("n_edges"))
+    assert(nodes.zip(nodes.tail).forall { case (x, y) => y <= x },
+      "peeling can only shrink the node set")
+    assert(edges.zip(edges.tail).forall { case (x, y) => y <= x },
+      "peeling can only shrink the edge set")
+    // a non-empty 3-core needs >= k+1 nodes and >= ceil(k*n/2) edges
+    assert(nodes.last == 0 || (nodes.last >= 4 && edges.last * 2 >= 3 * nodes.last))
+  }
+
   test("C8: langId is deterministic and total (every doc classified)") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() == docs.count())
