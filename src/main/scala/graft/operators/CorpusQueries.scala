@@ -287,6 +287,65 @@ object CorpusQueries {
       .limit(30)
   }
 
+  /** C50: BPE merge training — the tokenizer-training loop at corpus
+    * scale: 5 rounds of (count adjacent pairs → take the most
+    * frequent → merge every leftmost non-overlapping occurrence),
+    * exactly the Sennrich et al. byte-pair-encoding step run over
+    * word sequences (learning multi-word expressions; the same plan
+    * shape trains subword vocab when tokens are characters). Per
+    * round: ONE map-side pair explode + count shuffle, a TakeOrdered
+    * argmax (total order: n desc, l, r), and a map-only merge pass —
+    * a size-fold (`aggregate` HOF) per document that replays
+    * leftmost-non-overlapping semantics, including the repeated-token
+    * case (a a a → (a_a) a). The only driver traffic is ONE 3-field
+    * row per round (the winning pair — same discipline as the CC
+    * convergence counter); corpus generations are cached
+    * materialize-then-unpersist, so exactly one generation is pinned
+    * at a time (at 100 TB: checkpoint generations instead). Oracle:
+    * the identical 5 rounds unrolled as MATERIALIZED CTEs with a
+    * list_reduce fold.
+    */
+  /** One BPE merge applied to token array `w`: every leftmost
+    * non-overlapping (l, r) adjacency becomes the single token
+    * `l_r`, as a size-fold over the array. CASE arms evaluate
+    * lazily, so element_at never sees an empty array (ANSI-safe).
+    */
+  private[graft] def applyMerge(l: String, r: String): org.apache.spark.sql.Column = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val (le, re) = (esc(l), esc(r))
+    expr(
+      s"""aggregate(w, cast(array() as array<string>), (acc, t) ->
+         |  CASE WHEN size(acc) = 0 THEN array(t)
+         |       WHEN element_at(acc, -1) = '$le' AND t = '$re'
+         |         THEN concat(slice(acc, 1, size(acc) - 1), array('${le}_$re'))
+         |       ELSE concat(acc, array(t)) END)""".stripMargin)
+  }
+
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var corpus = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to 5) {
+      val best = corpus.select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] as l, w[i+1] as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k.toLong, l, r, n))
+      val next = corpus.select(col("doc_id"), applyMerge(l, r).as("w")).cache()
+      next.count() // materialize the generation before dropping its parent
+      corpus.unpersist()
+      corpus = next
+    }
+    corpus.unpersist()
+    merges.toSeq.toDF("merge_rank", "l", "r", "n")
+  }
+
   /** C38: repeated-substring span detection — the distributed shape
     * of suffix-array exact-substring dedup (find every W-token span
     * that appears in more than one document, then score each doc by
@@ -472,6 +531,7 @@ object CorpusQueries {
     "q_chunk_overlap"       -> (qChunkOverlap _),
     "q_doc_keywords"        -> (qDocKeywords _),
     "q_word_pairs"          -> (qWordPairs _),
+    "q_bpe_merges"          -> (qBpeMerges _),
     "q_substring_dup"       -> (qSubstringDup _),
     "q_sketch_overlap"      -> (qSketchOverlap _),
     "q_collocations"        -> (qCollocations _),
@@ -640,6 +700,30 @@ object CorpusQueries {
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
+    "q_bpe_merges" -> {
+      def layer(k: Int): String =
+        s"""p$k AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+           |    for i in generate_series(1, len(w)-1)]) AS p FROM c${k - 1}),
+           |b$k AS MATERIALIZED (SELECT p.a AS l, p.b AS r, CAST(count(*) AS BIGINT) AS n
+           |  FROM p$k GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+           |c$k AS MATERIALIZED (
+           |  SELECT doc_id, list_reduce(
+           |    list_transform(w, t -> [t]),
+           |    (acc, y) -> CASE WHEN acc[-1] = b.l AND y[1] = b.r
+           |                THEN list_append(list_slice(acc, 1, len(acc)-1), b.l || '_' || b.r)
+           |                ELSE list_concat(acc, y) END) AS w
+           |  FROM c${k - 1}, b$k b)""".stripMargin
+      s"""WITH c0 AS MATERIALIZED (SELECT doc_id, string_split(text,' ') AS w
+         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+         |${(1 to 5).map(layer).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS merge_rank, l, r, n FROM b1
+         |  UNION ALL SELECT 2, l, r, n FROM b2
+         |  UNION ALL SELECT 3, l, r, n FROM b3
+         |  UNION ALL SELECT 4, l, r, n FROM b4
+         |  UNION ALL SELECT 5, l, r, n FROM b5)
+         |ORDER BY merge_rank""".stripMargin
+    },
     "q_word_pairs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
         |pairs AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])

@@ -295,6 +295,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(nodes.last == 0 || (nodes.last >= 4 && edges.last * 2 >= 3 * nodes.last))
   }
 
+  test("C50: BPE merge fold is leftmost non-overlapping, incl. repeated tokens") {
+    import graft.operators.CorpusQueries
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "a", "a"), Seq("a_a", "a")),          // no overlap reuse
+      (Seq("a", "b", "a", "b"), Seq("a_b", "a_b")),   // back-to-back pairs both merge
+      (Seq("x", "a", "b", "y"), Seq("x", "a_b", "y")),
+      (Seq("b", "a"), Seq("b", "a")),                 // order matters
+      (Seq("a"), Seq("a")))
+    // merge (a, a): the repeated-token case
+    val gotAA = Seq(Seq("a", "a", "a")).toDF("w")
+      .select(CorpusQueries.applyMerge("a", "a").as("w"))
+      .head.getSeq[String](0)
+    assert(gotAA == Seq("a_a", "a"), s"repeated-token merge wrong: $gotAA")
+    val gotAB = cases.map(_._1).toDF("w")
+      .select(CorpusQueries.applyMerge("a", "b").as("w"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    val wantAB = Seq(
+      Seq("a", "a", "a"), Seq("a_b", "a_b"), Seq("x", "a_b", "y"),
+      Seq("b", "a"), Seq("a"))
+    assert(gotAB.toSeq == wantAB, s"merge(a,b) wrong: ${gotAB.toSeq}")
+    // merged tokens participate in later merges: (a_b, c)
+    val got2 = Seq(Seq("a", "b", "c")).toDF("w")
+      .select(CorpusQueries.applyMerge("a", "b").as("w"))
+      .select(CorpusQueries.applyMerge("a_b", "c").as("w"))
+      .head.getSeq[String](0)
+    assert(got2 == Seq("a_b_c"), s"stacked merge wrong: $got2")
+  }
+
   test("C8: langId is deterministic and total (every doc classified)") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() == docs.count())
