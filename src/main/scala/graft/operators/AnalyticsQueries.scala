@@ -264,18 +264,32 @@ object AnalyticsQueries {
     * both shuffle on natural keys. Top-20 by (support desc, pair) —
     * a total order, so the cut is deterministic.
     */
-  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    a.join(b, "l_orderkey")
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
+  /** The co-purchase pair counts, shaped for scale: instead of
+    * distinct + self-join on the order key (3 shuffles: the
+    * (order, part) distinct, then BOTH join sides re-shuffled on
+    * order), each order's part set is gathered ONCE
+    * (collect_set partials combine map-side) and the ordered pairs
+    * are generated map-side from the sorted array — baskets are
+    * small (a handful of items), so the per-order pair fan-out is
+    * bounded and the only shuffles are the order-key aggregate and
+    * the pair count. sort_array makes the set deterministic and
+    * gives p1 < p2 for free.
+    */
+  private[graft] def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("s"))
+      .select(explode(expr(
+        """flatten(transform(s, (x, i) ->
+          |  transform(slice(s, i + 2, size(s)), y -> struct(x AS p1, y AS p2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
+
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairs(spark, dir)
       .orderBy(col("support").desc, col("p1"), col("p2"))
       .limit(20)
-  }
 
   /** E10: audience-overlap matrix — pairwise Jaccard between the
     * engaged audiences of each event type ("engaged" = >= 15 events
@@ -327,13 +341,9 @@ object AnalyticsQueries {
     */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val ea = items.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val eb = items.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val e0 = ea.join(eb, "l_orderkey").filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2).select(col("u"), col("v")).cache()
+    val e0 = copurchasePairs(spark, dir)
+      .filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v")).cache()
     var e = e0
     val stats = (1 to 4).map { r =>
       val deg = e.select(explode(array(col("u"), col("v"))).as("w"))
