@@ -146,5 +146,17 @@ object GraftExtensions {
         intArg("topk_merge", exprs(1)),
         if (exprs.size > 2) intArg("topk_merge", exprs(2)) else 4096)
         .toAggregateExpression()),
+    ("cms_sketch", "cms_sketch(col[, depth[, widthLog2]]) - Count-Min grid as a storable binary",
+      (exprs: Seq[Expression]) => graft.functions.CmsSketchAgg(exprs.head,
+        if (exprs.size > 1) intArg("cms_sketch", exprs(1)) else 4,
+        if (exprs.size > 2) intArg("cms_sketch", exprs(2)) else 11)
+        .toAggregateExpression()),
+    ("cms_union", "cms_union(sketch[, depth[, widthLog2]]) - fold stored CMS grids (element-wise add)",
+      (exprs: Seq[Expression]) => graft.functions.CmsUnionSketch(exprs.head,
+        if (exprs.size > 1) intArg("cms_union", exprs(1)) else 4,
+        if (exprs.size > 2) intArg("cms_union", exprs(2)) else 11)
+        .toAggregateExpression()),
+    ("cms_query", "cms_query(sketch, key) - point-frequency probe into a stored CMS binary",
+      (exprs: Seq[Expression]) => graft.functions.CmsQuery(exprs.head, exprs(1))),
   )
 }

@@ -102,6 +102,25 @@ package object functions {
   def hll_union(c: Column, p: Int = 12): Column =
     toCol(HllUnionSketch(toExpr(c), p).toAggregateExpression())
 
+  /** Count-Min grid as a storable binary value — per-segment point
+    * frequencies; re-merge with [[cms_union]], probe with
+    * [[cms_query]].
+    */
+  def cms_sketch(c: Column, depth: Int = 4, widthLog2: Int = 11): Column =
+    toCol(CmsSketchAgg(toExpr(c), depth, widthLog2).toAggregateExpression())
+
+  /** Fold [[cms_sketch]] binaries into one merged grid (element-wise
+    * add — exact with respect to the sketch, any fold order).
+    */
+  def cms_union(c: Column, depth: Int = 4, widthLog2: Int = 11): Column =
+    toCol(CmsUnionSketch(toExpr(c), depth, widthLog2).toAggregateExpression())
+
+  /** Point-frequency probe into a stored CMS binary (overestimate,
+    * within e/width * N w.h.p.).
+    */
+  def cms_query(sketch: Column, key: Column): Column =
+    toCol(CmsQuery(toExpr(sketch), toExpr(key)))
+
   /** Mergeable approximate quantile (weighted-compactor sketch,
     * TypedImperativeAggregate): fixed memory per group, rank error
     * ~collapses/capacity (~1% at the default 2048).

@@ -371,7 +371,37 @@ object TimeSeriesQueries {
       .orderBy(col("d"))
   }
 
+  /** F12: stored point-frequency sketches — per-day Count-Min grids
+    * over event actors, folded into one merged grid (element-wise
+    * add, so the fold is EXACT with respect to the sketch — the
+    * per-day store-then-merge equals one corpus-wide build
+    * bit-for-bit), then every user's activity probed against it.
+    * The F8/F9 discipline for point frequency: facts aggregate once
+    * into day-frame-sized 64 KiB grids; window widening or
+    * re-probing never touches the facts again. The probe joins the
+    * user frame against ONE broadcast sketch row. Output carries the
+    * exact count and the CMS guarantee gate (overestimate, within
+    * ceil(3N/width)) — the oracle checks exact counts and the gate,
+    * the B9b pattern.
+    */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val perDay = ev.groupBy(col("d"))
+      .agg(graft.functions.cms_sketch(col("user_id")).as("sk"))
+    val merged = perDay.agg(graft.functions.cms_union(col("sk")).as("sk"))
+    val bound = ev.agg((expr("3 * count(1) div 2048") + 1L).as("bound"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    exact.crossJoin(broadcast(merged)).crossJoin(broadcast(bound))
+      .select(col("user_id"), col("n_events"),
+        (graft.functions.cms_query(col("sk"), col("user_id")) >= col("n_events") &&
+          graft.functions.cms_query(col("sk"), col("user_id")) <=
+            col("n_events") + col("bound")).as("cms_ok"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq"           -> (qCmsFreq _),
     "q_attribution"        -> (qAttribution _),
     "q_changepoint"        -> (qChangepoint _),
     "q_sliding_topk"       -> (qSlidingTopk _),
@@ -520,6 +550,9 @@ object TimeSeriesQueries {
         |      * CAST((n_a + n_b) - (c_a + c_b) AS HUGEINT)
         |      * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS BIGINT) AS significant
         |FROM agg""".stripMargin,
+    "q_cms_freq" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, true AS cms_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS et,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -74,6 +74,15 @@ class ApiSurfaceSpec extends AnyFunSuite {
         | (SELECT topk_sketch(source) AS sk FROM docs_plain GROUP BY doc_id % 3)"""
         .stripMargin)
     assert(tm.count() == 2)
+    // CMS from pure SQL: segment grids -> fold -> point probe; the
+    // estimate is an overestimate of every true segment-total count
+    val cm = plain.sql(
+      """SELECT min(cms_query(sk, d)) AS est FROM
+        | (SELECT cms_union(sk) AS sk FROM
+        |   (SELECT cms_sketch(doc_id) AS sk FROM docs_plain GROUP BY doc_id % 3)),
+        | (SELECT DISTINCT doc_id AS d FROM docs_plain)""".stripMargin)
+      .first().getLong(0)
+    assert(cm >= 1L, s"cms probe of a present key must be >= its count, got $cm")
   }
 
   test("GraftExtensions exposes the custom expressions to SQL") {

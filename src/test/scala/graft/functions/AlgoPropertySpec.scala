@@ -338,6 +338,39 @@ class AlgoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cms: overestimate always, linear merge is bit-exact, bound holds") {
+    import graft.functions.{CmsBuffer, CmsCodec}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def hash64(k: Long): Long = XxHash64Function.hash(k, LongType, 42L)
+    val keys: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(0L, 500L))
+    checkSeeded(Prop.forAll(keys) { ks =>
+      val whole = new CmsBuffer(4, 8) // width 256
+      ks.foreach(k => whole.add(hash64(k)))
+      // split into 3 shards, merge — LINEAR: bit-identical to whole
+      val shards = (0 until 3).map { s =>
+        val b = new CmsBuffer(4, 8)
+        ks.zipWithIndex.filter(_._2 % 3 == s).foreach(k => b.add(hash64(k._1)))
+        b
+      }
+      val merged = new CmsBuffer(4, 8)
+      shards.foreach(merged.mergeIn)
+      val linearExact =
+        java.util.Arrays.equals(CmsCodec.write(merged), CmsCodec.write(whole))
+      // every key's estimate >= its true count, within eps*N
+      val truth = ks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val bound = (3L * ks.size) / 256 + 1
+      val estOk = truth.forall { case (k, n) =>
+        val e = whole.query(hash64(k))
+        e >= n && e <= n + bound
+      }
+      // serialization round-trip
+      val rt = CmsCodec.read(CmsCodec.write(whole))
+      val rtOk = java.util.Arrays.equals(CmsCodec.write(rt), CmsCodec.write(whole))
+      linearExact && estOk && rtOk
+    }, seed = 7L)
+  }
+
   test("bloom: no false negatives, merge == union, fpp bounded") {
     check(Prop.forAll(
       Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
