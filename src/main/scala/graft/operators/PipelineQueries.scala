@@ -94,6 +94,53 @@ object PipelineQueries {
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** C51: hybrid retrieval — the RAG/search-stack staple: a VECTOR
+    * channel (exact-cosine top-10, the C6 bruteTopK plan: queries
+    * broadcast, corpus never pair-shuffles) and a LEXICAL channel
+    * (shared-distinct-term score weighted by the C46 scaled-rational
+    * IDF — integer-exact, inverted-index join with the tiny query
+    * term frame broadcast), fused by reciprocal-rank fusion:
+    * rrf = Σ 10⁶ div (60 + rank). Floats exist only INSIDE the
+    * vector ranking (same determinism argument as q_ann_brute);
+    * everything that crosses the output boundary is rank-derived
+    * integers, so the oracle replays the whole fusion exactly. At
+    * scale each channel is independently swappable (IVF-PQ for
+    * brute; a sharded posting index for lexical) — the fusion stage
+    * only ever sees two ~k-row rank lists per query.
+    */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val docs = Tables(spark, dir).documents
+    val vecRanks = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rv"))
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val dfreq = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qterms = terms.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val lex = qterms.join(terms, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "t").crossJoin(broadcast(nDocs))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("n_docs * 1000000 div df")).as("lexscore"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lexscore").desc, col("doc_id"))
+    val lexRanks = lex.withColumn("rl", row_number().over(wl))
+      .filter(col("rl") <= 10).select(col("query_id"), col("doc_id"), col("rl"))
+    val fused = vecRanks.join(lexRanks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + rv)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rl)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf").as("rrf_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C48: kNN label assignment — the standard weak-labeling /
     * label-propagation step of a curation pipeline: each held-out
     * query vector (a deterministic ~3% slice, vec_id % 29 == 0) takes
@@ -338,6 +385,7 @@ object PipelineQueries {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
+    "q_hybrid_search"   -> (qHybridSearch _),
     "q_knn_label"       -> (qKnnLabel _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
@@ -572,6 +620,41 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_search" ->
+      s"""WITH $embCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |  list_sum(list_transform(list_zip(q.e, c.e), s -> s[1]*s[2]))/(nq.nrm*nc.nrm) AS cos
+         | FROM ed q JOIN ed c ON q.vec_id != c.vec_id
+         |  JOIN nm nq ON q.vec_id = nq.vec_id JOIN nm nc ON c.vec_id = nc.vec_id
+         | WHERE q.vec_id < 8),
+         |vr AS (SELECT query_id, doc_id, rv FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rv
+         |  FROM scored) WHERE rv <= 10),
+         |terms AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents),
+         |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY t),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |lex AS (SELECT q.doc_id AS query_id, d.doc_id,
+         |    CAST(sum(nd.n_docs * 1000000 // f.df) AS BIGINT) AS lexscore
+         |  FROM terms q JOIN terms d ON q.t = d.t AND d.doc_id != q.doc_id
+         |  JOIN dfreq f ON f.t = q.t CROSS JOIN nd
+         |  WHERE q.doc_id < 8 GROUP BY 1, 2),
+         |lr AS (SELECT query_id, doc_id, rl FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY lexscore DESC, doc_id) AS rl
+         |  FROM lex) WHERE rl <= 10),
+         |fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id,
+         |    coalesce(vr.doc_id, lr.doc_id) AS doc_id,
+         |    coalesce(1000000 // (60 + vr.rv), 0) + coalesce(1000000 // (60 + lr.rl), 0) AS rrf
+         |  FROM vr FULL OUTER JOIN lr
+         |    ON vr.query_id = lr.query_id AND vr.doc_id = lr.doc_id)
+         |SELECT query_id, rank, doc_id, rrf AS rrf_ppm FROM (
+         |  SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_label" ->
       s"""WITH $embCte,
