@@ -291,6 +291,31 @@ object AnalyticsQueries {
       .orderBy(col("support").desc, col("p1"), col("p2"))
       .limit(20)
 
+  /** E12: item-item collaborative-filtering similarity — the
+    * "customers who bought X also bought Y" kernel: cosine between
+    * items' order-membership vectors. For binary vectors cosine² =
+    * n_both² / (n_a·n_b), which is exact integer arithmetic at ppm
+    * scale — no sqrt, no float drift, same monotone ranking as
+    * cosine (the C43 log-free PMI trick). Reuses the E9 per-order
+    * pair explosion (2 linear shuffles), joins the two per-item
+    * degree frames broadcast, reports the top-20 pairs at support >=
+    * 2. At 100 TB: pair mass is basket-bounded (baskets are small),
+    * degrees are one fact-sized aggregate.
+    */
+  def qItemSim(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(spark, dir).filter(col("support") >= 2)
+    val ordersPerItem = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(ordersPerItem.select(col("l_partkey").as("p1"), col("n").as("n_p1"))), "p1")
+      .join(broadcast(ordersPerItem.select(col("l_partkey").as("p2"), col("n").as("n_p2"))), "p2")
+      .select(col("p1"), col("p2"), col("support"), col("n_p1"), col("n_p2"),
+        expr("support * support * 1000000 div (n_p1 * n_p2)").as("cos2_ppm"))
+      .orderBy(col("cos2_ppm").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   /** E10: audience-overlap matrix — pairwise Jaccard between the
     * engaged audiences of each event type ("engaged" = >= 15 events
     * of that type, so the sets differ; with no threshold every user
@@ -364,6 +389,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore"            -> (qKcore _),
+    "q_item_sim"         -> (qItemSim _),
     "q_user_overlap"     -> (qUserOverlap _),
     "q_copurchase"       -> (qCopurchase _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
@@ -400,6 +426,20 @@ object AnalyticsQueries {
          |  UNION ALL SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
          |  UNION ALL SELECT 4, (SELECT count(*) FROM n4), (SELECT count(*) FROM e4))
          |ORDER BY round""".stripMargin,
+    "q_item_sim" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM items GROUP BY 1)
+        |SELECT p.p1, p.p2, p.support, da.n AS n_p1, db.n AS n_p2,
+        |  p.support * p.support * 1000000 // (da.n * db.n) AS cos2_ppm
+        |FROM pairs p JOIN deg da ON da.l_partkey = p.p1
+        |  JOIN deg db ON db.l_partkey = p.p2
+        |ORDER BY cos2_ppm DESC, p.p1, p.p2 LIMIT 20""".stripMargin,
     "q_user_overlap" ->
       """WITH ut AS (SELECT user_id, event_type AS et FROM events
         |  GROUP BY 1, 2 HAVING count(*) >= 15),
