@@ -366,10 +366,14 @@ object AnalyticsQueries {
     */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val e0 = copurchasePairs(spark, dir)
+    import spark.implicits._
+    var e = copurchasePairs(spark, dir)
       .filter(col("support") >= 2)
       .select(col("p1").as("u"), col("p2").as("v")).cache()
-    var e = e0
+    // per-round stats come back as TWO driver longs (the BPE/CC
+    // convergence discipline), so each round's plan reads only the
+    // previous round's materialized cache — no 4-round union lineage
+    // — and retired generations unpersist immediately
     val stats = (1 to 4).map { r =>
       val deg = e.select(explode(array(col("u"), col("v"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("d"))
@@ -378,13 +382,14 @@ object AnalyticsQueries {
         .join(nodes.withColumnRenamed("w", "u"), Seq("u"), "left_semi")
         .join(nodes.withColumnRenamed("w", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v")).cache()
-      val row = nodes.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(pruned.agg(count(lit(1)).as("n_edges")))
-        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      val nEdges = pruned.count() // materializes nodes + pruned
+      val nNodes = nodes.count()
+      e.unpersist(); nodes.unpersist()
       e = pruned
-      row
+      (r.toLong, nNodes, nEdges)
     }
-    stats.reduce(_ unionAll _).orderBy(col("round"))
+    e.unpersist()
+    stats.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
