@@ -94,6 +94,44 @@ object PipelineQueries {
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** C52: dedup-quality evaluation — the harness a curation team
+    * runs before trusting a cheap screen: the verified SimHash pair
+    * set (hamming <= 3, the C3 operator) scored against exact
+    * 3-shingle Jaccard >= 0.5 ground truth (the C4 inverted-index
+    * shape with the threshold as an INTEGER compare: 2·inter >=
+    * union — no float crosses the boundary). Reports candidate/
+    * truth/hit counts and precision/recall in exact ppm. Both sides
+    * are deterministic and fully SQL-replayable (the C3 FNV-1a
+    * HUGEINT replay + the C4 string-shingle replay), so unlike the
+    * usual sampled eval, the oracle checks the metrics EXACTLY. The
+    * pair frames are tiny (near-dup mass), cached across their two
+    * consumers (count + semi-join), session-lifetime like the
+    * q_triangles frames.
+    */
+  def qDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select(col("id_a"), col("id_b")).cache()
+    val sh = Dedup.hashedShingles(docs)
+      .select(col("doc_id"), size(col("shh")).as("c"), explode(col("shh")).as("gh"))
+    val truth = sh.select(col("gh"), col("doc_id").as("id_a"), col("c").as("ca"))
+      .join(sh.select(col("gh"), col("doc_id").as("id_b"), col("c").as("cb")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      .filter(col("inter") * 2 >= col("ca") + col("cb") - col("inter"))
+      .select(col("id_a"), col("id_b")).cache()
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_cand"), col("n_truth"), col("n_hit"),
+        when(col("n_cand") === 0, 0L)
+          .otherwise(expr("n_hit * 1000000 div n_cand")).as("precision_ppm"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(expr("n_hit * 1000000 div n_truth")).as("recall_ppm"))
+  }
+
   /** C51: hybrid retrieval — the RAG/search-stack staple: a VECTOR
     * channel (exact-cosine top-10, the C6 bruteTopK plan: queries
     * broadcast, corpus never pair-shuffles) and a LEXICAL channel
@@ -382,6 +420,7 @@ object PipelineQueries {
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
+    "q_dedup_eval"      -> (qDedupEval _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
@@ -705,6 +744,50 @@ object PipelineQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // composes the C3 simhash replay (candidates) with the C4
+    // string-shingle replay (truth at the INTEGER-compare threshold
+    // 2·inter >= union); counts agree with the 8-byte-hash engine
+    // side absent 64-bit collisions
+    "q_dedup_eval" ->
+      """WITH RECURSIVE bits(b, pw) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b+1, pw*2 FROM bits WHERE b < 63),
+        |stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        | SELECT doc_id, list_reduce(
+        |   list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |     list_transform(range(1, length(tok)+1),
+        |       i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+        |   (h, x) -> (xor(h, x) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        | FROM stoks),
+        |votes AS (
+        | SELECT doc_id, b, pw, sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        | FROM th CROSS JOIN bits GROUP BY doc_id, b, pw),
+        |sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS s
+        |        FROM votes GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |wtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri3 AS (SELECT doc_id,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                        for i in generate_series(1, len(w)-2)])) AS g FROM wtoks),
+        |cnt3 AS (SELECT doc_id, count(*) AS c FROM tri3 GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tri3 a JOIN tri3 b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT id_a, id_b FROM inter
+        |  JOIN cnt3 ca ON id_a = ca.doc_id JOIN cnt3 cb ON id_b = cb.doc_id
+        |  WHERE 2*i >= ca.c + cb.c - i),
+        |hit AS (SELECT * FROM truth WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM cand)),
+        |m AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+        |SELECT n_cand, n_truth, n_hit,
+        |  CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 1000000 // n_cand END AS precision_ppm,
+        |  CASE WHEN n_truth = 0 THEN 0 ELSE n_hit * 1000000 // n_truth END AS recall_ppm
+        |FROM m""".stripMargin,
 
     // the exact bucket structure of the 4-table sign-LSH is
     // recomputed in SQL (hyperplane constants inlined), candidates
