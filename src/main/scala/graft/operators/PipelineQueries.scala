@@ -94,6 +94,32 @@ object PipelineQueries {
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** C53: ANN-quality evaluation — recall@5 of the IVF index
+    * (nLists=8, nprobe=2, the C7b production setting) against the
+    * exact brute-force top-5, per query. The eval-harness sibling of
+    * [[qDedupEval]]: both rankings are deterministic and fully
+    * SQL-replayable (the C6 brute scoring + the C7b quantizer
+    * replay), so recall is oracle-checked EXACTLY — per query, in
+    * integer ppm, no sampling. The join cost is two k-row rank lists
+    * per query; the corpus passes are whatever the two channels
+    * already cost.
+    */
+  def qAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = emb.filter(col("vec_id") < 8)
+    val truth = Ann.bruteTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Ann.ivfTopK(emb, q, k = 5, nLists = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div 5"))
+      .orderBy(col("query_id"))
+  }
+
   /** C52: dedup-quality evaluation — the harness a curation team
     * runs before trusting a cheap screen: the verified SimHash pair
     * set (hamming <= 3, the C3 operator) scored against exact
@@ -421,6 +447,7 @@ object PipelineQueries {
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_eval"      -> (qDedupEval _),
+    "q_ann_eval"        -> (qAnnEval _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
@@ -744,6 +771,46 @@ object PipelineQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the C6 brute scoring and the C7b quantizer replay, joined into
+    // per-query recall@5 — the metrics themselves are oracle-checked
+    "q_ann_eval" ->
+      s"""WITH $embCte,
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${dotSql("q.e", "c.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM ed q JOIN ed c ON q.vec_id != c.vec_id
+         |  JOIN nm nq ON q.vec_id = nq.vec_id JOIN nm nc ON c.vec_id = nc.vec_id
+         | WHERE q.vec_id < 8),
+         |btop AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM bsc) WHERE rank <= 5),
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+         |isc AS (
+         | SELECT p.query_id, a2.neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM probes p JOIN a2 USING (list_id)
+         |  JOIN ed qe ON p.query_id = qe.vec_id JOIN ed ce ON a2.neighbor_id = ce.vec_id
+         |  JOIN nm nq ON p.query_id = nq.vec_id JOIN nm nc ON a2.neighbor_id = nc.vec_id
+         | WHERE p.query_id != a2.neighbor_id),
+         |itop AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM isc) WHERE rank <= 5),
+         |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM btop b JOIN itop i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         | GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  coalesce(h.n_hit, 0) * 1000000 // 5 AS recall_ppm
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+         |LEFT JOIN hits h ON h.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin,
 
     // composes the C3 simhash replay (candidates) with the C4
     // string-shingle replay (truth at the INTEGER-compare threshold
