@@ -388,9 +388,44 @@ object Extended {
       .orderBy(col("stage"))
   }
 
+  /** B39b: WINDOWED funnel — the conversion-window form every
+    * product-analytics stack ships alongside the loose funnel
+    * (B39): each stage must occur STRICTLY AFTER the matched
+    * previous stage and within its 48 h conversion window, with
+    * earliest-match semantics (t2 = first click in (t1, t1+Δ], t3 =
+    * first purchase in (t2, t2+Δ]). Stage times are dependent, so
+    * the shape is a 3-step aggregate chain — each step one groupBy +
+    * join on user_id, all linear shuffles; per-user work is bounded
+    * by that user's events. Epoch-micros integers end-to-end.
+    */
+  def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val win = 172800000000L // 48 h in micros
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type").as("et"),
+        unix_micros(col("ts")).as("tus"))
+    val t1 = ev.filter(col("et") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val t2 = ev.filter(col("et") === "click").join(t1, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+    val t3 = ev.filter(col("et") === "purchase").join(t2, "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    t1.agg(count(lit(1)).as("n1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_click_48h").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_purchase_48h").as("stage"), col("n3").as("n_users")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_share" -> (qRevenueShare _),
     "q_funnel"       -> (qFunnel _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_rank_funcs"   -> (qRankFuncs _),
     "q_first_last"   -> (qFirstLast _),
     "q_pivot"        -> (qPivot _),
@@ -429,6 +464,22 @@ object Extended {
         | 100.0 * rev4 / (SELECT sum(rev4) FROM rev) AS share_pct
         |FROM rev ORDER BY n_name""".stripMargin,
 
+    "q_funnel_windowed" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        |    AND epoch_us(e.ts) <= t1.t1 + 172800000000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        |    AND epoch_us(e.ts) <= t2.t2 + 172800000000 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_users
+        |  UNION ALL SELECT '2_click_48h', (SELECT count(*) FROM t2)
+        |  UNION ALL SELECT '3_purchase_48h', (SELECT count(*) FROM t3))
+        |ORDER BY stage""".stripMargin,
     "q_funnel" ->
       """WITH firsts AS (
         | SELECT user_id,
