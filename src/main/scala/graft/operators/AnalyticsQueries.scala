@@ -392,7 +392,37 @@ object AnalyticsQueries {
     stats.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
   }
 
+  /** E13: association rules — the directional market-basket step on
+    * top of E9/E12: for each co-purchase pair at support >= 3, both
+    * rule directions a=>b with confidence = sup(ab)·10⁶ div sup(a)
+    * and lift = N·sup(ab)·10⁶ div (sup(a)·sup(b)) — all exact
+    * integer ppm (the C43 discipline; lift > 10⁶ means positively
+    * associated). Pair mass is basket-bounded; the per-item support
+    * and basket-count frames are aggregate-sized broadcasts. Top-20
+    * rules by confidence, total tiebreak.
+    */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemSup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+    val pairs = copurchasePairs(spark, dir).filter(col("support") >= 3)
+    val rules = pairs.select(col("p1").as("a"), col("p2").as("b"), col("support"))
+      .unionAll(pairs.select(col("p2").as("a"), col("p1").as("b"), col("support")))
+    rules
+      .join(broadcast(itemSup.select(col("l_partkey").as("a"), col("sup").as("sup_a"))), "a")
+      .join(broadcast(itemSup.select(col("l_partkey").as("b"), col("sup").as("sup_b"))), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("support"), col("sup_a"), col("sup_b"),
+        expr("support * 1000000 div sup_a").as("confidence_ppm"),
+        expr("n_baskets * support * 1000000 div (sup_a * sup_b)").as("lift_ppm"))
+      .orderBy(col("confidence_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_rules"     -> (qBasketRules _),
     "q_kcore"            -> (qKcore _),
     "q_item_sim"         -> (qItemSim _),
     "q_user_overlap"     -> (qUserOverlap _),
@@ -415,6 +445,23 @@ object AnalyticsQueries {
        |  WHERE u IN (SELECT w FROM n$r) AND v IN (SELECT w FROM n$r))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items),
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (SELECT p1 AS a, p2 AS b, support FROM pairs
+        |  UNION ALL SELECT p2, p1, support FROM pairs)
+        |SELECT r.a, r.b, r.support, sa.s AS sup_a, sb.s AS sup_b,
+        |  r.support * 1000000 // sa.s AS confidence_ppm,
+        |  nb.n_baskets * r.support * 1000000 // (sa.s * sb.s) AS lift_ppm
+        |FROM rules r JOIN sup sa ON sa.l_partkey = r.a
+        |  JOIN sup sb ON sb.l_partkey = r.b CROSS JOIN nb
+        |ORDER BY confidence_ppm DESC, r.a, r.b LIMIT 20""".stripMargin,
     "q_kcore" ->
       s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e0 AS MATERIALIZED (SELECT u, v FROM (
