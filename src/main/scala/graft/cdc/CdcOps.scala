@@ -203,4 +203,26 @@ object CdcOps {
     }.reduceOption(_ || _).getOrElse(lit(false))
     parsed.filter(cond)
   }
+
+  /** A24: SCD type-2 history build — the warehouse-history twin of
+    * the reference's last-write-wins Kudu upsert
+    * [ref: KuduManager.scala:72-114]: instead of overwriting, every
+    * change opens a VERSION with a validity interval. Per key,
+    * ordered by (current_ts, id) — the same total order snapshot()
+    * uses, id breaking second-resolution ts ties — each change row
+    * becomes a version valid from its own ts until the next change's
+    * ts (open-ended for the latest). A delete ('D') closes the prior
+    * version and its own tombstone version is never current. One
+    * shuffle on the key (the window partition); no driver state, no
+    * self-join — `lead` inside the sort the window already pays for.
+    */
+  def scd2History(parsed: DataFrame, key: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("current_ts"), col("id"))
+    parsed
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("current_ts"))
+      .withColumn("valid_to", lead(col("current_ts"), 1).over(w))
+      .withColumn("is_current",
+        (col("valid_to").isNull && col("op_type") =!= "D").cast("int"))
+  }
 }

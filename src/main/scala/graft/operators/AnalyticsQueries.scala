@@ -421,7 +421,101 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** E14: PageRank (3 synchronous rounds, damping 0.85) on the
+    * co-purchase graph at support >= 2 — the "centrality" report of
+    * the E-block graph family. All arithmetic is exact integer at
+    * scale 10¹²: r₀ = S div N; each round r' = (15·(S div N)) div
+    * 100 + Σ_in (85·(r div deg)) div 100. Floor division at every
+    * step makes the fixpoint engine-independent (the C43/E11 integer
+    * discipline), and the bounded round count keeps the oracle an
+    * unrolled-CTE replay (the E11 lesson). Shape per round: one join
+    * of the edge frame against the rank frame (both shuffle on the
+    * node key — AQE reuses the exchange), one aggregate; the rank
+    * frame is node-sized and cached per generation, retired frames
+    * unpersist immediately (the E11 cache contract). The undirected
+    * graph has no dangling nodes (every node carries an edge both
+    * ways), so no global dangling-mass term is needed. Top-20 by
+    * (pr desc, node).
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000000L
+    val edges = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val both = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d")).cache()
+    val nF = broadcast(deg.agg(count(lit(1)).as("n")))
+    var r = deg.crossJoin(nF)
+      .select(col("u").as("node"), expr(s"${S}L div n").as("pr")).cache()
+    for (_ <- 1 to 3) {
+      val inflow = both
+        .join(r.withColumnRenamed("node", "u"), "u")
+        .join(deg, "u")
+        .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      val next = deg
+        .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .crossJoin(nF)
+        .select(col("u").as("node"),
+          expr(s"(15 * (${S}L div n)) div 100 + coalesce(inflow, 0L)").as("pr"))
+        .cache()
+      next.count() // materialize before retiring the parent generation
+      r.unpersist()
+      r = next
+    }
+    val out = r.orderBy(col("pr").desc, col("node")).limit(20)
+    val rows = out.collect() // tiny: top-20 snapshot, then release caches
+    both.unpersist(); deg.unpersist(); r.unpersist()
+    import spark.implicits._
+    rows.map(x => (x.getLong(0), x.getLong(1))).toSeq.toDF("node", "pr")
+  }
+
+  /** E15: decile lift chart — the campaign-targeting report: score
+    * customers by total spend, cut into spend deciles by distributed
+    * rank (the E6 zipWithIndex total sort — no single-partition
+    * window at any scale), and compare each decile's conversion rate
+    * (>= 1 urgent-priority order) against the base rate. Lift is
+    * computed ppm-over-ppm — conv_ppm·10⁶ div base_ppm — so every
+    * intermediate stays <= 10¹² regardless of corpus size (the raw
+    * cross-product form n_conv·n_c·10⁶ would overflow at billions of
+    * customers). Ten-row output; one fact-sized aggregate + one
+    * customer-frame sort.
+    */
+  def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("converted"))
+      .cache()
+    val ranked = per
+      .orderBy(col("spend_cents").desc, col("o_custkey"))
+      .select(col("o_custkey"), col("spend_cents"), col("converted"))
+      .as[(Long, Long, Long)].rdd.zipWithIndex()
+      .map { case ((_, _, cv), i) => (cv, i + 1L) }
+      .toDF("converted", "rnk")
+    val nF = broadcast(per.agg(count(lit(1)).as("n_c"),
+      sum(col("converted")).as("tot_conv")))
+    val out = ranked.crossJoin(nF)
+      .select(expr("1 + (10 * (rnk - 1)) div n_c").as("decile"),
+        col("converted"), col("n_c"), col("tot_conv"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("converted")).as("n_converted"),
+        max(col("n_c")).as("n_c"), max(col("tot_conv")).as("tot_conv"))
+      .select(col("decile"), col("n_customers"), col("n_converted"),
+        expr("n_converted * 1000000 div n_customers").as("conv_ppm"),
+        expr("(n_converted * 1000000 div n_customers) * 1000000 div " +
+          "(tot_conv * 1000000 div n_c)").as("lift_ppm"))
+      .orderBy(col("decile"))
+    val rows = out.collect() // ten-row snapshot so the scored frame can release
+    per.unpersist()
+    rows.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSeq.toDF("decile", "n_customers", "n_converted", "conv_ppm", "lift_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decile_lift"      -> (qDecileLift _),
+    "q_pagerank"         -> (qPagerank _),
     "q_basket_rules"     -> (qBasketRules _),
     "q_kcore"            -> (qKcore _),
     "q_item_sim"         -> (qItemSim _),
@@ -444,7 +538,58 @@ object AnalyticsQueries {
        |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
        |  WHERE u IN (SELECT w FROM n$r) AND v IN (SELECT w FROM n$r))""".stripMargin
 
+  private def prInflow(rPrev: String): String =
+    s"""SELECT e.v AS node, CAST(sum((85 * (r.pr // dg.d)) // 100) AS BIGINT) AS inflow
+       |  FROM edges e JOIN $rPrev r ON e.u = r.node JOIN deg dg ON e.u = dg.u
+       |  GROUP BY 1""".stripMargin
+
+  private def prRound(inflow: String): String =
+    s"""SELECT d.u AS node,
+       |    (15 * (1000000000000 // n)) // 100 + coalesce(i.inflow, 0) AS pr
+       |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_decile_lift" ->
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT converted,
+        |  row_number() OVER (ORDER BY spend_cents DESC, o_custkey) AS rnk FROM per),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_c,
+        |  CAST(sum(converted) AS BIGINT) AS tot_conv FROM per),
+        |agg AS (SELECT 1 + (10 * (rnk - 1)) // n_c AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM rk CROSS JOIN nn GROUP BY 1)
+        |SELECT decile, n_customers, n_converted,
+        |  n_converted * 1000000 // n_customers AS conv_ppm,
+        |  (n_converted * 1000000 // n_customers) * 1000000 //
+        |    (tot_conv * 1000000 // n_c) AS lift_ppm
+        |FROM agg CROSS JOIN nn ORDER BY decile""".stripMargin,
+
+    "q_pagerank" ->
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |prs AS MATERIALIZED (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS MATERIALIZED (
+         |  SELECT p1 AS u, p2 AS v FROM prs UNION ALL SELECT p2, p1 FROM prs),
+         |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d
+         |  FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT u AS node, 1000000000000 // n AS pr FROM deg CROSS JOIN nn),
+         |i1 AS (${prInflow("r0")}),
+         |r1 AS MATERIALIZED (${prRound("i1")}),
+         |i2 AS (${prInflow("r1")}),
+         |r2 AS MATERIALIZED (${prRound("i2")}),
+         |i3 AS (${prInflow("r2")}),
+         |r3 AS (${prRound("i3")})
+         |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
     "q_basket_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items),

@@ -120,7 +120,19 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A24: SCD2 dimension history from the change log — one row per
+    * version with its validity interval and a current flag. The
+    * full-history answer to the A3 snapshot's "latest only".
+    */
+  def qCdcScd2(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.scd2History(parsed(spark, dir), col("user_id"))
+      .select(col("user_id"), col("version_n"), col("id"), col("op_type"),
+        col("event_type"), col("value"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version_n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_scd2"       -> (qCdcScd2 _),
     "q_table_diff"     -> (qTableDiff _),
     "q_cdc_parse"      -> (qCdcParse _),
     "q_cdc_typemap"    -> (qCdcTypemap _),
@@ -138,6 +150,18 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_scd2" ->
+      s"""SELECT user_id,
+         |  row_number() OVER w AS version_n,
+         |  event_id AS id, $opCase AS op_type, event_type, value,
+         |  $tsSec AS valid_from,
+         |  lead($tsSec) OVER w AS valid_to,
+         |  CASE WHEN lead($tsSec) OVER w IS NULL
+         |         AND $opCase <> 'D' THEN 1 ELSE 0 END AS is_current
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $tsSec, event_id)
+         |ORDER BY user_id, version_n""".stripMargin,
+
     "q_table_diff" ->
       s"""WITH ev AS (SELECT event_id, user_id, $opCase AS op, $tsSec AS cts
          |  FROM events),
