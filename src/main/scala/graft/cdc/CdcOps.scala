@@ -204,7 +204,7 @@ object CdcOps {
     parsed.filter(cond)
   }
 
-  /** A24: SCD type-2 history build — the warehouse-history twin of
+  /** A25: SCD type-2 history build — the warehouse-history twin of
     * the reference's last-write-wins Kudu upsert
     * [ref: KuduManager.scala:72-114]: instead of overwriting, every
     * change opens a VERSION with a validity interval. Per key,

@@ -436,6 +436,15 @@ object AnalyticsQueries {
     * graph has no dangling nodes (every node carries an edge both
     * ways), so no global dangling-mass term is needed. Top-20 by
     * (pr desc, node).
+    *
+    * EAGER-EXECUTION CONTRACT (the qKcore precedent): an iterative
+    * fixpoint cannot be a single lazy plan — each round must
+    * materialize before the next builds on it, and the generation
+    * caches must be released when the answer (a 20-row snapshot) is
+    * out. This builder therefore RUNS the jobs at call time and
+    * returns a local-relation result; callers timing construction vs
+    * action see the cost at construction. All caches release in a
+    * finally, so a failed round cannot leak cached generations.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val S = 1000000000000L
@@ -446,27 +455,30 @@ object AnalyticsQueries {
     val nF = broadcast(deg.agg(count(lit(1)).as("n")))
     var r = deg.crossJoin(nF)
       .select(col("u").as("node"), expr(s"${S}L div n").as("pr")).cache()
-    for (_ <- 1 to 3) {
-      val inflow = both
-        .join(r.withColumnRenamed("node", "u"), "u")
-        .join(deg, "u")
-        .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
-      val next = deg
-        .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
-        .crossJoin(nF)
-        .select(col("u").as("node"),
-          expr(s"(15 * (${S}L div n)) div 100 + coalesce(inflow, 0L)").as("pr"))
-        .cache()
-      next.count() // materialize before retiring the parent generation
-      r.unpersist()
-      r = next
+    try {
+      for (_ <- 1 to 3) {
+        val inflow = both
+          .join(r.withColumnRenamed("node", "u"), "u")
+          .join(deg, "u")
+          .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+        val next = deg
+          .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
+          .crossJoin(nF)
+          .select(col("u").as("node"),
+            expr(s"(15 * (${S}L div n)) div 100 + coalesce(inflow, 0L)").as("pr"))
+          .cache()
+        next.count() // materialize before retiring the parent generation
+        r.unpersist()
+        r = next
+      }
+      val out = r.orderBy(col("pr").desc, col("node")).limit(20)
+      val rows = out.collect() // tiny: top-20 snapshot, then release caches
+      import spark.implicits._
+      rows.map(x => (x.getLong(0), x.getLong(1))).toSeq.toDF("node", "pr")
+    } finally {
+      both.unpersist(); deg.unpersist(); r.unpersist()
     }
-    val out = r.orderBy(col("pr").desc, col("node")).limit(20)
-    val rows = out.collect() // tiny: top-20 snapshot, then release caches
-    both.unpersist(); deg.unpersist(); r.unpersist()
-    import spark.implicits._
-    rows.map(x => (x.getLong(0), x.getLong(1))).toSeq.toDF("node", "pr")
   }
 
   /** E15: decile lift chart — the campaign-targeting report: score
@@ -478,7 +490,16 @@ object AnalyticsQueries {
     * intermediate stays <= 10¹² regardless of corpus size (the raw
     * cross-product form n_conv·n_c·10⁶ would overflow at billions of
     * customers). Ten-row output; one fact-sized aggregate + one
-    * customer-frame sort.
+    * customer-frame sort. A degenerate corpus with zero conversions
+    * yields null lift (nullif guard on the base rate, identical in
+    * the oracle) rather than an engine-divergent div-by-zero.
+    *
+    * EAGER-EXECUTION CONTRACT (the qKcore/qPagerank precedent): the
+    * decile cut needs a distributed total rank — `rdd.zipWithIndex`
+    * launches its partition-count job at call time — and the scored
+    * customer frame is cached across two consumers, so the builder
+    * runs the job and returns the ten-row snapshot as a local
+    * relation, releasing the cache in a finally.
     */
   def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -496,21 +517,25 @@ object AnalyticsQueries {
       .toDF("converted", "rnk")
     val nF = broadcast(per.agg(count(lit(1)).as("n_c"),
       sum(col("converted")).as("tot_conv")))
-    val out = ranked.crossJoin(nF)
-      .select(expr("1 + (10 * (rnk - 1)) div n_c").as("decile"),
-        col("converted"), col("n_c"), col("tot_conv"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_customers"), sum(col("converted")).as("n_converted"),
-        max(col("n_c")).as("n_c"), max(col("tot_conv")).as("tot_conv"))
-      .select(col("decile"), col("n_customers"), col("n_converted"),
-        expr("n_converted * 1000000 div n_customers").as("conv_ppm"),
-        expr("(n_converted * 1000000 div n_customers) * 1000000 div " +
-          "(tot_conv * 1000000 div n_c)").as("lift_ppm"))
-      .orderBy(col("decile"))
-    val rows = out.collect() // ten-row snapshot so the scored frame can release
-    per.unpersist()
-    rows.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
-      .toSeq.toDF("decile", "n_customers", "n_converted", "conv_ppm", "lift_ppm")
+    try {
+      val out = ranked.crossJoin(nF)
+        .select(expr("1 + (10 * (rnk - 1)) div n_c").as("decile"),
+          col("converted"), col("n_c"), col("tot_conv"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("converted")).as("n_converted"),
+          max(col("n_c")).as("n_c"), max(col("tot_conv")).as("tot_conv"))
+        .select(col("decile"), col("n_customers"), col("n_converted"),
+          expr("n_converted * 1000000 div n_customers").as("conv_ppm"),
+          expr("(n_converted * 1000000 div n_customers) * 1000000 div " +
+            "nullif(tot_conv * 1000000 div n_c, 0)").as("lift_ppm"))
+        .orderBy(col("decile"))
+      val rows = out.collect() // ten-row snapshot so the scored frame can release
+      rows.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(x.getLong(4))))
+        .toSeq.toDF("decile", "n_customers", "n_converted", "conv_ppm", "lift_ppm")
+    } finally {
+      per.unpersist()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -565,7 +590,7 @@ object AnalyticsQueries {
         |SELECT decile, n_customers, n_converted,
         |  n_converted * 1000000 // n_customers AS conv_ppm,
         |  (n_converted * 1000000 // n_customers) * 1000000 //
-        |    (tot_conv * 1000000 // n_c) AS lift_ppm
+        |    nullif(tot_conv * 1000000 // n_c, 0) AS lift_ppm
         |FROM agg CROSS JOIN nn ORDER BY decile""".stripMargin,
 
     "q_pagerank" ->
