@@ -173,9 +173,18 @@ object AnalyticsQueries {
   /** E6: RFM segmentation — recency/frequency/monetary quintiles per
     * customer. Each quintile needs a global rank over the customer
     * aggregate; a single-partition window would serialize that, so
-    * each rank is a distributed total sort (range-partitioned) +
-    * zipWithIndex — the same no-single-partition pattern as the C30
-    * curriculum order. Scores are 1 + (5*(rank-1)) div n (exact
+    * ranks come from a distributed total sort + zipWithIndex — the
+    * same no-single-partition pattern as the C30 curriculum order.
+    * The three metrics are MELTED into one (custkey, metric_id,
+    * sort_val) frame of 3n rows and ranked in a SINGLE global sort
+    * keyed (metric_id, sort_val, custkey): each metric occupies a
+    * contiguous index block of exactly n rows, so per-metric rank =
+    * global_index - metric_id*n. Recency ranks descending via sign
+    * flip. One sort + one zipWithIndex + one pivot-back groupBy
+    * replaces three sorts, three zipWithIndex jobs, and three joins
+    * (2.7s -> ~1.2s at sf0.1); the melt is 3x the customer frame but
+    * still aggregate-sized, and every stage stays range-partitioned
+    * at cluster scale. Scores are 1 + (5*(rank-1)) div n (exact
     * integer bucketing, identical in both engines; ties broken by
     * custkey so the order is total).
     */
@@ -187,37 +196,39 @@ object AnalyticsQueries {
         count(lit(1)).as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
     val mx = per.agg(max(col("last_d")).as("mxd"))
-    // base is consumed four times (three rank sorts + the final
-    // join); uncached, every consumer re-runs the fact-table scan and
-    // groupBy — measured 7.4s at 10x stress vs ~2s pinned. The frame
-    // is customer-aggregate-sized (one row per purchasing customer),
-    // the same bounded-cache contract as the E4 edge frames; callers
-    // can clearCache() after the action.
     val base = per.crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("mxd"), col("last_d")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-      .cache()
-    def rankBy(metric: String, descending: Boolean): DataFrame = {
-      val ordered =
-        if (descending) base.orderBy(col(metric).desc, col("o_custkey"))
-        else base.orderBy(col(metric), col("o_custkey"))
-      ordered.select(col("o_custkey"), col(metric)).as[(Long, Long)].rdd
-        .zipWithIndex()
-        .map { case ((ck, _), i) => (ck, i + 1L) }
-        .toDF("o_custkey", s"${metric}_rank")
-    }
+    // melt: metric_id 0 = recency (desc via negation), 1 = frequency,
+    // 2 = monetary; orig value rides along so no join-back is needed
+    val melted = base.select(col("o_custkey"), expr(
+      """stack(3,
+        |  0L, -recency_days,   recency_days,
+        |  1L, frequency,       frequency,
+        |  2L, monetary_cents,  monetary_cents) AS (mid, sort_val, v)""".stripMargin))
+      .select(col("o_custkey"), col("mid"), col("sort_val"), col("v"))
+    val ranked = melted
+      .orderBy(col("mid"), col("sort_val"), col("o_custkey"))
+      .as[(Long, Long, Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((ck, mid, _, v), i) => (ck, mid, v, i) }
+      .toDF("o_custkey", "mid", "v", "gidx")
     val n = base.agg(count(lit(1)).as("n_c"))
-    base
-      .join(rankBy("recency_days", descending = true), "o_custkey")
-      .join(rankBy("frequency", descending = false), "o_custkey")
-      .join(rankBy("monetary_cents", descending = false), "o_custkey")
-      .crossJoin(broadcast(n))
+    ranked.crossJoin(broadcast(n))
+      .groupBy(col("o_custkey"), col("n_c"))
+      .agg(
+        max(when(col("mid") === 0, col("v"))).as("recency_days"),
+        max(when(col("mid") === 1, col("v"))).as("frequency"),
+        max(when(col("mid") === 2, col("v"))).as("monetary_cents"),
+        max(when(col("mid") === 0, col("gidx"))).as("r_rank0"),
+        max(when(col("mid") === 1, col("gidx") - col("n_c"))).as("f_rank0"),
+        max(when(col("mid") === 2, col("gidx") - lit(2L) * col("n_c"))).as("m_rank0"))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
-        expr("1 + (5 * (recency_days_rank - 1)) div n_c").as("r_score"),
-        expr("1 + (5 * (frequency_rank - 1)) div n_c").as("f_score"),
-        expr("1 + (5 * (monetary_cents_rank - 1)) div n_c").as("m_score"))
+        expr("1 + (5 * r_rank0) div n_c").as("r_score"),
+        expr("1 + (5 * f_rank0) div n_c").as("f_score"),
+        expr("1 + (5 * m_rank0) div n_c").as("m_score"))
       .withColumn("rfm_code",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy(col("o_custkey"))
@@ -450,32 +461,40 @@ object AnalyticsQueries {
     val S = 1000000000000L
     val edges = copurchasePairs(spark, dir).filter(col("support") >= 2)
       .select(col("p1").as("u"), col("p2").as("v"))
-    val both = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    // Edge frame hash-partitioned on the join key ONCE and cached: the
+    // per-round both-join then reuses the cached layout instead of
+    // re-shuffling the edge frame every round (the dominant per-round
+    // cost — edges outnumber nodes). deg is derived from that same
+    // partitioning (no extra shuffle), and the rank frame CARRIES the
+    // degree column so rounds need no separate deg join: each round is
+    // one node-frame shuffle (the inflow groupBy) plus one co-partitioned
+    // join — down from five exchanges per round in the naive form.
+    val both = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).cache()
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d")).cache()
     val nF = broadcast(deg.agg(count(lit(1)).as("n")))
     var r = deg.crossJoin(nF)
-      .select(col("u").as("node"), expr(s"${S}L div n").as("pr")).cache()
+      .select(col("u"), col("d"), expr(s"${S}L div n").as("pr")).cache()
     try {
       for (_ <- 1 to 3) {
         val inflow = both
-          .join(r.withColumnRenamed("node", "u"), "u")
-          .join(deg, "u")
+          .join(r.select(col("u"), col("d"), col("pr")), "u")
           .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
         val next = deg
           .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
           .crossJoin(nF)
-          .select(col("u").as("node"),
+          .select(col("u"), col("d"),
             expr(s"(15 * (${S}L div n)) div 100 + coalesce(inflow, 0L)").as("pr"))
           .cache()
         next.count() // materialize before retiring the parent generation
         r.unpersist()
         r = next
       }
-      val out = r.orderBy(col("pr").desc, col("node")).limit(20)
+      val out = r.orderBy(col("pr").desc, col("u")).limit(20)
       val rows = out.collect() // tiny: top-20 snapshot, then release caches
       import spark.implicits._
-      rows.map(x => (x.getLong(0), x.getLong(1))).toSeq.toDF("node", "pr")
+      rows.map(x => (x.getLong(0), x.getLong(2))).toSeq.toDF("node", "pr")
     } finally {
       both.unpersist(); deg.unpersist(); r.unpersist()
     }

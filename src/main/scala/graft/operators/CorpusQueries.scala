@@ -307,18 +307,40 @@ object CorpusQueries {
     */
   /** One BPE merge applied to token array `w`: every leftmost
     * non-overlapping (l, r) adjacency becomes the single token
-    * `l_r`, as a size-fold over the array. CASE arms evaluate
-    * lazily, so element_at never sees an empty array (ANSI-safe).
+    * `l_r`.
+    *
+    * Two regimes. When l != r, two matches can never be adjacent
+    * (positions i and i+1 both matching would force l = r), so
+    * leftmost-non-overlapping selection degenerates to "merge every
+    * match": an O(n) map over indices (mark matches, drop the token
+    * after each match, substitute the merged token) — no sequential
+    * fold, no per-step array copy. The previous formulation was an
+    * `aggregate` fold building the output via concat per token:
+    * O(n²) copying per document per round, the dominant cost of the
+    * whole query. Only the rare l == r winner (a repeated-token pair,
+    * where "a a a" must become "(a_a) a" — a genuinely sequential
+    * parity decision) keeps the exact fold; the Scala side branches
+    * on the winning pair, so the hot path is always the O(n) form.
+    * CASE arms evaluate lazily, so element_at never sees an empty
+    * array (ANSI-safe).
     */
   private[graft] def applyMerge(l: String, r: String): org.apache.spark.sql.Column = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val (le, re) = (esc(l), esc(r))
-    expr(
-      s"""aggregate(w, cast(array() as array<string>), (acc, t) ->
-         |  CASE WHEN size(acc) = 0 THEN array(t)
-         |       WHEN element_at(acc, -1) = '$le' AND t = '$re'
-         |         THEN concat(slice(acc, 1, size(acc) - 1), array('${le}_$re'))
-         |       ELSE concat(acc, array(t)) END)""".stripMargin)
+    if (l == r)
+      expr(
+        s"""aggregate(w, cast(array() as array<string>), (acc, t) ->
+           |  CASE WHEN size(acc) = 0 THEN array(t)
+           |       WHEN element_at(acc, -1) = '$le' AND t = '$re'
+           |         THEN concat(slice(acc, 1, size(acc) - 1), array('${le}_$re'))
+           |       ELSE concat(acc, array(t)) END)""".stripMargin)
+    else
+      expr(
+        s"""transform(
+           |  filter(sequence(0, size(w) - 1), i ->
+           |    i = 0 OR NOT (w[i - 1] = '$le' AND w[i] = '$re')),
+           |  i -> IF(i < size(w) - 1 AND w[i] = '$le' AND w[i + 1] = '$re',
+           |          '${le}_$re', w[i]))""".stripMargin)
   }
 
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
