@@ -432,6 +432,32 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** E16: frequent 3-itemsets — the next lattice level above the E9
+    * pair counts: per-order sorted distinct part sets generate all
+    * ordered triples map-side (the same bounded basket fan-out
+    * argument — |basket| choose 3 stays small when baskets are
+    * small), then one count shuffle, support >= 2, top-20 by
+    * (support desc, triple). The explosion nests the E9 slice
+    * pattern one level deeper; no self-join ever touches the fact
+    * table, so candidate mass is basket-bounded, not df²-bounded.
+    */
+  def qItemsets3(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("s"))
+      .filter(size(col("s")) >= 3)
+      .select(explode(expr(
+        """flatten(flatten(transform(s, (x, i) ->
+          |  transform(slice(s, i + 2, size(s)), (y, j) ->
+          |    transform(slice(s, i + j + 3, size(s)), z ->
+          |      struct(x AS p1, y AS p2, z AS p3))))))""".stripMargin)).as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
   /** E14: PageRank (3 synchronous rounds, damping 0.85) on the
     * co-purchase graph at support >= 2 — the "centrality" report of
     * the E-block graph family. All arithmetic is exact integer at
@@ -558,6 +584,7 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_itemsets3"        -> (qItemsets3 _),
     "q_decile_lift"      -> (qDecileLift _),
     "q_pagerank"         -> (qPagerank _),
     "q_basket_rules"     -> (qBasketRules _),
@@ -593,6 +620,18 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_itemsets3" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM it a
+        | JOIN it b ON a.o = b.o AND a.p < b.p
+        | JOIN it c ON a.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) >= 2
+        |ORDER BY support DESC, p1, p2, p3
+        |LIMIT 20""".stripMargin,
+
     "q_decile_lift" ->
       """WITH per AS (SELECT o_custkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents,

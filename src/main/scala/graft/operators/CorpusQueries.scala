@@ -343,8 +343,13 @@ object CorpusQueries {
            |          '${le}_$re', w[i]))""".stripMargin)
   }
 
-  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The shared 5-round trainer: returns the merge table and the
+    * FINAL encoded corpus (still cached — the caller consumes it and
+    * unpersists). One generation pinned at a time, retired parents
+    * unpersist as soon as the next argmax materializes their child.
+    */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var corpus = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -368,8 +373,36 @@ object CorpusQueries {
       corpus = next
     }
     parent.foreach(_.unpersist())
+    (merges.toSeq, corpus)
+  }
+
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, corpus) = bpeLoop(spark, dir)
     corpus.unpersist()
-    merges.toSeq.toDF("merge_rank", "l", "r", "n")
+    merges.toDF("merge_rank", "l", "r", "n")
+  }
+
+  /** C55: tokenizer application — the encode step that follows C50's
+    * training: run the learned 5 merges over the corpus (the trainer
+    * already carries the encoded generation forward, so "apply" IS
+    * the final generation) and report the top-20 vocabulary by
+    * post-merge frequency — the sanity report a tokenizer build ships
+    * with. One extra explode + count shuffle past the training loop;
+    * eager (the C50/E14 iterative contract), caches released before
+    * return.
+    */
+  def qTokenizerApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, corpus) = bpeLoop(spark, dir)
+    try {
+      corpus.select(explode(col("w")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSeq
+        .toDF("token", "n")
+    } finally corpus.unpersist()
   }
 
   /** C38: repeated-substring span detection — the distributed shape
@@ -558,10 +591,35 @@ object CorpusQueries {
     "q_doc_keywords"        -> (qDocKeywords _),
     "q_word_pairs"          -> (qWordPairs _),
     "q_bpe_merges"          -> (qBpeMerges _),
+    "q_tokenizer_apply"     -> (qTokenizerApply _),
     "q_substring_dup"       -> (qSubstringDup _),
     "q_sketch_overlap"      -> (qSketchOverlap _),
     "q_collocations"        -> (qCollocations _),
   )
+
+  /** Shared CTE chain of the C50/C55 oracles: c0 = tokenized corpus,
+    * bK = round-K winning pair, cK = corpus after merge K (list_reduce
+    * replays the leftmost-non-overlapping fold). Pre-stripped, so the
+    * outer template's stripMargin leaves its lines alone (none start
+    * with whitespace-then-pipe).
+    */
+  private val bpeOracleCtes: String = {
+    def layer(k: Int): String =
+      s"""p$k AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+         |    for i in generate_series(1, len(w)-1)]) AS p FROM c${k - 1}),
+         |b$k AS MATERIALIZED (SELECT p.a AS l, p.b AS r, CAST(count(*) AS BIGINT) AS n
+         |  FROM p$k GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |c$k AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform(w, t -> [t]),
+         |    (acc, y) -> CASE WHEN acc[-1] = b.l AND y[1] = b.r
+         |                THEN list_append(list_slice(acc, 1, len(acc)-1), b.l || '_' || b.r)
+         |                ELSE list_concat(acc, y) END) AS w
+         |  FROM c${k - 1}, b$k b)""".stripMargin
+    s"""WITH c0 AS MATERIALIZED (SELECT doc_id, string_split(text,' ') AS w
+       |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+       |${(1 to 5).map(layer).mkString(",\n")}""".stripMargin
+  }
 
   // NOTE: no line may start with '||' — this string is interpolated
   // into a template whose stripMargin would eat the first pipe
@@ -726,30 +784,21 @@ object CorpusQueries {
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
-    "q_bpe_merges" -> {
-      def layer(k: Int): String =
-        s"""p$k AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
-           |    for i in generate_series(1, len(w)-1)]) AS p FROM c${k - 1}),
-           |b$k AS MATERIALIZED (SELECT p.a AS l, p.b AS r, CAST(count(*) AS BIGINT) AS n
-           |  FROM p$k GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-           |c$k AS MATERIALIZED (
-           |  SELECT doc_id, list_reduce(
-           |    list_transform(w, t -> [t]),
-           |    (acc, y) -> CASE WHEN acc[-1] = b.l AND y[1] = b.r
-           |                THEN list_append(list_slice(acc, 1, len(acc)-1), b.l || '_' || b.r)
-           |                ELSE list_concat(acc, y) END) AS w
-           |  FROM c${k - 1}, b$k b)""".stripMargin
-      s"""WITH c0 AS MATERIALIZED (SELECT doc_id, string_split(text,' ') AS w
-         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
-         |${(1 to 5).map(layer).mkString(",\n")}
+    "q_bpe_merges" ->
+      s"""$bpeOracleCtes
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS merge_rank, l, r, n FROM b1
          |  UNION ALL SELECT 2, l, r, n FROM b2
          |  UNION ALL SELECT 3, l, r, n FROM b3
          |  UNION ALL SELECT 4, l, r, n FROM b4
          |  UNION ALL SELECT 5, l, r, n FROM b5)
-         |ORDER BY merge_rank""".stripMargin
-    },
+         |ORDER BY merge_rank""".stripMargin,
+
+    "q_tokenizer_apply" ->
+      s"""$bpeOracleCtes
+         |SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(w) AS t FROM c5)
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q_word_pairs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
         |pairs AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])

@@ -303,7 +303,115 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C52: k-anonymity audit — the release-gate privacy screen a
+    * training-data pipeline runs before publishing tabular splits:
+    * group by the quasi-identifier tuple (segment, nation, $1000
+    * account-balance band), flag groups smaller than k=5, and report
+    * how many rows suppression would cost. Two hash aggregates (the
+    * QI group-size frame, then a one-row summary) — both map-side
+    * partial, both linear; at 100 TB the QI frame is
+    * cardinality-bounded by the QI domain, not the fact table.
+    * All-integer output (ppm discipline), so the oracle replays
+    * exactly.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val qi = Tables(spark, dir).customer
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        // +1e6 shift keeps the band numerator positive: Spark `div`
+        // truncates toward zero while DuckDB `//` floors, and they
+        // only agree on non-negative operands (acctbal can be < 0)
+        expr("(cast(round(c_acctbal * 100) as long) + 1000000L) div 100000L")
+          .as("bal_band"))
+    val groups = qi.groupBy(col("seg"), col("nat"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    groups.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_viol_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_viol_rows"))
+      .select(col("n_rows"), col("n_groups"), col("n_viol_groups"),
+        col("n_viol_rows"),
+        expr("n_viol_rows * 1000000 div n_rows").as("suppressed_ppm"))
+  }
+
+  /** C53: referential-integrity audit — the data-quality gate over
+    * every foreign-key edge of the star schema: per edge, child row
+    * count and orphan count (children whose key has no parent). Each
+    * edge is one left-anti join; parent key sets are dimension-sized
+    * (broadcast candidates — AQE picks broadcast for every dim here),
+    * and the fact-side scans prune to the key column (ReadSchema is
+    * a single field per probe). The per-edge results union into a
+    * seven-row report — at 100 TB each edge stays an independent
+    * linear pass, trivially parallel across a fleet.
+    */
+  def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val p = parent.select(col(pkey).as("k"))
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"))
+    }
+    Seq(
+      edge("customer.nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+      edge("lineitem.orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      edge("lineitem.part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      edge("lineitem.supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+      edge("nation.region", t.nation, "n_regionkey", t.region, "r_regionkey"),
+      edge("orders.customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+      edge("supplier.nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk_edge"))
+  }
+
+  /** C54: winsorization — robust normalization before outlier-
+    * sensitive training statistics: clip order totals to the exact
+    * [p01, p99] rank thresholds and report the clipped mass. The
+    * thresholds are EXACT order statistics (rank n div 100 + 1 and
+    * n - n div 100 over (cents, orderkey) — a total order, so both
+    * engines agree), found by the C30/E6 distributed-total-rank
+    * pattern: range-partitioned sort + zipWithIndex, never a
+    * single-partition window. The two threshold rows broadcast back
+    * against the fact scan for the clip aggregate. zipWithIndex
+    * launches its partition-count job at call time (the documented
+    * eager-materialization contract of every rank-based query here).
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables(spark, dir).orders
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val nF = broadcast(cents.agg(count(lit(1)).as("n")))
+    val ranked = cents.orderBy(col("cents"), col("o_orderkey"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((c, _), i) => (c, i + 1L) }
+      .toDF("cents", "r")
+    val lo = ranked.crossJoin(nF).filter(col("r") === expr("n div 100 + 1"))
+      .select(col("cents").as("lo_cents"))
+    val hi = ranked.crossJoin(nF).filter(col("r") === expr("n - n div 100"))
+      .select(col("cents").as("hi_cents"))
+    cents.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .groupBy(col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(col("cents")).as("sum_cents"),
+        sum(least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
+          .as("sum_winsorized"))
+      .select(col("n_rows"), col("lo_cents"), col("hi_cents"),
+        col("n_clip_low"), col("n_clip_high"), col("sum_cents"),
+        col("sum_winsorized"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanonymity"      -> (qKAnonymity _),
+    "q_fk_audit"        -> (qFkAudit _),
+    "q_winsorize"       -> (qWinsorize _),
     "q_rarity_score"    -> (qRarityScore _),
     "q_mixture_apply"   -> (qMixtureApply _),
     "q_curriculum_order" -> (qCurriculumOrder _),
@@ -320,6 +428,78 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kanonymity" ->
+      """WITH qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |  (CAST(round(c_acctbal*100) AS BIGINT) + 1000000) // 100000 AS bal_band
+        |  FROM customer),
+        |g AS (SELECT seg, nat, bal_band, CAST(count(*) AS BIGINT) AS n
+        |      FROM qi GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+        | CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows,
+        | CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000
+        |   // CAST(sum(n) AS BIGINT) AS suppressed_ppm
+        |FROM g""".stripMargin,
+
+    "q_fk_audit" ->
+      """SELECT * FROM (
+        |SELECT 'customer.nation' AS fk_edge,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphan
+        |UNION ALL
+        |SELECT 'lineitem.orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'lineitem.part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem.supplier',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'nation.region',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |UNION ALL
+        |SELECT 'orders.customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'supplier.nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+        |ORDER BY fk_edge""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |  o_orderkey FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |rk AS (SELECT cents,
+        |  CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS r
+        |  FROM c),
+        |lo AS (SELECT cents AS lo_cents FROM rk, n WHERE r = n // 100 + 1),
+        |hi AS (SELECT cents AS hi_cents FROM rk, n WHERE r = n - n // 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows, lo_cents, hi_cents,
+        | CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_low,
+        | CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_high,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+        |   AS sum_winsorized
+        |FROM c CROSS JOIN lo CROSS JOIN hi
+        |GROUP BY lo_cents, hi_cents""".stripMargin,
+
     "q_rarity_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
