@@ -405,14 +405,16 @@ object Dedup {
           shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("ck"))): _*))
         .as("b"))
       .select(col("doc_id"), col("sig"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    // hamming filters BEFORE the pair distinct (a pure function of
+    // the joined row), so the distinct's shuffle carries only the
+    // surviving near-dup pairs, never the banded candidate mass
     expl.alias("x").join(expl.alias("y"), Seq("chunk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", hamming64(col("x.sig"), col("y.sig")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

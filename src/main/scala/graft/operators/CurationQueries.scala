@@ -408,7 +408,37 @@ object CurationQueries {
         col("sum_winsorized"))
   }
 
+  /** C56: split-leakage audit — the eval-integrity gate on top of
+    * C13's hash split: a text with an exact duplicate on both sides
+    * of the train/test (or train/val) cut leaks evaluation data into
+    * training. Group texts by 64-bit content hash (the C38
+    * discipline: the string never shuffles, counts agree with the
+    * string-grouping oracle absent 2⁻⁶⁴ collisions), count members
+    * per split, then one summary row. Two linear aggregates; at
+    * 100 TB this runs as a by-product of the C1 exact-dedup pass.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+    val g = d.groupBy(xxhash64(col("text")).as("th"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_va"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_te"))
+    g.agg(count(lit(1)).as("n_text_groups"),
+      sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+        .as("n_leaky_train_test"),
+      sum(when(col("n_tr") > 0 && col("n_te") > 0, col("n_te")).otherwise(0L))
+        .as("n_test_rows_leaked"),
+      sum(when(col("n_tr") > 0 && col("n_va") > 0, 1L).otherwise(0L))
+        .as("n_leaky_train_val"),
+      sum(when(col("n_tr") > 0 && col("n_va") > 0, col("n_va")).otherwise(0L))
+        .as("n_val_rows_leaked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage"   -> (qSplitLeakage _),
     "q_kanonymity"      -> (qKAnonymity _),
     "q_fk_audit"        -> (qFkAudit _),
     "q_winsorize"       -> (qWinsorize _),
@@ -428,6 +458,28 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage" ->
+      """WITH d AS (SELECT text,
+        |  CASE WHEN ((doc_id % 100003) * 31 + 7) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id % 100003) * 31 + 7) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT text,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_va,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_te
+        |  FROM d GROUP BY text)
+        |SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
+        | CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_leaky_train_test,
+        | CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_te ELSE 0 END) AS BIGINT)
+        |   AS n_test_rows_leaked,
+        | CAST(sum(CASE WHEN n_tr > 0 AND n_va > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_leaky_train_val,
+        | CAST(sum(CASE WHEN n_tr > 0 AND n_va > 0 THEN n_va ELSE 0 END) AS BIGINT)
+        |   AS n_val_rows_leaked
+        |FROM g""".stripMargin,
+
     "q_kanonymity" ->
       """WITH qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
         |  (CAST(round(c_acctbal*100) AS BIGINT) + 1000000) // 100000 AS bal_band

@@ -429,13 +429,16 @@ object PipelineQueries {
       col("doc_id").as("doc_a"), col("ph").as("pa"))
     val b = bands.select(col("i"), col("band"),
       col("doc_id").as("doc_b"), col("ph").as("pb"))
+    // hamming filters BEFORE the pair distinct: the filter is a
+    // map-side function of the joined row, so the distinct's shuffle
+    // carries only surviving near-dup pairs (a few rows), not the
+    // full banded candidate mass (~bands * n²/2^bits rows)
     a.join(b, Seq("i", "band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-      .distinct()
       .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
       .filter(col("hamming") <= 5)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
