@@ -25,13 +25,15 @@ object PerfProbe {
       // warm on the MEASURED dir (JIT + codegen + file listing for
       // the actual tables; a fixed sf0.001 path would crash on a
       // custom dir and warm the wrong data anyway)
-      args.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+      args.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
       for (n <- args) {
         val ts = (1 to 2).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(n)(spark, sfDir).count()
+          graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[probe] $n%-28s ${ts.min}%6.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
