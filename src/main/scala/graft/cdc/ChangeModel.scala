@@ -57,6 +57,7 @@ object ChangeModel {
     */
   def changeLines(events: DataFrame): DataFrame =
     events.select(
+      col("event_id").as("id"),
       to_json(struct(
         lit("PUB.EVENTS").as("table"),
         opTypeOf(col("event_type")).as("op_type"),
@@ -67,6 +68,23 @@ object ChangeModel {
           col("event_type").as("EVENT_TYPE"),
           col("value").as("VALUE")).as("after"))).as("line"),
       col("ts"))
+
+  /** The change-line stream MATERIALIZED once per events corpus (the
+    * DerivedTable lineage-sharing seam): in a real pipeline the OGG
+    * JSON lines are the landed INPUT (a Kafka topic / file drop),
+    * not something each consumer re-fabricates — so the to_json
+    * derivation is paid once and every batch CDC operator reads the
+    * same landed table. Columns (id = event_id, line, ts). The
+    * streaming tier keeps deriving lines lazily — it needs a
+    * file-drop source of its own.
+    */
+  def linesTable(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(
+      spark, "cdc-lines", dir, Seq("events"), "v1") {
+      changeLines(graft.sources.Tables(spark, dir).events)
+        .select(col("id"), col("line"), col("ts"))
+    }
 
   /** A mixed MULTI-table change stream (the reference consumes one
     * topic carrying many tables and fans out per target

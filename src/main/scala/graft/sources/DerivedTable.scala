@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fingerprint-keyed materialization of a derived table under tmpdir
+  * — the "pipeline persists its intermediate products" seam (the
+  * r4-verdict lineage-sharing pattern first applied to the dup
+  * clusters): the builder pays the derivation once per source
+  * corpus; every downstream consumer reads the landed parquet, the
+  * way a real curation pipeline shares its cluster map / pair-count
+  * table / change feed instead of re-deriving them per report. At
+  * 100 TB the root would be a warehouse path (SnapshotStore /
+  * table format); tmpdir is the local stand-in.
+  *
+  * Publish is atomic (write tmp dir, rename into place); concurrent
+  * builders race benignly — first rename wins, losers discard. The
+  * fingerprint covers (file name, size, mtime) of every part file of
+  * the source tables plus a params string, so a regenerated corpus
+  * or changed parameters produce a fresh root.
+  */
+object DerivedTable {
+  private val lock = new Object
+
+  def readOrBuild(spark: SparkSession, family: String, dir: String,
+                  sources: Seq[String], params: String)
+                 (build: => DataFrame): DataFrame = lock.synchronized {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$family",
+      java.lang.Long.toHexString(fingerprint(dir, sources, params))).toString
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(rootPath)) {
+      val tmp = java.nio.file.Paths.get(
+        root + ".tmp-" + ProcessHandle.current().pid())
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, rootPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException
+                   | _: java.nio.file.DirectoryNotEmptyException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.read.parquet(root)
+  }
+
+  /** Metadata-only fingerprint (never reads data). */
+  private def fingerprint(dir: String, sources: Seq[String],
+                          params: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val parts: Seq[String] = sources.flatMap { t =>
+      val base = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(base)) Seq(s"missing:$base")
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"$p:${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toVector.sorted
+        finally s.close()
+      }
+    }
+    (parts :+ params).foldLeft(1125899906842597L)((h, x) =>
+      x.foldLeft(h)((a, c) => a * 31 + c))
+  }
+}
