@@ -388,6 +388,68 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** C55 hot path: apply an ORDERED LIST of BPE merges to a token
+  * array in one imperative pass per merge. Exists because composing
+  * per-merge `transform`/`filter` higher-order expressions lets the
+  * optimizer collapse the five projections into one and re-inline
+  * each layer's input everywhere it is referenced — ~6^5 copies of
+  * the base expression, observed as a runaway interpreted-eval tree.
+  * The imperative loop is O(tokens x merges) per row, handles the
+  * repeated-token case (a a a -> (a_a) a) by skipping the merged
+  * position, and matches the C50 fold semantics exactly.
+  */
+object BpeAlgos {
+  def applyMerges(arr: ArrayData, merges: Array[Array[String]]): ArrayData = {
+    var cur = new Array[String](arr.numElements())
+    var i = 0
+    while (i < cur.length) {
+      val u = arr.getUTF8String(i)
+      cur(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    var m = 0
+    while (m < merges.length) {
+      val l = merges(m)(0); val r = merges(m)(1); val lr = l + "_" + r
+      val out = new Array[String](cur.length)
+      var o = 0
+      var j = 0
+      while (j < cur.length) {
+        if (j < cur.length - 1 && l == cur(j) && r == cur(j + 1)) {
+          out(o) = lr; o += 1; j += 2
+        } else { out(o) = cur(j); o += 1; j += 1 }
+      }
+      cur = java.util.Arrays.copyOf(out, o)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cur.map(s => if (s == null) null else UTF8String.fromString(s)))
+  }
+}
+
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  private lazy val mergeArr: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_apply needs ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    BpeAlgos.applyMerges(v.asInstanceOf[ArrayData], mergeArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeAlgos.applyMerges($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeApply =
+    copy(child = c)
+}
+
 /** C17: per-document repetition stats ([max_count, total_count] of
   * the k-shingle multiset) — see HashAlgos.repetitionStats.
   */

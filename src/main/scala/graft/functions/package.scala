@@ -25,6 +25,13 @@ package object functions {
     */
   def shingle_hashes(c: Column, k: Int): Column = toCol(ShingleHashes(toExpr(c), k))
 
+  /** C55: apply an ordered merge list to a token array in one
+    * codegen'd pass (see BpeApply for why this is not a composition
+    * of `transform`/`filter` higher-order functions).
+    */
+  def bpe_apply(c: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeApply(toExpr(c), merges))
+
   /** C17: [max_count, total_count] of a document's k-shingle multiset
     * in one codegen'd pass — repetition is intra-document, so no
     * shuffle is ever needed to compute it.

@@ -324,6 +324,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == Seq("a_b_c"), s"stacked merge wrong: $got2")
   }
 
+  test("C55: bpe_apply matches the per-merge fold, incl. repeated tokens") {
+    import graft.operators.CorpusQueries
+    import spark.implicits._
+    val cases = Seq(
+      Seq("a", "a", "a"),          // repeated-token leftmost rule
+      Seq("a", "b", "a", "b"),     // back-to-back pairs
+      Seq("x", "a", "b", "y"),
+      Seq("b", "a"),
+      Seq("a"),
+      Seq("a", "b", "c"))          // merged token feeds the next merge
+    val merges = Seq(("a", "b"), ("a_b", "c"), ("a", "a"))
+    val viaFold = merges.foldLeft(cases.toDF("w"))((df, m) =>
+        df.select(CorpusQueries.applyMerge(m._1, m._2).as("w")))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val viaExpr = cases.toDF("w")
+      .select(graft.functions.bpe_apply(col("w"), merges).as("w"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(viaExpr == viaFold, s"bpe_apply != fold: $viaExpr vs $viaFold")
+    assert(viaExpr.head == Seq("a_a", "a"))
+    assert(viaExpr(5) == Seq("a_b_c"))
+  }
+
   test("C8: langId is deterministic and total (every doc classified)") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() == docs.count())
