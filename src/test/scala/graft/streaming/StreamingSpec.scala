@@ -431,6 +431,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.versions().nonEmpty)
   }
 
+  test("A26: streaming corpus ingest == batch quality-filter + exact-dedup keep-first") {
+    val docs = Tables(spark, sf).documents
+    val inDir = tmp("ing-in")
+    val storeDir = tmp("ing-store")
+    val ckpt = tmp("ing-ckpt")
+
+    // two arrivals; a text duplicated ACROSS arrivals must resolve to
+    // the smallest doc_id regardless of which batch carried it — the
+    // store fold, not per-batch dedup, decides (first-arrival-wins is
+    // only deterministic because doc_id orders arrivals here)
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(inDir.resolve("b0").toString)
+    val q = IngestStream.start(spark, inDir.toString + "/*/",
+      inDir.resolve("b0").toString, storeDir.toString, ckpt.toString)
+    q.processAllAvailable()
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(inDir.resolve("b1").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = IngestStream.readTable(spark, storeDir.toString).get
+    val batch = IngestStream.candidates(docs)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // the quality gate actually dropped something, and the dedup key
+    // is unique in the product
+    assert(streamed.count() < docs.count())
+    assert(streamed.select("th").distinct().count() == streamed.count())
+    // restart on the same checkpoint with no new input: no reprocess
+    val v1 = java.nio.file.Files.readString(storeDir.resolve("LATEST"))
+    val q2 = IngestStream.start(spark, inDir.toString + "/*/",
+      inDir.resolve("b0").toString, storeDir.toString, ckpt.toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(java.nio.file.Files.readString(storeDir.resolve("LATEST")) == v1)
+  }
+
   test("A24: continuously-maintained sketch table == one-shot sketches, register-exact") {
     val events = Tables(spark, sf).events
     val evDir = tmp("sk-in")
