@@ -158,5 +158,34 @@ object GraftExtensions {
         .toAggregateExpression()),
     ("cms_query", "cms_query(sketch, key) - point-frequency probe into a stored CMS binary",
       (exprs: Seq[Expression]) => graft.functions.CmsQuery(exprs.head, exprs(1))),
+    ("bpe_apply", "bpe_apply(array<string>, array(array(l,r),...)) - apply an ordered constant BPE merge list in one pass",
+      (exprs: Seq[Expression]) => graft.functions.BpeApply(exprs.head,
+        mergesArg("bpe_apply", exprs(1)))),
   )
+
+  /** Evaluate a constant merge-list argument: array(array('l','r'),
+    * ...) — same foldability discipline as intArg (clean analysis-time
+    * error, never an unbound-attribute eval).
+    */
+  private def mergesArg(fn: String, e: Expression): Seq[(String, String)] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: merge list must be a constant array of 2-element arrays, " +
+          s"got non-foldable ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          a.get(i, e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType) match {
+            case p: org.apache.spark.sql.catalyst.util.ArrayData
+                if p.numElements() == 2 =>
+              (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+            case other => throw new IllegalArgumentException(
+              s"$fn: each merge must be a 2-element array, got $other")
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: merge list must be a constant array, got $other")
+    }
+  }
 }

@@ -108,6 +108,13 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val sh3 = spark.sql(
       "SELECT size(shingle_hashes(split('a b c d', ' '), 2)) AS n").head.getInt(0)
     assert(sh3 == 3)
+
+    // bpe_apply from SQL: constant merge list, ordered application
+    val bpe = spark.sql(
+      """SELECT bpe_apply(split('a b c a b', ' '),
+        |  array(array('a','b'), array('a_b','c'))) AS w""".stripMargin)
+      .head.getSeq[String](0)
+    assert(bpe == Seq("a_b_c", "a_b"), s"bpe_apply via SQL wrong: $bpe")
     // repetition_stats from SQL: "a b a b a" has trigrams
     // (a b a), (b a b), (a b a) -> max 2 of 3
     val rs = spark.sql(
