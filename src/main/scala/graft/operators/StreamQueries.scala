@@ -186,7 +186,35 @@ object StreamQueries {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** A26 under the gate: the streaming corpus ingest — two arrivals
+    * with cross-arrival exact duplicates, quality-filtered and
+    * first-arrival-deduped through the txn-guarded store fold — then
+    * the stored corpus. Equals the batch quality-filter + per-text
+    * min-doc_id winner over the whole corpus (the content-hash key
+    * never crosses the output boundary, so the oracle groups the
+    * text string itself).
+    */
+  def qStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-ing-in")
+    val storeDir = tmp("gq-ing-store")
+    val ckpt = tmp("gq-ing-ckpt")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.IngestStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", storeDir, ckpt)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.IngestStream.readTable(spark, storeDir).get
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
@@ -195,6 +223,24 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stored corpus == batch quality filter + per-text min-doc_id
+    // winner (first arrival = smallest doc_id by construction)
+    "q_stream_ingest" ->
+      """WITH kept AS (
+        | SELECT doc_id, text, lang, source, n_chars
+        | FROM (SELECT *, len(string_split(text,' ')) AS n_words,
+        |   len(list_filter(string_split(text,' '),
+        |       t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+        |   list_sum(list_transform(string_split(text,' '), t -> length(t))) * 1.0
+        |     / len(string_split(text,' ')) AS mean_word_len
+        |  FROM documents)
+        | WHERE n_words BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 2.0 AND 10.0
+        |   AND n_stopwords >= 1),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY text
+        |        ORDER BY doc_id) AS rn FROM kept)
+        |SELECT doc_id, lang, source, n_chars FROM w
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // identical to q_cdc_softdelete's oracle: the streamed store must
     // converge to the batch soft-delete snapshot of the whole log
     "q_stream_cdc_snapshot" ->
