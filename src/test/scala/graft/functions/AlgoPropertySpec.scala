@@ -449,4 +449,34 @@ class AlgoPropertySpec extends AnyFunSuite {
       true
     })
   }
+
+  test("bpe: applyMerges == sequential leftmost-non-overlap reference fold") {
+    // reference model: per merge, scan left to right rebuilding the
+    // array, merging at the first unconsumed match and skipping the
+    // consumed token — the textbook Sennrich step
+    def refOne(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+          out += s"${l}_$r"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val tok: Gen[String] = Gen.oneOf("a", "b", "c", "a_b")
+    val arrGen: Gen[List[String]] = Gen.listOfN(12, tok).flatMap(l =>
+      Gen.choose(0, 12).map(n => l.take(n)))
+    val mergesGen: Gen[List[(String, String)]] =
+      Gen.listOfN(3, Gen.zip(tok, tok))
+    check(Prop.forAll(arrGen, mergesGen) { (toks, merges) =>
+      val want = merges.foldLeft(toks)((t, m) => refOne(t, m._1, m._2))
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray)
+      val got = BpeAlgos.applyMerges(arr,
+        merges.map(m => Array(m._1, m._2)).toArray)
+      val gotList = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString).toList
+      gotList == want
+    })
+  }
 }
