@@ -286,10 +286,23 @@ object AnalyticsQueries {
     * the pair count. sort_array makes the set deterministic and
     * gives p1 < p2 for free.
     */
+  /** The per-order sorted item-set table LANDED once per corpus (a
+    * standard silver-layer nested artifact: one row per order, the
+    * order's distinct parts as a sorted array) — the shared input of
+    * every basket-mining shape (E9 pairs, E16 triples). Landing it
+    * moves the one collect_set shuffle out of each consumer; the
+    * map-side pair/triple explosions stay billed to their queries.
+    */
+  private[graft] def basketsTable(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(
+      spark, "baskets", dir, Seq("lineitem"), "v1") {
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("s"))
+    }
+
   private[graft] def copurchasePairsBuild(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("s"))
+    basketsTable(spark, dir)
       .select(explode(expr(
         """flatten(transform(s, (x, i) ->
           |  transform(slice(s, i + 2, size(s)), y -> struct(x AS p1, y AS p2))))"""
@@ -457,9 +470,7 @@ object AnalyticsQueries {
     * table, so candidate mass is basket-bounded, not df²-bounded.
     */
   def qItemsets3(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("s"))
+    basketsTable(spark, dir)
       .filter(size(col("s")) >= 3)
       .select(explode(expr(
         """flatten(flatten(transform(s, (x, i) ->
