@@ -442,7 +442,58 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C57: BM25 ranking — the canonical lexical IR scorer, in the
+    * C43/C46 exact-integer discipline so the whole ranking replays in
+    * the oracle: k1=1.2 and b=0.75 live as ppm-scaled integers, every
+    * division floors identically in both engines
+    * (avgdl100 = 100·T div N; ratio_ppm = 100·10⁶·dl div avgdl100;
+    * inner = 0.25+0.75·ratio; denom = tf + 1.2·inner;
+    * sat_ppm = 2.2·10⁶·tf·10⁶ div denom_ppm; idf_ppm = 10⁶·N div df —
+    * the C46 rational IDF; term = idf·sat div 10⁶). Intermediates are
+    * scale-INDEPENDENT (sat is a bounded ratio) except idf·sat, which
+    * fits long to ~10⁹ docs; beyond that, cap idf or move the product
+    * to decimal. Plan shape: posting-list equi-join with the tiny
+    * query-term frame, df broadcast, one aggregate, per-query top-5 —
+    * the corpus never pair-shuffles (the C51 lexical-channel shape
+    * with the real scoring function).
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val tf = terms.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // "tok_total" not "T": the term column is `t`, and Spark resolves
+    // column names case-insensitively — `T` would be ambiguous
+    val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
+      count(lit(1)).as("n_docs")))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qterms = terms.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val scored = qterms.join(tf, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
+      .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
+      .withColumn("inner_ppm", expr("250000 + (750000 * ratio_ppm) div 1000000"))
+      .withColumn("denom_ppm", expr("tf * 1000000 + (1200000 * inner_ppm) div 1000000"))
+      .withColumn("sat_ppm", expr("tf * 2200000 * 1000000 div denom_ppm"))
+      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+      .withColumn("term_ppm", expr("idf_ppm * sat_ppm div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_ppm")).as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"            -> (qBm25 _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
     "q_ngram_adaptive"  -> (qNgramAdaptive _),
@@ -689,6 +740,40 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          | FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bm25" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM terms GROUP BY 1),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tok_total,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qterms AS (SELECT DISTINCT doc_id AS query_id, t FROM terms
+        |  WHERE doc_id < 8),
+        |scored AS (
+        | SELECT q.query_id, f.doc_id,
+        |  CAST(sum(
+        |   (n_docs * 1000000 // df) *
+        |   (f.tf * 2200000 * 1000000 //
+        |     (f.tf * 1000000 +
+        |      (1200000 * (250000 +
+        |        (750000 * (d.dl * 100 * 1000000 // (tok_total * 100 // n_docs)))
+        |          // 1000000)) // 1000000))
+        |   // 1000000) AS BIGINT) AS score_ppm
+        | FROM qterms q
+        |  JOIN tf f ON f.t = q.t AND f.doc_id <> q.query_id
+        |  JOIN dfreq ON dfreq.t = q.t
+        |  JOIN dl d ON d.doc_id = f.doc_id
+        |  CROSS JOIN stats
+        | GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_ppm DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_hybrid_search" ->
       s"""WITH $embCte,
