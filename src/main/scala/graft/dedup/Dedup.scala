@@ -474,10 +474,21 @@ object Dedup {
     // at the end — the loop's joins scale with the DUP graph, not the
     // corpus (at 100 TB the dup graph is orders of magnitude smaller)
     val active = edges.select(col("src").as("id")).distinct().cache()
-    var labels = active.select(col("id"), col("id").as("cluster_id")).cache()
-    // `labels` below may be a projection OVER the cached frame, so
-    // track the actually-cached frame separately for unpersisting
-    var pinned = labels
+    // Each round's label frame is an EAGER localCheckpoint, not a
+    // cache: unpersisting a cached round's PARENT invalidates the
+    // dependent cache entry (CacheManager recompiles dependents when
+    // an upstream InMemoryRelation is evicted), so the
+    // cache/count/unpersist chain silently recomputed every round's
+    // full lineage — exponential in round count. Harmless on the
+    // near-clique text dup graph (diameter ~3); a 50s round-7 and an
+    // OOM on the embedding graph (long chains at cos >= 0.4, 20+
+    // rounds). The checkpoint truncates lineage, so round r+1's plan
+    // starts from round r's materialized blocks no matter what was
+    // dropped; retired round blocks are freed by the ContextCleaner
+    // when their RDDs go out of scope (label frames are
+    // dup-graph-sized, so the transient overlap is small).
+    var labels = active.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -488,7 +499,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
       // new label + change flag in one pass: the convergence count
-      // aggregates the SAME cached frame instead of re-joining next
+      // aggregates the checkpointed frame instead of re-joining next
       // against the previous labels (one fewer shuffle per round)
       val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
@@ -496,14 +507,12 @@ object Dedup {
             .as("cluster_id"),
           (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
             .cast("long").as("chg"))
-        .cache()
+        .localCheckpoint(true)
       // coalesce: sum() over an EMPTY step frame (corpus with zero
       // near-dup pairs at the threshold) aggregates to NULL — getLong
       // would NPE; an empty graph is simply "converged"
       val changed = step.agg(coalesce(sum(col("chg")), lit(0L)))
         .first().getLong(0)
-      pinned.unpersist()
-      pinned = step
       labels = step.select(col("id"), col("cluster_id"))
       converged = changed == 0
       rounds += 1
@@ -512,14 +521,13 @@ object Dedup {
     }
     edges0.unpersist()
     active.unpersist()
-    // anti-join against the (still-cached) final labels, NOT against
+    // anti-join against the (checkpointed) final labels, NOT against
     // `active`/`edges`: those are unpersisted above, and referencing
     // them from this lazily-evaluated result would re-run the whole
     // candidate-generation lineage at the caller's action
     val singletons = vertices.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    val pin = pinned
-    (labels.unionAll(singletons), () => { pin.unpersist(); () })
+    (labels.unionAll(singletons), () => ())
   }
 
   private val clusterTableLock = new Object

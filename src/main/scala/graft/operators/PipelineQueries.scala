@@ -442,6 +442,34 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C58: embedding dup clusters — C19's connected-component cluster
+    * map for the VECTOR modality: CC (hash-min label propagation)
+    * over the C5 exact near-dup pair graph (cos >= 0.4), landed once
+    * per corpus through the DerivedTable seam (the clustersTable
+    * billing shape: first touch pays candidate generation + CC, every
+    * later read is a parquet scan). Output is id -> min-reachable-id
+    * — pure integers, so the oracle replays the full closure as a
+    * recursive CTE over the same pair predicate.
+    */
+  def qEmbeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    // the release handle must fire AFTER readOrBuild's parquet write
+    // materializes the CC frame (unpersisting first would force the
+    // write to replay the whole iterative lineage uncached)
+    var release: Option[() => Unit] = None
+    val out = graft.sources.DerivedTable.readOrBuild(
+      spark, "emb-clusters", dir, Seq("embeddings"), "t=0.4") {
+      val emb = Tables(spark, dir).embeddings
+      val pairs = Dedup.embeddingNearDups(emb, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val (cc, rel) = Dedup.connectedComponentsReleasable(
+        pairs, emb.select(col("vec_id").as("id")))
+      release = Some(rel)
+      cc
+    }.orderBy(col("id"))
+    release.foreach(_())
+    out
+  }
+
   /** C57: BM25 ranking — the canonical lexical IR scorer, in the
     * C43/C46 exact-integer discipline so the whole ranking replays in
     * the oracle: k1=1.2 and b=0.75 live as ppm-scaled integers, every
@@ -503,6 +531,7 @@ object PipelineQueries {
     "q_dedup_eval"      -> (qDedupEval _),
     "q_ann_eval"        -> (qAnnEval _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_embedding_clusters" -> (qEmbeddingClusters _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
     "q_hybrid_search"   -> (qHybridSearch _),
@@ -718,6 +747,21 @@ object PipelineQueries {
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_clusters" ->
+      s"""WITH RECURSIVE $embCte,
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+         |  JOIN nm na ON a.vec_id = na.vec_id JOIN nm nb ON b.vec_id = nb.vec_id
+         |  WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1]*s[2]))
+         |        /(na.nrm*nb.nrm) >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH $embCte
