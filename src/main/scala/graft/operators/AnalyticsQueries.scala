@@ -416,18 +416,19 @@ object AnalyticsQueries {
     val stats = (1 to 4).map { r =>
       val deg = e.select(explode(array(col("u"), col("v"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("d"))
-      val nodes = deg.filter(col("d") >= k).select(col("w")).cache()
+      // eager localCheckpoints, not cache/count/unpersist chains:
+      // dropping round r-1's cache invalidates round r's entry (the
+      // CC lesson — dependents recompute their full lineage)
+      val nodes = deg.filter(col("d") >= k).select(col("w")).localCheckpoint(true)
       val pruned = e
         .join(nodes.withColumnRenamed("w", "u"), Seq("u"), "left_semi")
         .join(nodes.withColumnRenamed("w", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).cache()
-      val nEdges = pruned.count() // materializes nodes + pruned
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val nEdges = pruned.count()
       val nNodes = nodes.count()
-      e.unpersist(); nodes.unpersist()
       e = pruned
       (r.toLong, nNodes, nEdges)
     }
-    e.unpersist()
     stats.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
   }
 
@@ -526,21 +527,23 @@ object AnalyticsQueries {
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d")).cache()
     val nF = broadcast(deg.agg(count(lit(1)).as("n")))
     var r = deg.crossJoin(nF)
-      .select(col("u"), col("d"), expr(s"${S}L div n").as("pr")).cache()
+      .select(col("u"), col("d"), expr(s"${S}L div n").as("pr"))
+      .localCheckpoint(true)
     try {
       for (_ <- 1 to 3) {
         val inflow = both
           .join(r.select(col("u"), col("d"), col("pr")), "u")
           .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+        // eager localCheckpoint, not cache/count/unpersist: dropping
+        // the parent generation's cache invalidates the child's entry
+        // (the CC lesson — dependents recompute their full lineage)
         val next = deg
           .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
           .crossJoin(nF)
           .select(col("u"), col("d"),
             expr(s"(15 * (${S}L div n)) div 100 + coalesce(inflow, 0L)").as("pr"))
-          .cache()
-        next.count() // materialize before retiring the parent generation
-        r.unpersist()
+          .localCheckpoint(true)
         r = next
       }
       val out = r.orderBy(col("pr").desc, col("u")).limit(20)
@@ -548,7 +551,7 @@ object AnalyticsQueries {
       import spark.implicits._
       rows.map(x => (x.getLong(0), x.getLong(2))).toSeq.toDF("node", "pr")
     } finally {
-      both.unpersist(); deg.unpersist(); r.unpersist()
+      both.unpersist(); deg.unpersist()
     }
   }
 

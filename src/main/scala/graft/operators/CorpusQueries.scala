@@ -350,29 +350,28 @@ object CorpusQueries {
     */
   private def bpeLoop(spark: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    // eager localCheckpoint per generation, not cache/count/unpersist:
+    // dropping generation k-1's cache invalidates generation k's entry
+    // (the CC lesson — dependents recompute their full lineage);
+    // checkpointed generations are freed by the ContextCleaner as
+    // their frames go out of scope
     var corpus = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .cache()
-    var parent: Option[DataFrame] = None
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (k <- 1 to 5) {
-      // this argmax job is also what materializes `corpus` into its
-      // cache — only then is the parent generation safe to drop
       val best = corpus.select(explode(expr(
           "transform(sequence(0, size(w) - 2), i -> struct(w[i] as l, w[i+1] as r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()(0)
-      parent.foreach(_.unpersist())
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k.toLong, l, r, n))
-      val next = corpus.select(col("doc_id"), applyMerge(l, r).as("w")).cache()
-      parent = Some(corpus)
-      corpus = next
+      corpus = corpus.select(col("doc_id"), applyMerge(l, r).as("w"))
+        .localCheckpoint(true)
     }
-    parent.foreach(_.unpersist())
     (merges.toSeq, corpus)
   }
 
