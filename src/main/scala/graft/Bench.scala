@@ -74,23 +74,35 @@ object Bench {
         name -> (if (ok2) math.min(t1, t2) else -1.0)
       }
     }
-    // the driver parses this line out of a bounded stdout TAIL: with
-    // ~80 queries at full double precision the line exceeds the tail
-    // window and gets truncated mid-JSON (observed twice). Millisecond
-    // precision is ample for wall times and roughly halves the line.
+    // The driver parses this line out of a bounded 2000-char stdout
+    // TAIL, and sbt's epilogue ("[success] Total time: ...") eats
+    // ~100 of those chars AFTER our line. At 167 queries the full
+    // per-query map is ~4.5 KB — it can NEVER fit, and r3/r4/r5 all
+    // recorded "parsed": null because the line's head fell off the
+    // window. So stdout gets a line that is guaranteed to fit: the
+    // totals plus only the slowest per-query entries that keep the
+    // line under budget, with a pointer to bench.json (committed),
+    // which always carries the complete map.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file: the driver parses the stdout tail, which
-    // has been observed truncated mid-JSON — the file is the reliable copy
+    def mkJson(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"queries_full":"bench.json","errors":$errJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    }
+    val fullJson = mkJson(results.toSeq, 0)
+    // stdout budget: 2000-char tail minus sbt epilogue and margin
+    val budget = 1700
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    var keep = bySlowest.length
+    while (keep > 0 && mkJson(bySlowest.take(keep), bySlowest.length - keep).length > budget) keep -= 1
+    println(mkJson(bySlowest.take(keep), bySlowest.length - keep))
+    // the complete map goes to the committed file — the reliable copy
     try {
       val out = java.nio.file.Paths.get("bench.json")
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

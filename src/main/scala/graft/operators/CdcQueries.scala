@@ -135,7 +135,60 @@ object CdcQueries {
         col("is_current"))
       .orderBy(col("user_id"), col("version_n"))
 
+  /** A27: point-in-time feature join — the feature-store
+    * "training-set build" on top of the A25 history: each purchase
+    * event (the label row) is enriched with the user's profile state
+    * valid AT the purchase timestamp — the latest non-purchase
+    * change at or before ts — plus the number of profile versions
+    * that existed by then and the feature's age in microseconds.
+    * Leakage-free by construction: label rows and dimension rows are
+    * disjoint event sets, and only earlier dimension rows flow into
+    * a label. Spark-first shape: tagged union + ONE window over
+    * user_id (single shuffle), `last(struct)` carrying every feature
+    * column at once and a running count(f) for the version number —
+    * no range-join explosion, no per-attribute window stack. At
+    * 100 TB this is the standard sort-merge as-of shape: both sides
+    * shuffle once on the entity key and stream through the sort.
+    * [ref: KuduManager.scala:72-114 — the reference keeps only
+    * last-write-wins state; this is the versioned point-in-time read
+    * that state cannot serve]
+    */
+  def qPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("ord_id"),
+        struct(col("event_id").as("feat_id"), col("event_type").as("feat_type"),
+          col("value").as("feat_value"),
+          unix_micros(col("ts")).as("feat_ts_us")).as("f"),
+        lit(null: String).cast("long").as("label_id"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("ord_id"),
+        lit(null: String).cast(dim.schema("f").dataType).as("f"),
+        col("event_id").as("label_id"))
+    // (user_id, ts) pairs are unique in the corpus; ord_id still
+    // totalizes the order so the plan is deterministic under ties
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("ord_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionAll(labels)
+      .withColumn("pit", last(col("f"), ignoreNulls = true).over(w))
+      .withColumn("n_versions", count(col("f")).over(w))
+      .filter(col("label_id").isNotNull)
+      .select(col("label_id").as("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("label_ts_us"),
+        col("pit.feat_id").as("feat_id"),
+        col("pit.feat_type").as("feat_type"),
+        col("pit.feat_value").as("feat_value"),
+        col("n_versions"),
+        (unix_micros(col("ts")) - col("pit.feat_ts_us")).as("feat_age_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_features"   -> (qPitFeatures _),
     "q_cdc_scd2"       -> (qCdcScd2 _),
     "q_table_diff"     -> (qTableDiff _),
     "q_cdc_parse"      -> (qCdcParse _),
@@ -154,6 +207,33 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    // point-in-time replay: per label row, arg_max over the same
+    // (ts, event_id) composite the as-of oracles use; dimension and
+    // label sets are disjoint so <= here equals the window's
+    // rows-preceding semantics exactly
+    "q_pit_features" ->
+      """WITH d AS (SELECT user_id, cast(ts AS timestamp) AS tsv, event_id,
+        |    event_type, value,
+        |    strftime(cast(ts AS timestamp), '%Y%m%d%H%M%S%f')
+        |      || lpad(cast(event_id AS varchar), 12, '0') AS k
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(cast(p.ts AS timestamp)) AS label_ts_us,
+        |  (SELECT arg_max(d.event_id, d.k) FROM d
+        |     WHERE d.user_id = p.user_id AND d.tsv <= cast(p.ts AS timestamp)) AS feat_id,
+        |  (SELECT arg_max(d.event_type, d.k) FROM d
+        |     WHERE d.user_id = p.user_id AND d.tsv <= cast(p.ts AS timestamp)) AS feat_type,
+        |  (SELECT arg_max(d.value, d.k) FROM d
+        |     WHERE d.user_id = p.user_id AND d.tsv <= cast(p.ts AS timestamp)) AS feat_value,
+        |  (SELECT count(*) FROM d
+        |     WHERE d.user_id = p.user_id AND d.tsv <= cast(p.ts AS timestamp)) AS n_versions,
+        |  epoch_us(cast(p.ts AS timestamp)) -
+        |  (SELECT arg_max(epoch_us(d.tsv), d.k) FROM d
+        |     WHERE d.user_id = p.user_id AND d.tsv <= cast(p.ts AS timestamp)) AS feat_age_us
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
     "q_cdc_scd2" ->
       s"""SELECT user_id,
          |  row_number() OVER w AS version_n,

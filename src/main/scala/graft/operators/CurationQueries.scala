@@ -303,7 +303,7 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** C52: k-anonymity audit — the release-gate privacy screen a
+  /** C59: k-anonymity audit — the release-gate privacy screen a
     * training-data pipeline runs before publishing tabular splits:
     * group by the quasi-identifier tuple (segment, nation, $1000
     * account-balance band), flag groups smaller than k=5, and report
@@ -335,7 +335,7 @@ object CurationQueries {
         expr("n_viol_rows * 1000000 div n_rows").as("suppressed_ppm"))
   }
 
-  /** C53: referential-integrity audit — the data-quality gate over
+  /** C60: referential-integrity audit — the data-quality gate over
     * every foreign-key edge of the star schema: per edge, child row
     * count and orphan count (children whose key has no parent). Each
     * edge is one left-anti join; parent key sets are dimension-sized
@@ -437,7 +437,72 @@ object CurationQueries {
         .as("n_val_rows_leaked"))
   }
 
+  /** C61: deterministic negative sampling — the recommender/ranking
+    * training-set counterpart of C13: for every customer with at
+    * least one purchased part, K=6 candidate "negative" parts are
+    * drawn by a seeded md5 slot hash over the part-key domain, then
+    * actual positives are removed with an anti-join. No RNG state:
+    * the same (customer, slot) always yields the same candidate, so
+    * backfills and re-materializations of a 100 TB training set
+    * reproduce bit-identically. Shape: positives = one fact-fact
+    * join distinct'd on (cust, part); candidates = |users| x K rows
+    * (linear); the anti-join shuffles on the composite key once.
+    * The part-domain max arrives via a broadcast scalar frame — no
+    * driver collect, no hard-coded domain.
+    */
+  def qNegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pos = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val users = pos.select(col("cust")).distinct()
+    val mx = t.part.agg(max(col("p_partkey")).cast("long").as("maxpk"))
+    val posR = pos.select(col("cust").as("pc"), col("part").as("pp"))
+    users.crossJoin(broadcast(mx))
+      .select(col("cust"), explode(sequence(lit(0), lit(5))).as("slot"), col("maxpk"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("graft-neg:"), col("cust"), lit(":"), col("slot"))), 1, 14), 16, 10)
+          .cast("long"))
+      .withColumn("partkey", (pmod(col("h"), col("maxpk")) + lit(1L)).cast("long"))
+      .join(posR, col("cust") === col("pc") && col("partkey") === col("pp"), "left_anti")
+      .select(col("cust").as("custkey"), col("slot").cast("long").as("slot"), col("partkey"))
+      .orderBy(col("custkey"), col("slot"))
+  }
+
+  /** C62: split drift audit — after C13 assigns splits, verify the
+    * test split is distributionally representative of train: per
+    * `source`, counts and exact-ppm rates in each split plus the
+    * absolute ppm gap. All-integer arithmetic (the C43 discipline),
+    * two linear aggregates and a broadcast totals frame — the shape
+    * survives any corpus size because the grouped frame is
+    * category-bounded, not document-bounded.
+    */
+  def qSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .withColumn("h", ((col("doc_id") % 100003L) * 31L + 7L) % 100L)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .filter(col("split") =!= "val")
+    val byCat = d.groupBy(col("source")).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val tot = d.groupBy().agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("t_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("t_test"))
+    byCat.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_train"), col("n_test"),
+        expr("n_train * 1000000 div t_train").as("train_ppm"),
+        expr("n_test * 1000000 div t_test").as("test_ppm"),
+        abs(expr("n_train * 1000000 div t_train") -
+          expr("n_test * 1000000 div t_test")).as("delta_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_sample" -> (qNegativeSample _),
+    "q_split_drift"     -> (qSplitDrift _),
     "q_split_leakage"   -> (qSplitLeakage _),
     "q_kanonymity"      -> (qKAnonymity _),
     "q_fk_audit"        -> (qFkAudit _),
@@ -458,6 +523,42 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5 slot hash replayed exactly: 14 hex chars -> 56-bit int via
+    // the '0x' cast; % on non-negative operands matches Spark pmod
+    "q_negative_sample" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |mx AS (SELECT CAST(max(p_partkey) AS BIGINT) AS maxpk FROM part),
+        |cand AS (SELECT u.cust, s.slot,
+        |    CAST(1 + (CAST(('0x' || substr(md5('graft-neg:' || CAST(u.cust AS VARCHAR)
+        |            || ':' || CAST(s.slot AS VARCHAR)), 1, 14)) AS BIGINT)
+        |         % mx.maxpk) AS BIGINT) AS partkey
+        |  FROM (SELECT DISTINCT cust FROM pos) u, mx,
+        |       (SELECT unnest(range(6)) AS slot) s)
+        |SELECT c.cust AS custkey, CAST(c.slot AS BIGINT) AS slot, c.partkey
+        |FROM cand c LEFT JOIN pos p ON p.cust = c.cust AND p.part = c.partkey
+        |WHERE p.cust IS NULL
+        |ORDER BY custkey, slot""".stripMargin,
+
+    "q_split_drift" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN ((doc_id % 100003) * 31 + 7) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 100003) * 31 + 7) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE split <> 'val'),
+        |a AS (SELECT source,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM f GROUP BY source),
+        |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+        |             CAST(sum(n_test) AS BIGINT) AS t_test FROM a)
+        |SELECT a.source, a.n_train, a.n_test,
+        |  a.n_train * 1000000 // t.t_train AS train_ppm,
+        |  a.n_test * 1000000 // t.t_test AS test_ppm,
+        |  abs(a.n_train * 1000000 // t.t_train - a.n_test * 1000000 // t.t_test) AS delta_ppm
+        |FROM a, t ORDER BY a.source""".stripMargin,
+
     "q_split_leakage" ->
       """WITH d AS (SELECT text,
         |  CASE WHEN ((doc_id % 100003) * 31 + 7) % 100 < 80 THEN 'train'

@@ -384,6 +384,46 @@ object TimeSeriesQueries {
     * ceil(3N/width)) — the oracle checks exact counts and the gate,
     * the B9b pattern.
     */
+  /** F13: horizon label generation — the supervised-training twin of
+    * A27: materialize a (user, week) panel from each user's first
+    * active week to the corpus end, with that week's activity
+    * features and the LABEL drawn from the NEXT week (any purchase),
+    * the backtesting-safe "predict t+1 from <=t" construction. Weeks
+    * are pure integer epoch-µs buckets (no calendar/locale
+    * divergence); the last week is right-censored out because its
+    * label window is incomplete. Shape: one fact-sized groupBy to
+    * the (user, week) activity frame; the panel explodes per-user
+    * week RANGES (bounded by users x corpus weeks, linear); label
+    * attachment is a self-join of the activity frame shifted one
+    * week — all co-keyed shuffles, corpus-size-independent width.
+    */
+  def qChurnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7 days in µs; ts >= epoch so div == floor
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${week}L").as("wk"),
+        col("event_type"))
+    val act = ev.groupBy(col("user_id"), col("wk")).agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+    val mx = broadcast(ev.groupBy().agg(max(col("wk")).as("max_wk")))
+    val panel = act.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+      .crossJoin(mx)
+      .select(col("user_id"),
+        explode(sequence(col("first_wk"), col("max_wk"))).as("wk"),
+        col("max_wk"))
+    val nextWk = act.select(col("user_id"), (col("wk") - 1).as("wk"),
+      when(col("n_purchases") > 0, 1L).otherwise(0L).as("nxt"))
+    panel
+      .join(act, Seq("user_id", "wk"), "left")
+      .join(nextWk, Seq("user_id", "wk"), "left")
+      .filter(col("wk") < col("max_wk"))
+      .select(col("user_id"), col("wk"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("nxt"), lit(0L)).as("next_week_purchase"))
+      .orderBy(col("user_id"), col("wk"))
+  }
+
   def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(to_date(col("ts")).as("d"), col("user_id"))
@@ -401,6 +441,7 @@ object TimeSeriesQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn_labels"       -> (qChurnLabels _),
     "q_cms_freq"           -> (qCmsFreq _),
     "q_attribution"        -> (qAttribution _),
     "q_changepoint"        -> (qChangepoint _),
@@ -418,6 +459,30 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_churn_labels" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(cast(ts AS timestamp)) // 604800000000 AS wk, event_type
+        |  FROM events),
+        |act AS (SELECT user_id, wk,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchases
+        |  FROM ev GROUP BY user_id, wk),
+        |mx AS (SELECT min(wk) AS min_wk, max(wk) AS max_wk FROM ev),
+        |w AS (SELECT unnest(range((SELECT min_wk FROM mx),
+        |                          (SELECT max_wk FROM mx) + 1)) AS wk),
+        |f AS (SELECT user_id, min(wk) AS first_wk FROM act GROUP BY user_id),
+        |panel AS (SELECT f.user_id, w.wk FROM f JOIN w ON w.wk >= f.first_wk
+        |  WHERE w.wk < (SELECT max_wk FROM mx))
+        |SELECT p.user_id, p.wk,
+        |  coalesce(a.n_events, 0) AS n_events,
+        |  coalesce(a.n_purchases, 0) AS n_purchases,
+        |  CAST(coalesce(CASE WHEN n2.n_purchases > 0 THEN 1 ELSE 0 END, 0) AS BIGINT)
+        |    AS next_week_purchase
+        |FROM panel p
+        |LEFT JOIN act a  ON a.user_id = p.user_id AND a.wk = p.wk
+        |LEFT JOIN act n2 ON n2.user_id = p.user_id AND n2.wk = p.wk + 1
+        |ORDER BY p.user_id, p.wk""".stripMargin,
     // distinct users fit the sketch capacity, so merged counts are
     // exact and err is identically 0 — the oracle replays the top-3
     // from plain counts

