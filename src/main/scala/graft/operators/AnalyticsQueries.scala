@@ -612,7 +612,41 @@ object AnalyticsQueries {
     }
   }
 
+  /** E17: per-user session features — the behavioral feature block a
+    * churn/propensity model consumes, built on the B13 gap
+    * sessionization (1h gap, lag/cumsum form): session count, event
+    * totals, the longest session in events and in wall µs, total
+    * engaged µs, and exact-ppm events-per-session. Both aggregations
+    * are keyed on user_id, the same key the session window already
+    * shuffled on — the whole query is one exchange end-to-end. All
+    * outputs integer (µs / counts / ppm), so the oracle replay is
+    * exact.
+    */
+  def qSessionFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600L * 1000000L
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables(spark, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(ord).isNull ||
+             col("us") - lag(col("us"), 1).over(ord) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"), min(col("us")).as("s0"), max(col("us")).as("s1"))
+    sess.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        sum(col("s1") - col("s0")).as("total_session_us"),
+        max(col("s1") - col("s0")).as("max_session_us"))
+      .withColumn("events_per_session_ppm",
+        expr("n_events * 1000000 div n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_features" -> (qSessionFeatures _),
     "q_itemsets3"        -> (qItemsets3 _),
     "q_decile_lift"      -> (qDecileLift _),
     "q_pagerank"         -> (qPagerank _),
@@ -649,6 +683,35 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B13's sessionization replay (same lag/cumsum, same gap) with a
+    // user-level rollup on top; all-integer so hash-exact
+    "q_session_features" ->
+      """WITH sess AS (
+        | SELECT user_id, session_id, count(*) AS n_ev,
+        |   min(us) AS s0, max(us) AS s1
+        | FROM (
+        |  SELECT user_id, us,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, epoch_us(cast(ts as timestamp)) AS us,
+        |    CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) IS NULL
+        |      OR epoch_us(cast(ts as timestamp)) - lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) > 3600000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |   FROM events))
+        | GROUP BY user_id, session_id)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n_ev) AS BIGINT) AS n_events,
+        | CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        | CAST(sum(s1 - s0) AS BIGINT) AS total_session_us,
+        | CAST(max(s1 - s0) AS BIGINT) AS max_session_us,
+        | CAST(sum(n_ev) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |   AS events_per_session_ppm
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_itemsets3" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
         |SELECT a.p AS p1, b.p AS p2, c.p AS p3,

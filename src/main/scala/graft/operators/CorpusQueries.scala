@@ -590,7 +590,51 @@ object CorpusQueries {
       .orderBy(col("col_name"))
   }
 
+  /** C63: feature hashing (the "hashing trick" vectorizer) — each
+    * document becomes sparse bag-of-words features in a FIXED
+    * 64-bucket space: token -> md5 slot hash -> bucket, tf per
+    * (doc, bucket). The fixed-width space is what makes the feature
+    * matrix schema corpus-independent (no vocab to ship, no OOV at
+    * serve time). One explode + one hash-keyed aggregate — linear,
+    * map-side combinable. Same md5->56-bit-int replay as C61, so
+    * the oracle is exact.
+    */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long"), lit(64L)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  /** C64: out-of-vocabulary rate — the corpus-quality feature a
+    * tokenizer/quality pipeline scores before training: vocab = the
+    * top-500 tokens by document frequency (ties broken by token, a
+    * total order both engines replay), then per document the exact
+    * token and OOV counts and the ppm OOV rate. The vocab is a
+    * TakeOrdered over the token-df aggregate (no global sort
+    * materialization) and joins back as a broadcast — the corpus
+    * shuffles once for the df aggregate and once per doc rollup.
+    */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(500)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash"    -> (qFeatureHash _),
+    "q_oov_rate"        -> (qOovRate _),
     "q_tfidf"               -> (qTfidf _),
     "q_profile"             -> (qProfile _),
     "q_pii_redact"          -> (qPiiRedact _),
@@ -645,6 +689,28 @@ object CorpusQueries {
       "ELSE '' END"
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 64 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM toks GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok FROM (
+        |    SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |  ORDER BY df DESC, tok LIMIT 500)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS oov_ppm
+        |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
