@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, Extended, PipelineQueries, Relational, StreamQueries, TimeSeriesQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, DiagnosticsQueries, Extended, PipelineQueries, Relational, StreamQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ CdcQueries.queries ++ PipelineQueries.queries ++
       Extended.queries ++ CurationQueries.queries ++ CorpusQueries.queries ++
-      StreamQueries.queries ++ AnalyticsQueries.queries ++ TimeSeriesQueries.queries
+      StreamQueries.queries ++ AnalyticsQueries.queries ++
+      TimeSeriesQueries.queries ++ DiagnosticsQueries.queries
 
   def oracleSql: Map[String, String] =
     relationalOracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
       Extended.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++
-      StreamQueries.oracles ++ AnalyticsQueries.oracles ++ TimeSeriesQueries.oracles
+      StreamQueries.oracles ++ AnalyticsQueries.oracles ++
+      TimeSeriesQueries.oracles ++ DiagnosticsQueries.oracles
 
   // ---------------------------------------------------------------- B block
 

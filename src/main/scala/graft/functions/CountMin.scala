@@ -140,6 +140,43 @@ case class CmsUnionSketch(
       cs: IndexedSeq[Expression]): CmsUnionSketch = copy(child = cs.head)
 }
 
+/** Inner product of two stored CMS binaries: min over the depth rows
+  * of the per-row counter dot product — the classic join-cardinality
+  * estimator (Cormode & Muthukrishnan 2005 §4.2): for sketches of
+  * join-key columns A and B, every row's dot product >= |A join B|
+  * exactly (each true (a,b) key pair lands in the same bucket per
+  * row), with expected overshoot N_A*N_B/width per row. The
+  * optimizer-statistics use of CMS, complementing [[CmsQuery]]'s
+  * point frequency. One evaluation over two driver-sized binaries —
+  * never in a fact-table hot path.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = CmsCodec.read(a.asInstanceOf[Array[Byte]])
+    val y = CmsCodec.read(b.asInstanceOf[Array[Byte]])
+    require(x.depth == y.depth && x.widthLog2 == y.widthLog2,
+      s"CMS shape mismatch: ${x.depth}x${x.widthLog2} vs ${y.depth}x${y.widthLog2}")
+    var est = Long.MaxValue
+    var i = 0
+    while (i < x.depth) {
+      var dot = 0L
+      var b2 = 0
+      while (b2 < x.width) {
+        dot += x.counts(i * x.width + b2) * y.counts(i * y.width + b2)
+        b2 += 1
+      }
+      if (dot < est) est = dot
+      i += 1
+    }
+    est
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsInnerProduct = copy(left = l, right = r)
+}
+
 /** Point-frequency probe into a stored CMS binary: min over the
   * depth rows at the key's positions. Deserializes the sketch per
   * evaluation (CodegenFallback) — meant for probe-frame-sized plans

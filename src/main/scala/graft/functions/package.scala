@@ -128,6 +128,13 @@ package object functions {
   def cms_query(sketch: Column, key: Column): Column =
     toCol(CmsQuery(toExpr(sketch), toExpr(key)))
 
+  /** Join-cardinality estimate from two stored CMS binaries: min over
+    * rows of the counter dot product — always >= the exact join size,
+    * expected overshoot N_A*N_B/width per row.
+    */
+  def cms_inner(a: Column, b: Column): Column =
+    toCol(CmsInnerProduct(toExpr(a), toExpr(b)))
+
   /** Mergeable approximate quantile (weighted-compactor sketch,
     * TypedImperativeAggregate): fixed memory per group, rank error
     * ~collapses/capacity (~1% at the default 2048).

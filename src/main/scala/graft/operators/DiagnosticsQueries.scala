@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** G-block: engine-diagnostics and distributed-primitive operators —
+  * the queries an engine operator (or the engine itself) runs to
+  * understand and plan over the data: join-key skew profiling,
+  * sketch-based join-cardinality estimation (optimizer statistics),
+  * a distributed prefix-scan (the primitive behind watermark/lateness
+  * audits), robust dispersion statistics, and equi-depth binning.
+  * All integer-exact (or exact-value + deterministic-gate) so every
+  * query carries a DuckDB oracle.
+  */
+object DiagnosticsQueries {
+
+  /** G1: join-key skew profile — the diagnostic run before choosing a
+    * skew strategy (salt? AQE? broadcast?): per-key counts of the
+    * fact table's join key, top-15 hottest keys with their corpus
+    * share and hot-vs-mean ratio in exact ppm. One fact-sized
+    * aggregate + a one-row totals broadcast + a tiny top-k — the
+    * profile costs one linear pass at any scale.
+    */
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(cnts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows")))
+    cnts.crossJoin(tot)
+      .select(col("l_partkey"), col("cnt"),
+        expr("cnt * 1000000 div n_rows").as("share_ppm"),
+        expr("cnt * n_keys * 1000000 div n_rows").as("vs_mean_ppm"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(15)
+  }
+
+  /** G2: sketch-based join-cardinality estimation — the optimizer
+    * statistic: |A join B| estimated as the CMS inner product
+    * (min over rows of the counter dot product, Cormode &
+    * Muthukrishnan 2005 §4.2), here for the self-join on l_partkey
+    * (= sum of squared key counts, the statistic that costs a
+    * fact-fact join). The estimate is >= exact BY CONSTRUCTION
+    * (every true pair collides with itself in every row) and
+    * overshoots by ~N²/width per row in expectation; the oracle
+    * gates both sides (B9b accuracy-gate pattern — the exact value
+    * is replayed in SQL, the deterministic sketch properties are
+    * asserted as booleans). Scale shape: ONE linear sketch pass +
+    * one per-key aggregate for the exact twin; at 100 TB only the
+    * sketch pass runs (the exact side here exists to gate it) and
+    * the estimate costs a 512 KiB-binary dot product on the driver.
+    */
+  def qJoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(spark, dir).lineitem.select(col("l_partkey"))
+    val sk = keys.agg(
+      graft.functions.cms_sketch(col("l_partkey"), 4, 14).as("sk"),
+      count(lit(1)).as("n_rows"))
+    val exact = keys.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_pairs"),
+        count(lit(1)).as("n_keys"))
+    val est = graft.functions.cms_inner(col("sk"), col("sk"))
+    broadcast(sk).crossJoin(exact)
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"),
+        (est >= col("exact_pairs")).as("est_ge_exact"),
+        (est <= col("exact_pairs") +
+          expr("8 * (n_rows * n_rows div 16384)") + lit(1L))
+          .as("est_within_bound"))
+  }
+
+  /** G3: event-time lateness audit (distributed prefix scan) — how
+    * late do events arrive relative to the high-water mark, the
+    * number a streaming watermark is tuned from. Arrival order here
+    * is a per-user backfill replay ((user_id, event_id) — files
+    * landed per user, replayed in user order), which makes lateness
+    * real: a later user's early events arrive far behind the global
+    * high-water mark. The running max over arrival order is a PREFIX
+    * SCAN, computed distributedly (never a single-partition global
+    * window): range-repartition on the arrival key, per-partition max
+    * aggregated into a partition-count-sized frame, exclusive prefix
+    * max over that tiny frame, broadcast back as each partition's
+    * offset, then an in-partition running max — the textbook
+    * two-phase scan, all partitions working in parallel at any scale.
+    * Result is partitioning-invariant (the oracle replays it as one
+    * global window).
+    */
+  def qLatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .repartitionByRange(32, col("user_id"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    // partition-count-sized frame: exclusive prefix max per pid (the
+    // single-partition window is over <= 32 rows — aggregate-sized)
+    val prefixes = ev.groupBy(col("pid")).agg(max(col("us")).as("pmax"))
+      .withColumn("prefix", max(col("pmax")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prefix"))
+    val inPart = Window.partitionBy(col("pid"))
+      .orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev.join(broadcast(prefixes), "pid")
+      .withColumn("runmax",
+        greatest(max(col("us")).over(inPart),
+          coalesce(col("prefix"), lit(Long.MinValue))))
+      .withColumn("late", col("runmax") - col("us"))
+    late
+      .withColumn("bucket",
+        when(col("late") === 0L, "a_on_time")
+          .when(col("late") <= 60L * 1000000L, "b_le_1m")
+          .when(col("late") <= 3600L * 1000000L, "c_le_1h")
+          .when(col("late") <= 86400L * 1000000L, "d_le_1d")
+          .otherwise("e_gt_1d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late")).as("max_lateness_us"))
+      .orderBy(col("bucket"))
+  }
+
+  /** G4: robust dispersion statistics — per-event-type exact median
+    * and MAD (median absolute deviation), the outlier-resistant
+    * center/spread pair a data-quality monitor tracks. Both medians
+    * computed exactly by the rank trick: row_number + count, sum the
+    * middle one-or-two values, keep everything doubled (med2x) /
+    * quadrupled (mad4x) so no division ever happens — integer-exact
+    * in any engine. Two per-group sort windows + one join, all keyed
+    * on event_type: per-group parallelism at any scale.
+    */
+  def qRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    def med2x(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(col(valueCol) *
+            when(col("n") % 2 === 1, 2L).otherwise(1L)).as(out))
+    }
+    val med = med2x(ev, "cents", "med2x")
+    val dev = ev.join(broadcast(med.select(col("event_type"), col("med2x"))),
+        "event_type")
+      .withColumn("dev2x", abs(col("cents") * 2 - col("med2x")))
+    med2x(dev, "dev2x", "mad4x")
+      .select(col("event_type"), col("n"), col("mad4x"))
+      .join(med.select(col("event_type"), col("med2x")), "event_type")
+      .select(col("event_type"), col("n"), col("med2x"), col("mad4x"))
+      .orderBy(col("event_type"))
+  }
+
+  /** G5: equi-depth binning (feature discretization) — cut each
+    * event-type's value distribution into 8 equal-population bins
+    * (the quantile-bucketing step before feature crossing /
+    * monotonic-model input), reporting each bin's population and
+    * exact cent bounds. ntile over a per-group window with a total
+    * tiebreak — per-group parallelism, engine-identical semantics.
+    */
+  def qEquidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .withColumn("bin", ntile(8).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew"       -> (qKeySkew _),
+    "q_join_size_est"  -> (qJoinSizeEst _),
+    "q_lateness_audit" -> (qLatenessAudit _),
+    "q_robust_stats"   -> (qRobustStats _),
+    "q_equidepth_bins" -> (qEquidepthBins _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+        |SELECT l_partkey, cnt,
+        |  cnt * 1000000 // n_rows AS share_ppm,
+        |  cnt * n_keys * 1000000 // n_rows AS vs_mean_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, l_partkey LIMIT 15""".stripMargin,
+
+    "q_join_size_est" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+        |  true AS est_ge_exact, true AS est_within_bound
+        |FROM c""".stripMargin,
+
+    "q_lateness_audit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT us, max(us) OVER (ORDER BY user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late
+        |  FROM e)
+        |SELECT CASE WHEN late = 0 THEN 'a_on_time'
+        |    WHEN late <= 60000000 THEN 'b_le_1m'
+        |    WHEN late <= 3600000000 THEN 'c_le_1h'
+        |    WHEN late <= 86400000000 THEN 'd_le_1d'
+        |    ELSE 'e_gt_1d' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late) AS BIGINT) AS max_lateness_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_robust_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id FROM events),
+        |r1 AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(cents * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+        |      AS med2x
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(e.cents * 2 - m.med2x) AS dev2x,
+        |    e.event_id
+        |  FROM e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (SELECT event_type, dev2x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev2x, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type,
+        |    CAST(sum(dev2x * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+        |      AS mad4x
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type)
+        |SELECT med.event_type, med.n, med.med2x, mad.mad4x
+        |FROM med JOIN mad ON med.event_type = mad.event_type
+        |ORDER BY med.event_type""".stripMargin,
+
+    "q_equidepth_bins" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id FROM events),
+        |b AS (SELECT event_type, cents,
+        |    ntile(8) OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS bin FROM e)
+        |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+  )
+}

@@ -31,7 +31,8 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.CorpusQueries.queries.keySet,
       graft.operators.StreamQueries.queries.keySet,
       graft.operators.AnalyticsQueries.queries.keySet,
-      graft.operators.TimeSeriesQueries.queries.keySet)
+      graft.operators.TimeSeriesQueries.queries.keySet,
+      graft.operators.DiagnosticsQueries.queries.keySet)
     for (i <- blocks.indices; j <- blocks.indices if i < j)
       assert((blocks(i) & blocks(j)).isEmpty,
         s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DiagnosticsQueries
+
+/** G-block invariants beyond the DuckDB oracle rows: the CMS
+  * inner-product estimator's theorem-level guarantees, the prefix
+  * scan's partitioning invariance, and the binning/robust-stats
+  * structural properties.
+  */
+class DiagnosticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "diagnostics-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  test("G2: cms_inner is >= the exact join size on known keys") {
+    import spark.implicits._
+    // |A join B| on key: A = {1x3, 2x2}, B = {2x5, 3x1} -> 2*5 = 10
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+      .agg(graft.functions.cms_sketch(col("k"), 4, 11).as("sk"))
+    val b = Seq(2L, 2L, 2L, 2L, 2L, 3L).toDF("k")
+      .agg(graft.functions.cms_sketch(col("k"), 4, 11).as("sk2"))
+    val est = a.crossJoin(b)
+      .select(graft.functions.cms_inner(col("sk"), col("sk2")).as("est"))
+      .collect()(0).getLong(0)
+    assert(est >= 10L, s"inner-product estimate $est under-counts the true join size 10")
+    // tiny corpora, 2048-wide grid: no collisions, estimate is exact
+    assert(est == 10L, s"estimate $est should be collision-free here")
+  }
+
+  test("G2: cms_inner rejects shape-mismatched sketches") {
+    import spark.implicits._
+    val a = Seq(1L).toDF("k").agg(graft.functions.cms_sketch(col("k"), 4, 11).as("sk"))
+    val b = Seq(1L).toDF("k").agg(graft.functions.cms_sketch(col("k"), 4, 12).as("sk2"))
+    val ex = intercept[Exception] {
+      a.crossJoin(b).select(graft.functions.cms_inner(col("sk"), col("sk2"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("G3: lateness scan is partitioning-invariant (4 vs 1 range partitions)") {
+    // the distributed two-phase scan must equal the single-partition
+    // truth; qLatenessAudit uses 32 range partitions — recompute the
+    // same audit through the oracle-shaped single window and compare
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val truth = ev.withColumn("late", max(col("us")).over(w) - col("us"))
+      .withColumn("bucket",
+        when(col("late") === 0L, "a_on_time")
+          .when(col("late") <= 60L * 1000000L, "b_le_1m")
+          .when(col("late") <= 3600L * 1000000L, "c_le_1h")
+          .when(col("late") <= 86400L * 1000000L, "d_le_1d")
+          .otherwise("e_gt_1d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late")).as("max_lateness_us"))
+    val got = DiagnosticsQueries.qLatenessAudit(spark, dir)
+    assert(got.exceptAll(truth).count() == 0 && truth.exceptAll(got).count() == 0,
+      "distributed scan diverged from the single-window truth")
+  }
+
+  test("G4/G5: MAD is non-negative and bins are equi-depth with monotone bounds") {
+    val rs = DiagnosticsQueries.qRobustStats(spark, dir).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"negative MAD: $r")
+    }
+    val bins = DiagnosticsQueries.qEquidepthBins(spark, dir).collect()
+      .groupBy(_.getString(0))
+    bins.foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$et bins not equi-depth: ${ns.mkString(",")}")
+      // bin value ranges never overlap going up
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getLong(4) <= hi.getLong(3),
+            s"$et bins overlap: ${lo.getLong(4)} > ${hi.getLong(3)}")
+        case _ => ()
+      }
+    }
+  }
+}
