@@ -158,6 +158,8 @@ object GraftExtensions {
         .toAggregateExpression()),
     ("cms_query", "cms_query(sketch, key) - point-frequency probe into a stored CMS binary",
       (exprs: Seq[Expression]) => graft.functions.CmsQuery(exprs.head, exprs(1))),
+    ("cms_inner", "cms_inner(sketchA, sketchB) - join-cardinality estimate (counter dot product, >= exact)",
+      (exprs: Seq[Expression]) => graft.functions.CmsInnerProduct(exprs.head, exprs(1))),
     ("bpe_apply", "bpe_apply(array<string>, array(array(l,r),...)) - apply an ordered constant BPE merge list in one pass",
       (exprs: Seq[Expression]) => graft.functions.BpeApply(exprs.head,
         mergesArg("bpe_apply", exprs(1)))),

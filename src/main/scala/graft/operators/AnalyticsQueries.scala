@@ -645,7 +645,41 @@ object AnalyticsQueries {
       .orderBy(col("user_id"))
   }
 
+  /** E18: community detection by weighted label propagation (2
+    * synchronous rounds) on the co-purchase graph at support >= 2 —
+    * the "which products cluster together" report next to E11's
+    * k-core and E14's PageRank. Each round every node adopts the
+    * label with the largest incident support sum, ties to the
+    * smallest label; the argmax is ONE aggregate via max(struct(s,
+    * -label)) — no per-node window. Bounded rounds keep the whole
+    * query a single lazy plan (2 rounds = 2 join+agg layers; no
+    * iterative caching needed, unlike the fixpoint kernels) and the
+    * oracle an unrolled-CTE replay. Per round: one edge-vs-label
+    * join shuffling on the node key + two aggregates. Output: top-20
+    * communities by size.
+    */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v"), col("support").as("w"))
+    val both = edges.unionAll(
+      edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    def step(lab: DataFrame): DataFrame =
+      both.join(lab.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(sum(col("w")).as("s"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("s"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+    val l0 = both.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    step(step(l0))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_communities"      -> (qCommunities _),
     "q_session_features" -> (qSessionFeatures _),
     "q_itemsets3"        -> (qItemsets3 _),
     "q_decile_lift"      -> (qDecileLift _),
@@ -782,6 +816,27 @@ object AnalyticsQueries {
         |FROM rules r JOIN sup sa ON sa.l_partkey = r.a
         |  JOIN sup sb ON sb.l_partkey = r.b CROSS JOIN nb
         |ORDER BY confidence_ppm DESC, r.a, r.b LIMIT 20""".stripMargin,
+    "q_communities" ->
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT u, v, w FROM (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE w >= 2),
+        |b AS MATERIALIZED (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM b),
+        |s1 AS (SELECT b.u, l.label, sum(b.w) AS s
+        |  FROM b JOIN l0 l ON b.v = l.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT u AS node, label FROM (
+        |  SELECT u, label, row_number() OVER (PARTITION BY u
+        |    ORDER BY s DESC, label ASC) AS rn FROM s1) WHERE rn = 1),
+        |s2 AS (SELECT b.u, l.label, sum(b.w) AS s
+        |  FROM b JOIN l1 l ON b.v = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT u AS node, label FROM (
+        |  SELECT u, label, row_number() OVER (PARTITION BY u
+        |    ORDER BY s DESC, label ASC) AS rn FROM s2) WHERE rn = 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM l2
+        |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 20""".stripMargin,
     "q_kcore" ->
       s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e0 AS MATERIALIZED (SELECT u, v FROM (

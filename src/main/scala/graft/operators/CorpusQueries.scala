@@ -143,6 +143,34 @@ object CorpusQueries {
     * of shuffling whole groups; the hash priority makes the sample
     * identical on any engine/partitioning (oracle replays it).
     */
+  /** C59: sharded export manifest — the "write the training set as N
+    * balanced shards" step (WebDataset/TFRecord style): documents
+    * laid out in the C27 deterministic global-shuffle order, dealt
+    * round-robin into 16 shards (sizes differ by at most one; each
+    * shard is an unbiased sample — the property the downstream
+    * dataloader relies on), manifest = per-shard doc count, char
+    * volume, and an id-sum checksum the loader can verify against.
+    * Same scan shape as C27 (range sort on the md5 key +
+    * zipWithIndex, no single-partition window); the 16-row manifest
+    * aggregate is free. A real export would partitionBy(shard_id) on
+    * write — the manifest is what's checkable cross-engine.
+    */
+  def qExportShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = md5(concat(lit("graft-shard-13:"), col("doc_id").cast("string")))
+    val ordered = Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(col("k"), col("doc_id"))
+    ordered.select(col("doc_id"), col("n_chars")).as[(Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((id, nc), i) => (i % 16, id, nc) }
+      .toDF("shard_id", "doc_id", "n_chars")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard_id"))
+  }
+
   def qBottomkSample(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(col("source"))
@@ -641,6 +669,7 @@ object CorpusQueries {
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
+    "q_export_shards"       -> (qExportShards _),
     "q_bottomk_sample"      -> (qBottomkSample _),
     "q_seg_boilerplate"     -> (qSegBoilerplate _),
     "q_seg_clean"           -> (qSegClean _),
@@ -796,6 +825,17 @@ object CorpusQueries {
         |   ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |   AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_export_shards" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (
+        |    ORDER BY md5('graft-shard-13:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS pos
+        | FROM documents)
+        |SELECT pos % 16 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bottomk_sample" ->
       """SELECT source, doc_id FROM (

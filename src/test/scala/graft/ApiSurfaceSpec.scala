@@ -83,6 +83,17 @@ class ApiSurfaceSpec extends AnyFunSuite {
         | (SELECT DISTINCT doc_id AS d FROM docs_plain)""".stripMargin)
       .first().getLong(0)
     assert(cm >= 1L, s"cms probe of a present key must be >= its count, got $cm")
+    // join-cardinality estimate from pure SQL: self-inner-product of a
+    // distinct-key sketch >= the number of distinct keys (each key
+    // contributes >= 1*1 to every row's dot product)
+    val nKeys = plain.sql("SELECT count(DISTINCT doc_id) FROM docs_plain")
+      .first().getLong(0)
+    val ip = plain.sql(
+      """SELECT cms_inner(sk, sk) AS est FROM
+        | (SELECT cms_sketch(doc_id) AS sk FROM
+        |   (SELECT DISTINCT doc_id FROM docs_plain))""".stripMargin)
+      .first().getLong(0)
+    assert(ip >= nKeys, s"self inner product $ip must be >= $nKeys")
   }
 
   test("GraftExtensions exposes the custom expressions to SQL") {
