@@ -343,9 +343,15 @@ object AnalyticsQueries {
     */
   def qItemSim(spark: SparkSession, dir: String): DataFrame = {
     val pairs = copurchasePairs(spark, dir).filter(col("support") >= 2)
-    val ordersPerItem = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // item degree from the LANDED basket table (already (order, part)
+    // distinct — no fact scan, no distinct shuffle), and cached: the
+    // two broadcast builds below would otherwise each re-run the
+    // aggregate (the frame is part-count-sized; same session-lifetime
+    // cache contract as q_triangles' edge frames)
+    val ordersPerItem = basketsTable(spark, dir)
+      .select(explode(col("s")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .cache()
     pairs
       .join(broadcast(ordersPerItem.select(col("l_partkey").as("p1"), col("n").as("n_p1"))), "p1")
       .join(broadcast(ordersPerItem.select(col("l_partkey").as("p2"), col("n").as("n_p2"))), "p2")

@@ -358,10 +358,14 @@ object Extended {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("rev4")).as("rev4"))
-    val total = rev.agg(sum(col("rev4")).as("tot4"))
-    rev.join(broadcast(total))
+    // the total comes from a window over the 25-row NATION frame (the
+    // F5 small-frame window precedent), not a separate aggregate of a
+    // second `rev` subplan — the previous join-against-total form ran
+    // the whole fact join + aggregate twice in one plan
+    rev
       .select(col("n_name"), (col("rev4") / 10000.0).as("revenue"),
-        (lit(100.0) * col("rev4") / col("tot4")).as("share_pct"))
+        (lit(100.0) * col("rev4") /
+          sum(col("rev4")).over(Window.partitionBy())).as("share_pct"))
       .orderBy(col("n_name"))
   }
 

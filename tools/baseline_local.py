@@ -33,18 +33,30 @@ def main(sf_dir, out_dir, bench_json=None):
         spark_times = json.load(open(bench_json)).get("queries", {})
     times = {}
     for name in sorted(oracle):
+        print(f"# timing {name}", file=sys.stderr, flush=True)
         best = None
         ok = True
         for _ in range(2):  # min-of-2, like the Spark bench
+            # a runaway oracle (e.g. a quadratic CTE at a bigger SF than
+            # the gate runs) must not wedge the whole baseline: interrupt
+            # after 120s and record -2 (distinguishable from error -1)
+            import threading
+            timer = threading.Timer(120.0, con.interrupt)
+            timer.start()
             t0 = time.time()
             try:
                 con.sql(oracle[name]).fetchall()
             except Exception as e:
                 ok = False
+                times[name] = -2.0 if "INTERRUPT" in str(e).upper() else -1.0
+                print(f"#   {name}: {e}"[:200], file=sys.stderr, flush=True)
                 break
+            finally:
+                timer.cancel()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4) if ok else -1.0
+        if ok:
+            times[name] = round(best, 4)
     total = sum(v for v in times.values() if v >= 0)
     ratios = {}
     for name, d in times.items():
