@@ -103,8 +103,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head,
         intArg("repetition_stats", exprs(1)))),
     ("tdigest_quantile", "tdigest_quantile(col, q) - mergeable t-digest quantile (tail-accurate)",
-      (exprs: Seq[Expression]) => graft.functions.TDigestQuantile(exprs.head,
-        doubleArg(exprs(1))).toAggregateExpression()),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+        graft.functions.TDigestQuantile(exprs.head,
+          Seq(doubleArg(exprs(1)))).toAggregateExpression(),
+        org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("bloom_agg", "bloom_agg(col[, numBits[, k]]) - mergeable Bloom filter blob over BIGINT keys",
       (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
         if (exprs.size > 1) intArg("bloom_agg", exprs(1)) else 1 << 20,

@@ -102,24 +102,28 @@ final class TDigestBuffer(val compression: Double) {
   }
 }
 
-/** B21c: t-digest quantile as a TypedImperativeAggregate — the
+/** B21c: t-digest quantiles as a TypedImperativeAggregate — the
   * tail-accurate member of the sketch tier (fixed memory per group,
-  * map-side partials, mergeable).
+  * map-side partials, mergeable). Takes the full probe list and
+  * returns one array, so N quantile points cost ONE digest build —
+  * the single-q form ran a separate 600k-insert digest per point
+  * (measured ~0.5s/digest/group-set at sf0.1).
   */
 case class TDigestQuantile(
     child: Expression,
-    q: Double,
+    qs: Seq[Double],
     compression: Double = 100.0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TDigestBuffer] {
-  require(q > 0.0 && q < 1.0, "quantile q must be in (0, 1)")
+  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+    "every quantile q must be in (0, 1)")
   require(compression >= 20.0, "compression must be >= 20")
 
   override def children: Seq[Expression] = Seq(child)
   // all-null group => empty digest => SQL NULL (matches exact percentile)
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): TDigestBuffer =
     new TDigestBuffer(compression)
@@ -142,7 +146,9 @@ case class TDigestQuantile(
   }
 
   override def eval(b: TDigestBuffer): Any =
-    if (b.size == 0) null else b.quantile(q)
+    if (b.size == 0) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      qs.map(b.quantile).toArray)
 
   override def serialize(b: TDigestBuffer): Array[Byte] = {
     b.compress()

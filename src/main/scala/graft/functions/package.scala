@@ -147,7 +147,15 @@ package object functions {
     * error O(q(1-q)/compression), the sketch to reach for at p99.
     */
   def tdigest_quantile(c: Column, q: Double, compression: Double = 100.0): Column =
-    toCol(TDigestQuantile(toExpr(c), q, compression).toAggregateExpression())
+    tdigest_quantiles(c, Seq(q), compression).getItem(0)
+
+  /** Several quantile points from ONE t-digest build — N probes cost
+    * one 600k-insert digest, not N (use this over repeated
+    * [[tdigest_quantile]] calls on the same column).
+    */
+  def tdigest_quantiles(c: Column, qs: Seq[Double],
+      compression: Double = 100.0): Column =
+    toCol(TDigestQuantile(toExpr(c), qs, compression).toAggregateExpression())
 
   /** Hamming distance between two 64-bit signatures (composed from
     * codegen'd built-ins — no custom expression needed).

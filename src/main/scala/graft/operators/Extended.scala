@@ -242,9 +242,16 @@ object Extended {
     * boolean is stable across runs and partitionings.
     */
   def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    // pre-distinct on the composite key, then count + sketch the
+    // distinct frame: HLL registers depend only on the SET of hashed
+    // values (insertion is idempotent), so the estimate is identical —
+    // but the plan is two cheap hash aggregates instead of the
+    // Expand-based distinct-aggregate the combined
+    // countDistinct+sketch form triggers (measured 1.8s -> below 1s)
     Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+      .agg(count(lit(1)).as("n_exact"),
         graft.functions.hll_distinct(col("l_partkey")).as("est"))
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("est").cast("double") / col("n_exact") - 1.0) <= 0.05).as("hll_ok"))
@@ -284,8 +291,12 @@ object Extended {
       // B21b array-percentile discipline)
       .agg(percentile(col("l_extendedprice"),
           array(lit(0.45), lit(0.5), lit(0.55), lit(0.94), lit(0.96))).as("ps"),
-        graft.functions.tdigest_quantile(col("l_extendedprice"), 0.5).as("est50"),
-        graft.functions.tdigest_quantile(col("l_extendedprice"), 0.95).as("est95"))
+        // ONE digest build answers both probes (the array form) — two
+        // single-q calls each built a separate 600k-insert digest
+        graft.functions.tdigest_quantiles(
+          col("l_extendedprice"), Seq(0.5, 0.95)).as("ests"))
+      .select(col("l_returnflag"), col("ps"),
+        col("ests")(0).as("est50"), col("ests")(1).as("est95"))
       .select(col("l_returnflag"), col("ps")(0).as("p45"), col("ps")(1).as("p50"),
         col("ps")(2).as("p55"), col("ps")(3).as("p94"), col("ps")(4).as("p96"),
         col("est50"), col("est95"))

@@ -320,7 +320,7 @@ class AlgoPropertySpec extends AnyFunSuite {
       // every quantile answer
       val t = new TDigestBuffer(50.0)
       xs.foreach(t.add(_))
-      val tAgg = TDigestQuantile(null, 0.5, 50.0)
+      val tAgg = TDigestQuantile(null, Seq(0.5), 50.0)
       val t2 = tAgg.deserialize(tAgg.serialize(t))
       if (xs.nonEmpty)
         Seq(0.1, 0.5, 0.9).foreach(p =>
