@@ -473,6 +473,83 @@ case class RepetitionStats(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** C8 kernel: one-pass marker-lexicon scoring for language ID. The
+  * lexicon maps token -> bitmask of language indexes claiming it
+  * (UTF8String keys, so no per-token String allocation); one loop
+  * over the token array increments every claiming language's count.
+  * The previous form ran one interpreted higher-order `filter` per
+  * language (4 corpus passes, HOFs never enter whole-stage codegen);
+  * this is a single static-call loop inside codegen.
+  */
+object LangAlgos {
+  def buildLexicon(markers: Seq[(String, Seq[String])])
+      : java.util.HashMap[UTF8String, java.lang.Integer] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer]()
+    markers.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, java.lang.Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  def scores(tokens: ArrayData,
+      lexicon: java.util.HashMap[UTF8String, java.lang.Integer],
+      nLangs: Int): ArrayData = {
+    val counts = new Array[Long](nLangs)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val mask = lexicon.get(t)
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val b = java.lang.Integer.numberOfTrailingZeros(m)
+            counts(b) += 1L
+            m &= m - 1
+          }
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+}
+
+/** C8: per-language marker counts in one token pass — see
+  * [[LangAlgos.scores]].
+  */
+case class LangScores(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(markers.nonEmpty && markers.size <= 32,
+    "lang_scores supports 1..32 languages")
+  @transient private lazy val lexicon = LangAlgos.buildLexicon(markers)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_scores needs ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    LangAlgos.scores(v.asInstanceOf[ArrayData], lexicon, markers.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langLexicon", lexicon, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LangAlgos.scores($c, $ref, ${markers.size})")
+  }
+  override protected def withNewChildInternal(c: Expression): LangScores =
+    copy(child = c)
+}
+
 /** C3: SimHash-64 over a token array. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

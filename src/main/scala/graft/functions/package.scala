@@ -135,6 +135,12 @@ package object functions {
   def cms_inner(a: Column, b: Column): Column =
     toCol(CmsInnerProduct(toExpr(a), toExpr(b)))
 
+  /** Per-language marker counts over a token array in ONE codegen
+    * pass (language order = the marker list's order).
+    */
+  def lang_scores(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
+    toCol(LangScores(toExpr(tokens), markers))
+
   /** Mergeable approximate quantile (weighted-compactor sketch,
     * TypedImperativeAggregate): fixed memory per group, rank error
     * ~collapses/capacity (~1% at the default 2048).

@@ -171,7 +171,40 @@ object DiagnosticsQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** G6: robust anomaly flag — daily revenue days more than 3 MADs
+    * from the series median (the robust twin of F2's 3-sigma flag: a
+    * handful of genuine spikes inflate a sigma and mask each other,
+    * but barely move a median/MAD). Both medians come from the G4
+    * rank trick on the DAY-level aggregate (the F2 precedent: ordered
+    * windows run over the day frame, never the fact table — the day
+    * frame is calendar-bounded at any corpus size), and the flag
+    * |x − med| > 3·MAD is compared as 2·dev2x > 3·mad4x — division-
+    * free integer arithmetic, exact in any engine.
+    */
+  def qRobustAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    def med2xOf(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.orderBy(col(valueCol), col("d"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .agg(sum(col(valueCol) *
+          when(col("n") % 2 === 1, 2L).otherwise(1L)).as(out))
+    val med = med2xOf(daily, "r", "med2x")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev2x", abs(col("r") * 2 - col("med2x")))
+    val mad = med2xOf(dev.select(col("d"), col("dev2x")), "dev2x", "mad4x")
+    dev.crossJoin(broadcast(mad))
+      .select(col("d"), col("r").as("revenue_cents"), col("dev2x"),
+        (col("dev2x") * 2 > col("mad4x") * 3).cast("long").as("is_outlier"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_key_skew"       -> (qKeySkew _),
     "q_join_size_est"  -> (qJoinSizeEst _),
     "q_lateness_audit" -> (qLatenessAudit _),
@@ -180,6 +213,26 @@ object DiagnosticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_robust_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |r1 AS (SELECT d, r, row_number() OVER (ORDER BY r, d) AS rn,
+        |    count(*) OVER () AS n FROM daily),
+        |med AS (SELECT CAST(sum(r * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+        |    AS BIGINT) AS med2x
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+        |dev AS (SELECT d, r, abs(r * 2 - med2x) AS dev2x
+        |  FROM daily CROSS JOIN med),
+        |r2 AS (SELECT d, dev2x, row_number() OVER (ORDER BY dev2x, d) AS rn,
+        |    count(*) OVER () AS n FROM dev),
+        |mad AS (SELECT CAST(sum(dev2x * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+        |    AS BIGINT) AS mad4x
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+        |SELECT dev.d, dev.r AS revenue_cents, dev.dev2x,
+        |  CAST(dev.dev2x * 2 > mad.mad4x * 3 AS BIGINT) AS is_outlier
+        |FROM dev CROSS JOIN mad ORDER BY dev.d""".stripMargin,
+
     "q_key_skew" ->
       """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem GROUP BY 1),

@@ -597,22 +597,26 @@ object Relational {
 
   /** B27 (TPC-H Q2 shape): correlated MIN subquery — for each part of
     * one brand, the supplier line items priced at that part's global
-    * minimum. Decorrelated to a per-part min aggregate joined back on
-    * the already-co-partitioned key (one exchange feeds both the agg
-    * and the join); part and supplier dims broadcast. The compare is
-    * on exact scaled cents, so the boundary can't drift between
-    * engines. [oracle keeps the correlated scalar-subquery form, so
-    * the rewrite itself is what's being checked]
+    * minimum. Decorrelated to a per-part MIN WINDOW over one exchange
+    * (not an aggregate joined back — that planned two fact scans and
+    * two exchanges), and the brand filter runs as a broadcast join
+    * BEFORE the window: brand is a part attribute, so dropping
+    * non-brand parts keeps every lineitem of the surviving partkeys
+    * and the per-part min is unchanged — the window shuffles ~1/25 of
+    * the fact rows. The compare is on exact scaled cents, so the
+    * boundary can't drift between engines. [oracle keeps the
+    * correlated scalar-subquery form, so the rewrite itself is what's
+    * being checked]
     */
   def qMinCost(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val li = t.lineitem.select(col("l_partkey"), col("l_suppkey"),
       col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
-    val mn = li.groupBy(col("l_partkey")).agg(min(col("price_c")).as("min_price_c"))
-    li.join(mn, Seq("l_partkey"))
-      .filter(col("price_c") === col("min_price_c"))
-      .join(broadcast(t.part.select("p_partkey", "p_brand")
+    li.join(broadcast(t.part.select("p_partkey", "p_brand")
         .filter(col("p_brand") === "Brand#1")), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_price_c",
+        min(col("price_c")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("price_c") === col("min_price_c"))
       .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"), col("l_orderkey"),

@@ -55,27 +55,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "est", "une", "et"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    val scored = langMarkers.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct(size(filter(w, t => array_contains(arr, t))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang) orders by score then lang; to
-    // get "highest score, tie-break smallest lang code" flip the lang
-    // ordering by sorting on (score, reversed-lang) is not expressible
-    // directly — instead sort desc by score with lang asc via sort_array
-    // on (negated score, lang).
-    val neg = langMarkers.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct((-size(filter(w, t => array_contains(arr, t)))).as("nscore"),
-        lit(lang).as("lang"))
+    // ALL language scores come from one codegen pass over the token
+    // array (LangScores); the previous per-language interpreted
+    // higher-order `filter` ran 4 token scans per doc outside
+    // whole-stage codegen. The argmax with "highest score, tie-break
+    // smallest lang code" is the same sort_array-on-(negated score,
+    // lang) trick, now over constant-time array extracts.
+    val sc = graft.functions.lang_scores(tokens(col("text")), langMarkers)
+    val neg = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct((-col("__sc").getItem(i)).as("nscore"), lit(lang).as("lang"))
     }
     val best = sort_array(array(neg: _*)).getItem(0)
-    docs.select(
-      col("doc_id"), col("lang").as("lang_labeled"),
-      when(best.getField("nscore") === 0, "und")
-        .otherwise(best.getField("lang")).as("lang_pred"))
+    docs.withColumn("__sc", sc)
+      .select(
+        col("doc_id"), col("lang").as("lang_labeled"),
+        when(best.getField("nscore") === 0, "und")
+          .otherwise(best.getField("lang")).as("lang_pred"))
   }
 
   /** C10 query surface: both token counts per doc. */
