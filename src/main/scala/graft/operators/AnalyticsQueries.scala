@@ -684,7 +684,43 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** E19: Poisson-bootstrap resampling — THE cluster bootstrap (each
+    * row's replicate weight is drawn independently, so no global
+    * resample-with-replacement pass is ever needed): 16 replicate
+    * estimates of total order revenue, each row carrying a
+    * deterministic hash-derived weight in {0,1,2} with mean 1 (the
+    * md5-slot construction from C61, so any engine reproduces the
+    * "randomness" bit-for-bit and re-materialization keeps the same
+    * CI). Shape: one fact pass with a x16 map-side explode into a
+    * 16-group aggregate — partial sums combine map-side, nothing but
+    * the 16-row frame ever shuffles; at 100 TB this is the only
+    * defensible way to put error bars on a corpus-sized estimate.
+    * Output stays pure integers (per-replicate sums + the true sum).
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val R = 16
+    val cents = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tot = broadcast(cents.agg(sum(col("cents")).as("true_sum")))
+    cents.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(R - 1))).as("replicate"))
+      .withColumn("v",
+        conv(substring(md5(concat(lit("graft-boot:"),
+          col("replicate").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))), 1, 2), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("v") < 64, 0L).when(col("v") < 192, 1L).otherwise(2L))
+      .groupBy(col("replicate"))
+      .agg(sum(col("w") * col("cents")).as("boot_sum_cents"))
+      .crossJoin(tot)
+      .select(col("replicate").cast("long").as("replicate"),
+        col("boot_sum_cents"), col("true_sum"))
+      .orderBy(col("replicate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci"     -> (qBootstrapCi _),
     "q_communities"      -> (qCommunities _),
     "q_session_features" -> (qSessionFeatures _),
     "q_itemsets3"        -> (qItemsets3 _),
@@ -822,6 +858,22 @@ object AnalyticsQueries {
         |FROM rules r JOIN sup sa ON sa.l_partkey = r.a
         |  JOIN sup sb ON sb.l_partkey = r.b CROSS JOIN nb
         |ORDER BY confidence_ppm DESC, r.a, r.b LIMIT 20""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT c.cents, s.replicate,
+        |    CAST(('0x' || substr(md5('graft-boot:'
+        |      || CAST(s.replicate AS VARCHAR) || ':'
+        |      || CAST(c.o_orderkey AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+        |  FROM c, (SELECT unnest(range(16)) AS replicate) s),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS true_sum FROM c)
+        |SELECT CAST(r.replicate AS BIGINT) AS replicate,
+        |  CAST(sum((CASE WHEN v < 64 THEN 0 WHEN v < 192 THEN 1 ELSE 2 END)
+        |    * cents) AS BIGINT) AS boot_sum_cents,
+        |  t.true_sum
+        |FROM r, t GROUP BY r.replicate, t.true_sum
+        |ORDER BY replicate""".stripMargin,
+
     "q_communities" ->
       """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS MATERIALIZED (SELECT u, v, w FROM (
