@@ -213,7 +213,45 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** A24 under the gate: the continuously-maintained SKETCH table —
+    * per-day HLL register files folded through the store by
+    * register-wise union across TWO arrivals whose days overlap (the
+    * fold path, not just append). Because HLL union is order-free and
+    * idempotent, the streamed table's estimates equal a one-shot
+    * batch build bit-for-bit; the gate then checks the estimate
+    * against the exact per-day distinct count (B9b accuracy-gate
+    * pattern, <= 5%).
+    */
+  def qStreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events.select(col("ts"), col("user_id"))
+    val inDir = tmp("gq-sk-in")
+    val storeDir = tmp("gq-sk-store")
+    val ckpt = tmp("gq-sk-ckpt")
+    events.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.SketchStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", storeDir, ckpt)
+    q.processAllAvailable()
+    events.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val est = graft.streaming.SketchStream.estimates(
+      graft.streaming.SketchStream.readTable(spark, storeDir).get)
+    val exact = events
+      .select(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+    exact.join(est, "day")
+      .select(col("day"), col("n_users"),
+        (abs(col("est").cast("double") / col("n_users") - 1.0) <= 0.05)
+          .as("hll_ok"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_dedup"        -> (qStreamDedup _),
@@ -223,6 +261,14 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact per-day distinct users; the streamed HLL estimate is
+    // accuracy-gated on the Spark side (hll_ok), oracle pins exact+true
+    "q_stream_sketch" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  true AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the stored corpus == batch quality filter + per-text min-doc_id
     // winner (first arrival = smallest doc_id by construction)
     "q_stream_ingest" ->
