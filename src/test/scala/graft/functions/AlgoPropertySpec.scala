@@ -371,6 +371,55 @@ class AlgoPropertySpec extends AnyFunSuite {
     }, seed = 7L)
   }
 
+  test("cms inner product: >= exact join size for arbitrary multisets") {
+    import graft.functions.CmsBuffer
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def hash64(k: Long): Long = XxHash64Function.hash(k, LongType, 42L)
+    def inner(a: CmsBuffer, b: CmsBuffer): Long = {
+      var est = Long.MaxValue
+      for (i <- 0 until a.depth) {
+        var dot = 0L
+        for (j <- 0 until a.width)
+          dot += a.counts(i * a.width + j) * b.counts(i * b.width + j)
+        if (dot < est) est = dot
+      }
+      est
+    }
+    val keys: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(0L, 200L))
+    checkSeeded(Prop.forAll(keys, keys) { (as, bs) =>
+      val sa = new CmsBuffer(4, 8)
+      as.foreach(k => sa.add(hash64(k)))
+      val sb = new CmsBuffer(4, 8)
+      bs.foreach(k => sb.add(hash64(k)))
+      val ca = as.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cb = bs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+      // the estimator's one-sided theorem: every row's dot product
+      // contains every true colliding pair, so est >= exact always
+      inner(sa, sb) >= exact
+    }, seed = 11L)
+  }
+
+  test("lang scores: one-pass bitmask counts == naive per-language counts") {
+    import graft.functions.LangAlgos
+    val markers = Seq(
+      "aa" -> Seq("x", "y", "shared"),
+      "bb" -> Seq("z", "shared"),
+      "cc" -> Seq("w"))
+    val lex = LangAlgos.buildLexicon(markers)
+    val tok: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("x", "y", "z", "w", "shared", "other", "", "q"))
+    check(Prop.forAll(tok) { ts =>
+      val arr = new GenericArrayData(
+        ts.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = LangAlgos.scores(arr, lex, markers.size)
+      markers.zipWithIndex.forall { case ((_, ws), i) =>
+        got.getLong(i) == ts.count(ws.contains)
+      }
+    })
+  }
+
   test("bloom: no false negatives, merge == union, fpp bounded") {
     check(Prop.forAll(
       Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
