@@ -75,6 +75,32 @@ object GraftExtensions {
     }
   }
 
+  /** Evaluate a constant array(q, ...) of numbers — same foldability
+    * discipline as intArg/mergesArg.
+    */
+  private def doubleSeqArg(fn: String, e: Expression): Seq[Double] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument must be a constant numeric array, got non-foldable ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType
+        (0 until a.numElements()).map { i =>
+          a.get(i, et) match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case f: java.lang.Float => f.doubleValue()
+            case n: java.lang.Number => n.doubleValue()
+            case null => throw new IllegalArgumentException(
+              s"$fn: array elements must be non-NULL numbers")
+          }
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument must be a constant numeric array")
+    }
+  }
+
   /** (name, usage, builder) for every SQL-exposed kernel — consumed
     * by both the extensions injector and registerAll.
     */
@@ -107,6 +133,9 @@ object GraftExtensions {
         graft.functions.TDigestQuantile(exprs.head,
           Seq(doubleArg(exprs(1)))).toAggregateExpression(),
         org.apache.spark.sql.catalyst.expressions.Literal(0))),
+    ("tdigest_quantiles", "tdigest_quantiles(col, array(q, ...)) - N quantile points from ONE t-digest build",
+      (exprs: Seq[Expression]) => graft.functions.TDigestQuantile(exprs.head,
+        doubleSeqArg("tdigest_quantiles", exprs(1))).toAggregateExpression()),
     ("bloom_agg", "bloom_agg(col[, numBits[, k]]) - mergeable Bloom filter blob over BIGINT keys",
       (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
         if (exprs.size > 1) intArg("bloom_agg", exprs(1)) else 1 << 20,

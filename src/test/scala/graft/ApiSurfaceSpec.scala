@@ -94,6 +94,12 @@ class ApiSurfaceSpec extends AnyFunSuite {
         |   (SELECT DISTINCT doc_id FROM docs_plain))""".stripMargin)
       .first().getLong(0)
     assert(ip >= nKeys, s"self inner product $ip must be >= $nKeys")
+    // the array form: one digest, several probes, monotone results
+    val tq = plain.sql(
+      """SELECT tdigest_quantiles(n_chars * 1.0, array(0.25D, 0.5D, 0.75D)) AS qs
+        |FROM docs_plain""".stripMargin).first().getSeq[Double](0)
+    assert(tq.size == 3 && tq(0) <= tq(1) && tq(1) <= tq(2),
+      s"tdigest_quantiles not monotone: $tq")
   }
 
   test("GraftExtensions exposes the custom expressions to SQL") {
