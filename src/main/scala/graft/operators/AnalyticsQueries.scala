@@ -667,8 +667,14 @@ object AnalyticsQueries {
   def qCommunities(spark: SparkSession, dir: String): DataFrame = {
     val edges = copurchasePairs(spark, dir).filter(col("support") >= 2)
       .select(col("p1").as("u"), col("p2").as("v"), col("support").as("w"))
+    // hash-partitioned on the join key ONCE and cached (the E14
+    // PageRank discipline): the doubled edge frame is consumed by
+    // both rounds' joins and the node-universe distinct — five
+    // re-derivations in one lazy plan otherwise (same session-
+    // lifetime cache contract as q_triangles' edge frames)
     val both = edges.unionAll(
       edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v")).cache()
     def step(lab: DataFrame): DataFrame =
       both.join(lab.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u"), col("label"))
