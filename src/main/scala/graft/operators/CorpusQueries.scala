@@ -171,6 +171,42 @@ object CorpusQueries {
       .orderBy(col("shard_id"))
   }
 
+  /** C65: leave-one-out source ablation — the table a mixture
+    * designer reads before dropping a source: per source, its doc/
+    * token mass, what remains without it (totals minus group — no
+    * per-ablation corpus pass), its token share in exact ppm, and the
+    * UNIQUE VOCABULARY AT RISK: distinct tokens appearing in no other
+    * source (one inverted-index pass: per-(token, source) distinct,
+    * token source-counts, df==1 tokens credited to their only
+    * source). Shapes: one fact aggregate + a broadcast totals frame +
+    * one token-keyed aggregate pair — all linear, no per-source
+    * rescan, the way ablation bookkeeping must work at 100 TB.
+    */
+  def qSourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("source"), col("text"))
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = broadcast(per.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens")))
+    val ts = d.select(col("source"),
+        explode(split(col("text"), " ")).as("tok")).distinct()
+    val solo = ts.join(
+        ts.groupBy(col("tok")).agg(count(lit(1)).as("nsrc"))
+          .filter(col("nsrc") === 1).select(col("tok")),
+        "tok")
+      .groupBy(col("source")).agg(count(lit(1)).as("unique_vocab"))
+    per.crossJoin(tot)
+      .join(solo, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("tot_docs") - col("n_docs")).as("rest_docs"),
+        (col("tot_tokens") - col("n_tokens")).as("rest_tokens"),
+        expr("n_tokens * 1000000 div tot_tokens").as("token_share_ppm"),
+        coalesce(col("unique_vocab"), lit(0L)).as("unique_vocab"))
+      .orderBy(col("source"))
+  }
+
   def qBottomkSample(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(col("source"))
@@ -670,6 +706,7 @@ object CorpusQueries {
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
     "q_export_shards"       -> (qExportShards _),
+    "q_source_ablation"     -> (qSourceAblation _),
     "q_bottomk_sample"      -> (qBottomkSample _),
     "q_seg_boilerplate"     -> (qSegBoilerplate _),
     "q_seg_clean"           -> (qSegClean _),
@@ -825,6 +862,26 @@ object CorpusQueries {
         |   ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |   AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_source_ablation" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |ts AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |solo AS (SELECT source, CAST(count(*) AS BIGINT) AS unique_vocab
+        |  FROM ts WHERE tok IN (
+        |    SELECT tok FROM ts GROUP BY tok HAVING count(*) = 1)
+        |  GROUP BY source)
+        |SELECT per.source, per.n_docs, per.n_tokens,
+        |  tot.tot_docs - per.n_docs AS rest_docs,
+        |  tot.tot_tokens - per.n_tokens AS rest_tokens,
+        |  per.n_tokens * 1000000 // tot.tot_tokens AS token_share_ppm,
+        |  coalesce(solo.unique_vocab, 0) AS unique_vocab
+        |FROM per CROSS JOIN tot LEFT JOIN solo ON per.source = solo.source
+        |ORDER BY per.source""".stripMargin,
 
     "q_export_shards" ->
       """WITH p AS (SELECT doc_id, n_chars,
