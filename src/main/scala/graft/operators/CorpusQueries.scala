@@ -207,6 +207,40 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** C66: dataset card — the per-language datasheet row a corpus
+    * release ships: doc/token mass, exact-duplicate docs (text
+    * appearing more than once anywhere in the corpus — the honest
+    * headline number, counted via one text-keyed aggregate), short
+    * docs (< 20 words), and the dominant source with its share in
+    * exact ppm (per-(lang, source) counts, row_number argmax with a
+    * total tiebreak). Every input is one linear aggregate; the card
+    * assembles on language-sized frames.
+    */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("lang"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val dupTexts = d.groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1).select(col("text"))
+    val base = d.join(dupTexts.withColumn("is_dup", lit(1L)), Seq("text"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"),
+        sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("short_docs"))
+    val topSource = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source"))))
+      .filter(col("rk") === 1)
+      .select(col("lang"), col("source").as("top_source"),
+        col("n").as("top_source_docs"))
+    base.join(topSource, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("dup_docs"),
+        col("short_docs"), col("top_source"),
+        expr("top_source_docs * 1000000 div n_docs").as("top_source_ppm"))
+      .orderBy(col("lang"))
+  }
+
   def qBottomkSample(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(col("source"))
@@ -707,6 +741,7 @@ object CorpusQueries {
     "q_global_shuffle"      -> (qGlobalShuffle _),
     "q_export_shards"       -> (qExportShards _),
     "q_source_ablation"     -> (qSourceAblation _),
+    "q_dataset_card"        -> (qDatasetCard _),
     "q_bottomk_sample"      -> (qBottomkSample _),
     "q_seg_boilerplate"     -> (qSegBoilerplate _),
     "q_seg_clean"           -> (qSegClean _),
@@ -862,6 +897,29 @@ object CorpusQueries {
         |   ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |   AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH d AS (SELECT lang, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |dup AS (SELECT text FROM d GROUP BY text HAVING count(*) > 1),
+        |base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN dup.text IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dup_docs,
+        |    CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS short_docs
+        |  FROM d LEFT JOIN dup ON d.text = dup.text
+        |  GROUP BY lang),
+        |src AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, source) AS rk
+        |  FROM d GROUP BY lang, source)
+        |SELECT base.lang, base.n_docs, base.n_tokens, base.dup_docs,
+        |  base.short_docs, src.source AS top_source,
+        |  src.n * 1000000 // base.n_docs AS top_source_ppm
+        |FROM base JOIN src ON base.lang = src.lang AND src.rk = 1
+        |ORDER BY base.lang""".stripMargin,
 
     "q_source_ablation" ->
       """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
