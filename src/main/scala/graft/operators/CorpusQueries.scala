@@ -441,13 +441,17 @@ object CorpusQueries {
            |          '${le}_$re', w[i]))""".stripMargin)
   }
 
-  /** The shared 5-round trainer: returns the merge table and the
-    * FINAL encoded corpus (still cached — the caller consumes it and
-    * unpersists). One generation pinned at a time, retired parents
-    * unpersist as soon as the next argmax materializes their child.
+  /** The shared 5-round trainer: returns the merge table. The final
+    * round's WINNING PAIR comes from its pair count alone — applying
+    * merge 5 and materializing a sixth corpus generation would feed
+    * nothing (the encode step reads the landed merge table and
+    * replays all merges in one `bpe_apply` pass over the RAW corpus),
+    * so the loop applies merges only between rounds: 4 merge
+    * applications and 5 checkpoints, not 5 and 6. One generation
+    * pinned at a time.
     */
   private def bpeLoop(spark: SparkSession, dir: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+      : Seq[(Long, String, String, Long)] = {
     // eager localCheckpoint per generation, not cache/count/unpersist:
     // dropping generation k-1's cache invalidates generation k's entry
     // (the CC lesson — dependents recompute their full lineage);
@@ -467,19 +471,18 @@ object CorpusQueries {
         .limit(1).collect()(0)
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k.toLong, l, r, n))
-      corpus = corpus.select(col("doc_id"), applyMerge(l, r).as("w"))
-        .localCheckpoint(true)
+      if (k < 5)
+        corpus = corpus.select(col("doc_id"), applyMerge(l, r).as("w"))
+          .localCheckpoint(true)
     }
-    (merges.toSeq, corpus)
+    merges.toSeq
   }
 
   // the BUILDER query always re-derives (its bench row bills the real
   // training cost); the landed merge table is what the encode step reads
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (merges, corpus) = bpeLoop(spark, dir)
-    corpus.unpersist()
-    merges.toDF("merge_rank", "l", "r", "n")
+    bpeLoop(spark, dir).toDF("merge_rank", "l", "r", "n")
   }
 
   /** The learned merge table LANDED once per corpus (the DerivedTable
