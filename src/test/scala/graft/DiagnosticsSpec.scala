@@ -63,6 +63,31 @@ class DiagnosticsSpec extends AnyFunSuite {
       "distributed scan diverged from the single-window truth")
   }
 
+  test("E19/C65/C66: bootstrap centers on truth, ablation partitions, card bounds") {
+    // bootstrap: weights have mean 1 per row, so the average of the 16
+    // deterministic replicate sums must sit near the true total (the
+    // spread IS the CI; 10% is far outside any plausible drift)
+    val boots = graft.operators.AnalyticsQueries.qBootstrapCi(spark, dir).collect()
+    assert(boots.length == 16)
+    val trueSum = boots.head.getLong(2).toDouble
+    val meanBoot = boots.map(_.getLong(1)).sum.toDouble / boots.length
+    assert(math.abs(meanBoot / trueSum - 1.0) < 0.10,
+      s"bootstrap mean $meanBoot far from true $trueSum")
+    // ablation: every row partitions the same corpus (group + rest =
+    // constant), and shares sum to <= 1e6 ppm
+    val ab = graft.operators.CorpusQueries.qSourceAblation(spark, dir).collect()
+    val totDocs = ab.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(totDocs.length == 1, s"doc totals disagree across rows: $totDocs")
+    assert(ab.map(_.getLong(5)).sum <= 1000000L)
+    // card: structural bounds per language row
+    val card = graft.operators.CorpusQueries.qDatasetCard(spark, dir).collect()
+    card.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"dup_docs > n_docs: $r")
+      assert(r.getLong(4) <= r.getLong(1), s"short_docs > n_docs: $r")
+      assert(r.getLong(6) <= 1000000L, s"top_source_ppm > 1e6: $r")
+    }
+  }
+
   test("G4/G5: MAD is non-negative and bins are equi-depth with monotone bounds") {
     val rs = DiagnosticsQueries.qRobustStats(spark, dir).collect()
     assert(rs.nonEmpty)
