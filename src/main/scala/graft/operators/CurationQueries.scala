@@ -340,7 +340,8 @@ object CurationQueries {
     * count and orphan count (children whose key has no parent).
     * Shape: ONE scan per CHILD table, all of that child's edges
     * checked in the same pass — each parent's key set joins in as a
-    * broadcast left join (dimension-sized), orphans counted as
+    * left probe join (hint forced only for domain-bounded parents;
+    * fact-scaled parents are AQE-decided), orphans counted as
     * conditional sums over the null probe columns, and the one-row
     * aggregate unpivots (array+explode, never a re-read) into the
     * per-edge rows. The previous per-edge form ran a separate
@@ -351,12 +352,19 @@ object CurationQueries {
     */
   def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // bcast: force the hint ONLY for domain-bounded parents (nation,
+    // region — fixed-cardinality at any SF). Fact-scaled parents
+    // (orders ~ N/4 of lineitem, part, customer, supplier) are left
+    // to AQE: at benchmarked SFs it still picks broadcast from
+    // runtime stats, and at 100 TB it degrades to a shuffle join
+    // instead of a forced driver/executor OOM.
     def audit(child: DataFrame,
-              fks: Seq[(String, String, DataFrame, String)]): DataFrame = {
+              fks: Seq[(String, String, DataFrame, String, Boolean)]): DataFrame = {
       var df = child.select(fks.map(f => col(f._2)): _*)
-      for ((name, ck, parent, pk) <- fks) {
+      for ((name, ck, parent, pk, bcast) <- fks) {
         val tag = name.replace('.', '_')
-        df = df.join(broadcast(parent.select(col(pk).as(s"__p_$tag"))),
+        val keys = parent.select(col(pk).as(s"__p_$tag"))
+        df = df.join(if (bcast) broadcast(keys) else keys,
           col(ck) === col(s"__p_$tag"), "left")
       }
       val aggCols = count(lit(1)).as("n_child") +:
@@ -374,14 +382,14 @@ object CurationQueries {
           col("e.n_orphan").as("n_orphan"))
     }
     Seq(
-      audit(t.customer, Seq(("customer.nation", "c_nationkey", t.nation, "n_nationkey"))),
+      audit(t.customer, Seq(("customer.nation", "c_nationkey", t.nation, "n_nationkey", true))),
       audit(t.lineitem, Seq(
-        ("lineitem.orders", "l_orderkey", t.orders, "o_orderkey"),
-        ("lineitem.part", "l_partkey", t.part, "p_partkey"),
-        ("lineitem.supplier", "l_suppkey", t.supplier, "s_suppkey"))),
-      audit(t.nation, Seq(("nation.region", "n_regionkey", t.region, "r_regionkey"))),
-      audit(t.orders, Seq(("orders.customer", "o_custkey", t.customer, "c_custkey"))),
-      audit(t.supplier, Seq(("supplier.nation", "s_nationkey", t.nation, "n_nationkey"))))
+        ("lineitem.orders", "l_orderkey", t.orders, "o_orderkey", false),
+        ("lineitem.part", "l_partkey", t.part, "p_partkey", false),
+        ("lineitem.supplier", "l_suppkey", t.supplier, "s_suppkey", false))),
+      audit(t.nation, Seq(("nation.region", "n_regionkey", t.region, "r_regionkey", true))),
+      audit(t.orders, Seq(("orders.customer", "o_custkey", t.customer, "c_custkey", false))),
+      audit(t.supplier, Seq(("supplier.nation", "s_nationkey", t.nation, "n_nationkey", true))))
       .reduce(_ unionAll _)
       .orderBy(col("fk_edge"))
   }

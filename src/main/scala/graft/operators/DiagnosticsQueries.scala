@@ -85,6 +85,18 @@ object DiagnosticsQueries {
     * global window).
     */
   def qLatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    // CORRECTNESS DEPENDENCY — ReuseExchange: the pid-tagged frame
+    // feeds TWO plan branches (the per-partition max aggregate and
+    // the join side). Range boundaries are SAMPLED per physical
+    // exchange, so pid consistency between the branches requires the
+    // planner to dedupe the identical exchange subtree (ReuseExchange,
+    // on by default). If it ever failed, the branches could partition
+    // differently and the running max silently corrupt — so the
+    // dependency is PINNED RED in PlanShapeSpec ("lateness audit
+    // reuses ONE range exchange"): a planner change that breaks reuse
+    // fails the suite, not the data. (A localCheckpoint pin was
+    // evaluated and rejected: under AQE it materializes the frame at
+    // plan-build time — an eager pass the lazy contract shouldn't pay.)
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .repartitionByRange(32, col("user_id"), col("event_id"))

@@ -48,7 +48,7 @@ object PipelineQueries {
     */
   def qNgramAdaptive(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardAdaptive(Tables(spark, dir).documents, minJaccard = 0.5,
-      lenBand = 20)
+      lenBand = 20, precomputed = Some(Dedup.shingleStatsCached(spark, dir)))
 
   /** C4c: asymmetric containment pairs (|A∩B|/|A| >= 0.6) — catches
     * docs embedded in larger ones, which symmetric Jaccard misses.
@@ -56,7 +56,8 @@ object PipelineQueries {
     * pair aggregation, Zipfian ones the asymmetric prefix filter.
     */
   def qContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairsAdaptive(Tables(spark, dir).documents, minContainment = 0.6)
+    Dedup.containmentPairsAdaptive(Tables(spark, dir).documents, minContainment = 0.6,
+        precomputed = Some(Dedup.shingleStatsCached(spark, dir)))
       .orderBy(col("id_a"), col("id_b"))
 
   /** C2: MinHash-LSH candidates verified at Jaccard >= 0.8. */

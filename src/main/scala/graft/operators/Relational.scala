@@ -854,26 +854,33 @@ object Relational {
   /** B37 (TPC-H Q10 shape): top customers by returned-item revenue —
     * the selective-join + agg + TakeOrdered family with BOTH join
     * directions: lineitem filters to the returned slice BEFORE the
-    * orders join (the fact shrinks first), dims (customer, nation)
-    * broadcast, and the top-20 is a TakeOrdered, never a global sort.
+    * orders join (the fact shrinks first), revenue pre-aggregates to
+    * ONE ROW PER CUSTOMER before any dimension join (the groupBy
+    * carries a compact long per custkey with map-side combine, not a
+    * composite (custkey, name, nation, bal) key over every returned
+    * line), then dims (customer, nation) broadcast onto the
+    * customer-sized frame, and the top-20 is a TakeOrdered, never a
+    * global sort.
     */
   def qReturnedCustomers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val rev4 = (cents(col("l_extendedprice")) *
       (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4")
-    t.lineitem.filter(col("l_returnflag") === "R")
+    val perCust = t.lineitem.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), rev4)
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev4")).as("rev4s"))
+    perCust
       .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("bal_c"))
-      .agg((sum(col("rev4")) / 10000.0).as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("n_name"),
-        (col("bal_c") / 100.0).as("c_acctbal"), col("revenue"))
+        (col("bal_c") / 100.0).as("c_acctbal"),
+        (col("rev4s") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }

@@ -250,7 +250,219 @@ object StreamQueries {
       .orderBy(col("day"))
   }
 
+  /** A10b under the gate: the watermarked stream-stream join — each
+    * purchase joined to the same user's clicks in the preceding hour,
+    * across TWO time-split arrivals. Clicks near the cut must SURVIVE
+    * in join state over the micro-batch boundary to match purchases
+    * arriving later (the 2 h watermark retains exactly the window the
+    * 1 h join range needs). Inner-join append emits every match, so
+    * the result equals the batch range join over all events.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val inDir = tmp("gq-ssj-in")
+    val outDir = tmp("gq-ssj-out")
+    val ckpt = tmp("gq-ssj-ckpt")
+    val mm = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val streamIn = spark.readStream.schema(events.schema).parquet(inDir + "/*/")
+    val q = EventStream.purchaseClickJoin(streamIn)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** A10c under the gate: windowed APPROXIMATE distinct users — the
+    * HLL sketch aggregate as streaming state (mergeable partials, so
+    * per-window memory is O(2^p), never per-key). Sentinel-flushed
+    * like q_stream_window; the estimate is then accuracy-gated
+    * against the exact per-window distinct count (<= 5%, the B9b /
+    * q_stream_sketch precedent) so the oracle pins exact + true.
+    */
+  def qStreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val inDir = tmp("gq-hll-in")
+    val outDir = tmp("gq-hll-out")
+    val ckpt = tmp("gq-hll-ckpt")
+    events.coalesce(1).write.mode("overwrite").parquet(inDir + "/batch0")
+    val streamIn = spark.readStream.schema(events.schema).parquet(inDir + "/*/")
+    val q = EventStream.windowedApproxUsers(streamIn)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L)
+    Seq((sentinel, -1L, "zzz_sentinel")).toDF("ts", "user_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val maxBucket = events
+      .agg(max(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss"))).head.getString(0)
+    val exact = events
+      .select(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"), col("user_id"))
+      .distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    spark.read.parquet(outDir)
+      .filter(col("bucket") <= maxBucket) // the sentinel's own window
+      .join(exact, "bucket")
+      // accuracy gate: 5% relative OR 2 absolute — hourly windows
+      // here hold ~10-20 users, where a single linear-counting
+      // register collision (P ~ n^2/2m per window) is a 1-row
+      // undercount that a pure relative bound mislabels
+      .select(col("bucket"), col("n_users"), col("n_events"),
+        (abs(col("approx_users").cast("double") / col("n_users") - 1.0) <= 0.05
+          || abs(col("approx_users") - col("n_users")) <= 2)
+          .as("hll_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  /** A11c under the gate: the SAME two-arrival sessionization harness
+    * as q_stream_session, run through Spark 4's `transformWithState`
+    * (typed state handles on the RocksDB store) instead of
+    * flatMapGroupsWithState. The two APIs share one session fold
+    * (EventStream.foldSessions), and this gate makes the pinned
+    * tws == fmgws == batch equivalence visible to the ORACLE, not
+    * only to specs — the oracle string is identical to
+    * q_stream_session's.
+    */
+  def qStreamSessionTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val inDir = tmp("gq-tws-in")
+      val outDir = tmp("gq-tws-out")
+      val ckpt = tmp("gq-tws-ckpt")
+      val mm = events.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      events.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+        .write.mode("overwrite").parquet(inDir + "/batch0")
+      val streamIn = spark.readStream.schema(events.schema).parquet(inDir + "/*/")
+        .as[graft.streaming.EventStream.SessionEvent]
+      val q = graft.streaming.EventStream.twsSessionize(streamIn, gapMinutes = 60)
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) > cut).coalesce(1)
+        .write.mode("overwrite").parquet(inDir + "/batch1")
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(outDir)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(confKey, p)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  /** A18 under the gate: backpressure-bounded ingest — the SAME CDC
+    * pipeline as q_stream_cdc_snapshot, but the burst arrives as FOUR
+    * files with `maxFilesPerTrigger = 1`, so the fold runs across >= 4
+    * rate-limited micro-batches (the Structured twin of the
+    * reference's backpressure knobs [ref: ConsumerMain.scala:36-39]).
+    * Convergence must be split-invariant: the stored snapshot equals
+    * the batch soft-delete snapshot over the whole log — the same
+    * oracle, now proven under the rate limit.
+    */
+  def qStreamRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val lines = ChangeModel.changeLines(Tables(spark, dir).events).select("line")
+    val linesDir = tmp("gq-rate-lines")
+    val snapDir = tmp("gq-rate-snap")
+    val ckpt = tmp("gq-rate-ckpt")
+    val idMod = get_json_object(col("line"), "$.after.ID").cast("long") % 4
+    (0 until 4).foreach { m =>
+      lines.filter(idMod === m).coalesce(1)
+        .write.mode("overwrite").text(linesDir + s"/burst$m")
+    }
+    val q = CdcStream.start(spark, linesDir + "/*/", snapDir, ckpt,
+      maxFilesPerTrigger = 1)
+    q.processAllAvailable()
+    q.stop()
+    CdcStream.readSnapshot(spark, snapDir).get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A20 under the gate: ingest-time decontamination — the C25 Bloom
+    * blob as the STATIC side of a stream-static composition: each
+    * micro-batch of arriving train documents explodes to 5-gram
+    * hashes, probes the broadcast blob (near-certain misses never
+    * shuffle), and bloom survivors are CONFIRMED by the exact eval
+    * semi-join before landing. Two arrivals; per-doc results never
+    * span batches, so the appended union is the exact flag set.
+    * Oracle: exact 5-gram contamination (q_bloom_contamination's).
+    */
+  def qStreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-dec-in")
+    val outDir = tmp("gq-dec-out")
+    val ckpt = tmp("gq-dec-ckpt")
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(graft.functions.shingle_hashes(
+        split(col("text"), " "), 5)).as("gh")).distinct()
+    val blob = evalGrams
+      .agg(graft.functions.bloom_agg(col("gh"), numBits = 1 << 17).as("bf"))
+    val train = docs.filter(col("source") =!= "src0")
+    train.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val streamIn = spark.readStream.schema(train.schema).parquet(inDir + "/*/")
+    val q = streamIn.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val grams = batch.select(col("doc_id"),
+          explode(graft.functions.shingle_hashes(
+            split(col("text"), " "), 5)).as("gh"))
+        grams.crossJoin(broadcast(blob))
+          .filter(graft.functions.bloom_might_contain(col("bf"), col("gh")))
+          .select(col("doc_id"), col("gh"))
+          .join(evalGrams, Seq("gh"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    train.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir).distinct().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_rate_limit"   -> (qStreamRateLimit _),
+    "q_stream_decontaminate" -> (qStreamDecontaminate _),
+    "q_stream_join"        -> (qStreamJoin _),
+    "q_stream_hll"         -> (qStreamHll _),
+    "q_stream_session_tws" -> (qStreamSessionTws _),
     "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
@@ -261,6 +473,76 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical to q_stream_cdc_snapshot's oracle: the rate-limited
+    // multi-batch fold must converge to the same full-log snapshot
+    "q_stream_rate_limit" ->
+      """SELECT user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // identical to q_bloom_contamination's oracle: exact 5-gram
+    // contamination; the streamed bloom prefilter + exact confirm
+    // must flag the same train docs for any arrival split
+    "q_stream_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g5 AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        for i in generate_series(1, len(w)-4)])) AS g FROM toks)
+        |SELECT DISTINCT t.doc_id
+        |FROM g5 t SEMI JOIN (SELECT g FROM g5 WHERE source = 'src0') e ON t.g = e.g
+        |WHERE t.source != 'src0'
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the streamed join == the batch range join (purchase joined to
+    // same-user clicks in the preceding hour)
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND cast(c.ts as timestamp) >= cast(p.ts as timestamp) - INTERVAL 1 HOUR
+        | AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // exact per-hour distinct users; the streamed HLL estimate is
+    // accuracy-gated on the Spark side (hll_ok), oracle pins exact+true
+    "q_stream_hll" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | count(*) AS n_events, true AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical to q_stream_session's oracle: transformWithState and
+    // flatMapGroupsWithState share one session fold, so the emitted
+    // closed-session set is the same
+    "q_stream_session_tws" ->
+      """WITH sess AS (
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(tsx), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(tsx), '%Y-%m-%d %H:%M:%S') AS session_end
+        | FROM (
+        |  SELECT user_id, event_id, tsx,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, cast(ts as timestamp) AS tsx,
+        |    CASE WHEN lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) IS NULL
+        |      OR epoch_us(cast(ts as timestamp)) - lag(epoch_us(cast(ts as timestamp))) OVER
+        |           (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) > 3600000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |   FROM events))
+        | GROUP BY user_id, session_id)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS msid FROM sess)
+        |WHERE session_id < msid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     // exact per-day distinct users; the streamed HLL estimate is
     // accuracy-gated on the Spark side (hll_ok), oracle pins exact+true
     "q_stream_sketch" ->

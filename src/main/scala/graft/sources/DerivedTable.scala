@@ -48,7 +48,9 @@ object DerivedTable {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }
-    spark.read.parquet(root)
+    // fingerprinted roots are immutable once landed — reads go through
+    // the schema cache so repeat builds skip the footer-inference job
+    Tables.loadCached(spark, root)
   }
 
   /** Metadata-only fingerprint (never reads data). */

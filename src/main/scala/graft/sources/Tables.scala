@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 final case class Tables(spark: SparkSession, dir: String) {
   private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.loadCached(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = load("region")
   def nation: DataFrame     = load("nation")
@@ -41,4 +41,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
+}
+
+object Tables {
+  /** Per-(path, mtime) parquet schema cache: `spark.read.parquet`
+    * without an explicit schema runs a footer-inference JOB on every
+    * call — a fixed ~10 ms tax per table load that multiplies across
+    * the 200-query surface and, at cluster scale, serializes on the
+    * driver before any real work. The schema of a landed table is
+    * immutable for a given mtime, so infer once and replay it with
+    * `.schema(...)` (zero jobs) afterwards. Keyed by mtime so a
+    * rewritten table re-infers.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def loadCached(spark: SparkSession, path: String): DataFrame = {
+    val key = path + "@" + new java.io.File(path).lastModified()
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 }

@@ -21,6 +21,70 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("global windows: every empty-partition Window sits on an allowlisted bounded frame") {
+    // A Window with no partitionSpec runs on ONE task — a scale-killer
+    // if the frame is fact-sized. Every current occurrence is over a
+    // provably bounded frame (audited r6): day-calendar aggregates
+    // (q_anomaly/q_changepoint/q_robust_anomaly order by day; the
+    // robust ranks order a day-count frame), the partition-count
+    // frame in the lateness audit (one row per spark partition), the
+    // distinct-price frame of the pareto front, and q_revenue_share's
+    // 25-row nation aggregate. A NEW global window failing this list
+    // is exactly the regression this test exists to catch — either
+    // rewrite it on the zipWithIndex pattern or prove its frame
+    // bounded and allowlist it here with the proof.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val allowed: Map[String, Set[String]] = Map(
+      "q_anomaly"        -> Set("d"),           // day calendar
+      "q_changepoint"    -> Set("d"),           // day calendar
+      "q_robust_anomaly" -> Set("", "dev2x,d", "r,d"), // day-count frames
+      "q_lateness_audit" -> Set("pid"),         // one row per partition
+      "q_pareto_front"   -> Set("p_retailprice"), // distinct prices
+      "q_revenue_share"  -> Set(""))            // 25-row nation frame
+    val found = scala.collection.mutable.Map
+      .empty[String, Set[String]].withDefaultValue(Set.empty)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, b) =>
+      // eager builders run real pipelines at construction; their
+      // results are sink reads / local snapshots with no windows —
+      // excluded to keep this test plan-only and cheap
+      if (!SparkEntry.eagerQueries(name)) {
+        b(spark, sf).queryExecution.optimizedPlan.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            val sig = w.orderSpec.map(_.sql.split(" ").head).mkString(",")
+            found(name) = found(name) + sig
+          case _ =>
+        }
+      }
+    }
+    val illegal = found.toSeq.flatMap { case (n, sigs) =>
+      (sigs -- allowed.getOrElse(n, Set.empty)).map(s => s"$n[$s]")
+    }.sorted
+    assert(illegal.isEmpty,
+      s"unallowlisted single-partition windows: ${illegal.mkString(", ")}")
+    val stale = allowed.toSeq.flatMap { case (n, sigs) =>
+      (sigs -- found(n)).map(s => s"$n[$s]")
+    }.sorted
+    assert(stale.isEmpty, s"stale allowlist entries (clean up): ${stale.mkString(", ")}")
+  }
+
+  test("lateness audit: both prefix-scan branches REUSE one range exchange") {
+    // qLatenessAudit's two branches must read the SAME physical range
+    // exchange — boundaries are sampled per exchange, so two separate
+    // exchanges could partition differently and silently corrupt the
+    // running max (documented at DiagnosticsQueries.qLatenessAudit).
+    // Executed (AQE-final) plan: exactly one RangePartitioning
+    // exchange + at least one reuse marker referencing it.
+    val df = graft.operators.DiagnosticsQueries.qLatenessAudit(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val nRange = "rangepartitioning".r.findAllIn(p.toLowerCase)
+      .size
+    val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+    assert(reused, s"no exchange reuse in lateness-audit plan:\n${p.take(2000)}")
+    assert(nRange <= 2, // the reused exchange prints its partitioning twice at most
+      s"multiple distinct range exchanges ($nRange range partitionings):\n${p.take(2000)}")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan, schema pruned") {
     val p = plan(Relational.q1Agg(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)

@@ -35,28 +35,44 @@ def main(sf_dir, out_dir, bench_json=None):
     for name in sorted(oracle):
         print(f"# timing {name}", file=sys.stderr, flush=True)
         best = None
-        ok = True
+        err = None
         for _ in range(2):  # min-of-2, like the Spark bench
             # a runaway oracle (e.g. a quadratic CTE at a bigger SF than
             # the gate runs) must not wedge the whole baseline: interrupt
             # after 120s and record -2 (distinguishable from error -1)
             import threading
-            timer = threading.Timer(120.0, con.interrupt)
+            fired = threading.Event()
+
+            def watchdog():
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(120.0, watchdog)
             timer.start()
             t0 = time.time()
             try:
                 con.sql(oracle[name]).fetchall()
             except Exception as e:
-                ok = False
-                times[name] = -2.0 if "INTERRUPT" in str(e).upper() else -1.0
+                err = -2.0 if "INTERRUPT" in str(e).upper() else -1.0
                 print(f"#   {name}: {e}"[:200], file=sys.stderr, flush=True)
                 break
             finally:
                 timer.cancel()
+                # the interrupt can fire BETWEEN query completion and
+                # cancel(), poisoning the shared connection for the
+                # NEXT oracle — if it fired, drain it with a throwaway
+                # statement so the pending interrupt lands here
+                if fired.is_set():
+                    try:
+                        con.sql("SELECT 1").fetchall()
+                    except Exception:
+                        pass
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        if ok:
-            times[name] = round(best, 4)
+        # a successful attempt's time is kept even when a later
+        # attempt errors/times out; error sentinels only when NO
+        # attempt succeeded
+        times[name] = round(best, 4) if best is not None else err
     total = sum(v for v in times.values() if v >= 0)
     ratios = {}
     for name, d in times.items():
