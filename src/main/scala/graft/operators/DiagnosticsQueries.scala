@@ -83,38 +83,45 @@ object DiagnosticsQueries {
     * two-phase scan, all partitions working in parallel at any scale.
     * Result is partitioning-invariant (the oracle replays it as one
     * global window).
+    *
+    * Partition stability is BY CONSTRUCTION, not by planner courtesy:
+    * the range exchange is planned ONCE (`.rdd` freezes the physical
+    * plan into a single RDD lineage), the per-partition max pass and
+    * the offset-seeded scan pass both read that one materialized
+    * shuffle output (map-output reuse across jobs on the same
+    * ShuffleDependency), so the two phases cannot see different
+    * partitionings. This replaced an earlier two-plan-branch form
+    * whose correctness rode on ReuseExchange deduping two identical
+    * range exchanges — a dependency whose PlanShapeSpec tripwire
+    * fired (6 distinct exchanges) in round 7. The per-partition max
+    * collect is 32 longs (partition-count-sized, never data-sized);
+    * the construction-time job makes this an eagerQueries member,
+    * same contract as qPpsSample's prefix sum.
     */
   def qLatenessAudit(spark: SparkSession, dir: String): DataFrame = {
-    // CORRECTNESS DEPENDENCY — ReuseExchange: the pid-tagged frame
-    // feeds TWO plan branches (the per-partition max aggregate and
-    // the join side). Range boundaries are SAMPLED per physical
-    // exchange, so pid consistency between the branches requires the
-    // planner to dedupe the identical exchange subtree (ReuseExchange,
-    // on by default). If it ever failed, the branches could partition
-    // differently and the running max silently corrupt — so the
-    // dependency is PINNED RED in PlanShapeSpec ("lateness audit
-    // reuses ONE range exchange"): a planner change that breaks reuse
-    // fails the suite, not the data. (A localCheckpoint pin was
-    // evaluated and rejected: under AQE it materializes the frame at
-    // plan-build time — an eager pass the lazy contract shouldn't pay.)
-    val ev = Tables(spark, dir).events
+    import spark.implicits._
+    val parts = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .repartitionByRange(32, col("user_id"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
-    // partition-count-sized frame: exclusive prefix max per pid (the
-    // single-partition window is over <= 32 rows — aggregate-sized)
-    val prefixes = ev.groupBy(col("pid")).agg(max(col("us")).as("pmax"))
-      .withColumn("prefix", max(col("pmax")).over(
-        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("pid"), col("prefix"))
-    val inPart = Window.partitionBy(col("pid"))
-      .orderBy(col("user_id"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = ev.join(broadcast(prefixes), "pid")
-      .withColumn("runmax",
-        greatest(max(col("us")).over(inPart),
-          coalesce(col("prefix"), lit(Long.MinValue))))
-      .withColumn("late", col("runmax") - col("us"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .as[(Long, Long, Long)].rdd
+    // phase 1: ONE long per partition to the driver (32 values)
+    val partMax = parts.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue
+      it.foreach(t => if (t._3 > m) m = t._3)
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive prefix max: partition i's seed = max over partitions < i
+    val bcPre = spark.sparkContext.broadcast(
+      partMax.scanLeft(Long.MinValue)(math.max))
+    // phase 2: offset-seeded in-partition running max, all parallel
+    val late = parts.mapPartitionsWithIndex { (i, it) =>
+      var run = bcPre.value(i)
+      it.map { case (_, _, us) =>
+        if (us > run) run = us
+        run - us
+      }
+    }.toDF("late")
     late
       .withColumn("bucket",
         when(col("late") === 0L, "a_on_time")

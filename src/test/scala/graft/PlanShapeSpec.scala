@@ -26,8 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // if the frame is fact-sized. Every current occurrence is over a
     // provably bounded frame (audited r6): day-calendar aggregates
     // (q_anomaly/q_changepoint/q_robust_anomaly order by day; the
-    // robust ranks order a day-count frame), the partition-count
-    // frame in the lateness audit (one row per spark partition), the
+    // robust ranks order a day-count frame), the
     // distinct-price frame of the pareto front, and q_revenue_share's
     // 25-row nation aggregate. A NEW global window failing this list
     // is exactly the regression this test exists to catch — either
@@ -38,7 +37,6 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_anomaly"        -> Set("d"),           // day calendar
       "q_changepoint"    -> Set("d"),           // day calendar
       "q_robust_anomaly" -> Set("", "dev2x,d", "r,d"), // day-count frames
-      "q_lateness_audit" -> Set("pid"),         // one row per partition
       "q_pareto_front"   -> Set("p_retailprice"), // distinct prices
       "q_revenue_share"  -> Set(""))            // 25-row nation frame
     val found = scala.collection.mutable.Map
@@ -67,22 +65,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"stale allowlist entries (clean up): ${stale.mkString(", ")}")
   }
 
-  test("lateness audit: both prefix-scan branches REUSE one range exchange") {
-    // qLatenessAudit's two branches must read the SAME physical range
-    // exchange — boundaries are sampled per exchange, so two separate
-    // exchanges could partition differently and silently corrupt the
-    // running max (documented at DiagnosticsQueries.qLatenessAudit).
-    // Executed (AQE-final) plan: exactly one RangePartitioning
-    // exchange + at least one reuse marker referencing it.
+  test("lateness audit: prefix scan runs over ONE materialized partitioning") {
+    // qLatenessAudit's two phases (per-partition max, offset-seeded
+    // scan) must see the SAME partitioning. Since round 8 that holds
+    // by construction — both phases are jobs over one frozen RDD
+    // lineage (.rdd plans the range exchange once; map-output reuse
+    // serves both jobs), so the final plan must contain NO range
+    // exchange left for a planner to (mis)reuse: the result reads the
+    // pre-scanned RDD directly. This pin replaced the round-7
+    // ReuseExchange tripwire, which fired (6 distinct range exchanges
+    // where the two-branch form needed planner dedup to stay correct).
     val df = graft.operators.DiagnosticsQueries.qLatenessAudit(spark, sf)
     df.collect() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
-    val nRange = "rangepartitioning".r.findAllIn(p.toLowerCase)
-      .size
-    val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
-    assert(reused, s"no exchange reuse in lateness-audit plan:\n${p.take(2000)}")
-    assert(nRange <= 2, // the reused exchange prints its partitioning twice at most
-      s"multiple distinct range exchanges ($nRange range partitionings):\n${p.take(2000)}")
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    // the only permissible range exchange is the final 5-row bucket
+    // sort; any range partitioning on the event-order key means the
+    // scan left the frozen RDD lineage
+    assert(!p.contains("rangepartitioning(user_id"),
+      s"lateness-audit result plan re-partitions the events by range — the " +
+        s"prefix scan is no longer over one materialized partitioning:\n${p.take(2000)}")
+    assert(p.contains("scan[obj") || p.contains("existingrdd"),
+      s"lateness-audit result does not read the pre-scanned RDD:\n${p.take(2000)}")
   }
 
   test("q1: shipdate filter is pushed to the parquet scan, schema pruned") {
