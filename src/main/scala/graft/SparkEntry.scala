@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, DiagnosticsQueries, Extended, PipelineQueries, Relational, StreamQueries, TimeSeriesQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, DiagnosticsQueries, Extended, InterchangeQueries, PipelineQueries, Relational, StreamQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,13 +20,15 @@ object SparkEntry {
     relationalQueries ++ CdcQueries.queries ++ PipelineQueries.queries ++
       Extended.queries ++ CurationQueries.queries ++ CorpusQueries.queries ++
       StreamQueries.queries ++ AnalyticsQueries.queries ++
-      TimeSeriesQueries.queries ++ DiagnosticsQueries.queries
+      TimeSeriesQueries.queries ++ DiagnosticsQueries.queries ++
+      InterchangeQueries.queries
 
   def oracleSql: Map[String, String] =
     relationalOracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
       Extended.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++
       StreamQueries.oracles ++ AnalyticsQueries.oracles ++
-      TimeSeriesQueries.oracles ++ DiagnosticsQueries.oracles
+      TimeSeriesQueries.oracles ++ DiagnosticsQueries.oracles ++
+      InterchangeQueries.oracles
 
   /** Queries whose BUILDER runs Spark jobs at construction time —
     * "build the frame without executing" is impossible for these, so

@@ -23,7 +23,34 @@ object DerivedTable {
 
   def readOrBuild(spark: SparkSession, family: String, dir: String,
                   sources: Seq[String], params: String)
-                 (build: => DataFrame): DataFrame = lock.synchronized {
+                 (build: => DataFrame): DataFrame = {
+    val parts = math.min(32, spark.sparkContext.defaultParallelism)
+    // Land with enough part files that consumers get a PARALLEL
+    // scan: a small derived table naturally collapses to one
+    // parquet file (one row group = one Spark input split), which
+    // silently serializes every downstream pipeline until its
+    // first shuffle — measured 7-28x on the CDC parse block. The
+    // landed layout is a read-side concern, so fix it here once
+    // rather than in every builder. Row distribution is
+    // round-robin; no query result depends on file layout.
+    readOrBuildAs(spark, family, dir, sources, params)(
+      tmp => build.repartition(parts).write.mode("overwrite").parquet(tmp))(
+      // fingerprinted roots are immutable once landed — reads go
+      // through the schema cache so repeat builds skip the
+      // footer-inference job
+      root => Tables.loadCached(spark, root))
+  }
+
+  /** Format-generic twin of [[readOrBuild]]: same fingerprint-keyed
+    * atomic landing, but the caller supplies the writer and reader —
+    * the seam the CSV/JSON/ORC interchange round-trips land through
+    * (their on-disk bytes ARE the thing under test, so the landing
+    * format must be the interchange format, not parquet).
+    */
+  def readOrBuildAs(spark: SparkSession, family: String, dir: String,
+                    sources: Seq[String], params: String)
+                   (write: String => Unit)
+                   (read: String => DataFrame): DataFrame = lock.synchronized {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-$family",
       java.lang.Long.toHexString(fingerprint(dir, sources, params))).toString
@@ -31,16 +58,7 @@ object DerivedTable {
     if (!java.nio.file.Files.exists(rootPath)) {
       val tmp = java.nio.file.Paths.get(
         root + ".tmp-" + ProcessHandle.current().pid())
-      // Land with enough part files that consumers get a PARALLEL
-      // scan: a small derived table naturally collapses to one
-      // parquet file (one row group = one Spark input split), which
-      // silently serializes every downstream pipeline until its
-      // first shuffle — measured 7-28x on the CDC parse block. The
-      // landed layout is a read-side concern, so fix it here once
-      // rather than in every builder. Row distribution is
-      // round-robin; no query result depends on file layout.
-      val parts = math.min(32, spark.sparkContext.defaultParallelism)
-      build.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+      write(tmp.toString)
       try java.nio.file.Files.move(tmp, rootPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException
@@ -48,9 +66,7 @@ object DerivedTable {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }
-    // fingerprinted roots are immutable once landed — reads go through
-    // the schema cache so repeat builds skip the footer-inference job
-    Tables.loadCached(spark, root)
+    read(root)
   }
 
   /** Metadata-only fingerprint (never reads data). */
