@@ -39,8 +39,8 @@ object SparkEntry {
     *     Structured Streaming pipeline to completion and returns the
     *     sink as a batch frame;
     *   - iterative / snapshot kernels (k-core, PageRank fixpoints,
-    *     decile-lift's 10-row snapshot, the store version-diff's two
-    *     merges, PPS sampling's per-partition offset pass): each
+    *     decile-lift's 10-row snapshot, the prefix scans'
+    *     per-partition offset pass): each
     *     round must materialize before the next builds on it, and
     *     generation caches release once the small result is out;
     *   - landed-artifact reads (the BPE vocab collect, the shingle
@@ -49,7 +49,10 @@ object SparkEntry {
     * NOT in the set: builders that run jobs only on a COLD
     * DerivedTable cache (q_cdc_* via the lines table, q_dup_clusters
     * via the landed cluster table, q_bpe_merges via the landed
-    * vocab): those are idempotent cache-warming, lazy once landed.
+    * vocab, q_store_changes/q_store_timetravel via the landed
+    * two-merge store, the interchange round-trips via their landed
+    * format copies): those are idempotent cache-warming, lazy once
+    * landed.
     * ContractSpec asserts this set mechanically (job-group listener
     * around every builder).
     */
@@ -58,7 +61,7 @@ object SparkEntry {
     "q_stream_session", "q_stream_window", "q_stream_ingest",
     "q_stream_sketch", "q_stream_join", "q_stream_hll",
     "q_stream_session_tws", "q_stream_rate_limit", "q_stream_decontaminate",
-    "q_store_changes", "q_kcore", "q_pagerank", "q_decile_lift",
+    "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
     "q_ngram_adaptive", "q_containment_pairs",
     // the zipWithIndex total-rank pattern (the scale-correct

@@ -223,6 +223,39 @@ object CdcQueries {
       .orderBy(col("id"))
   }
 
+  private val storeLock = new Object
+
+  /** The two-merge snapshot-store history shared by q_store_changes
+    * and q_store_timetravel: even-id changes merged as v1, odd-id as
+    * v2. Built ONCE per corpus at a fingerprint-keyed root (the
+    * clustersTable discipline) — the store's manifests record
+    * absolute paths, so it is built in place rather than
+    * rename-landed; a partial build (crash between merges) is
+    * detected by version count and rebuilt. Queries over a landed
+    * store bill only their read (file-level diff / as-of scan), the
+    * way a real pipeline reads its committed table instead of
+    * re-ingesting the feed. Replaces the per-construction temp store
+    * that leaked a full two-version directory every build
+    * (deleteOnExit cannot remove non-empty dirs).
+    */
+  private def twoMergeStore(spark: SparkSession,
+                            dir: String): graft.store.SnapshotStore =
+    storeLock.synchronized {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-change-store",
+        java.lang.Long.toHexString(graft.sources.DerivedTable.fingerprint(
+          dir, Seq("events"), "two-merge-even-odd"))).toString
+      var store = new graft.store.SnapshotStore(spark, root, "user_id")
+      if (store.versions().length != 2) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        store = new graft.store.SnapshotStore(spark, root, "user_id")
+        val p = parsed(spark, dir)
+        store.merge(p.filter(pmod(col("id"), lit(2)) === 0))
+        store.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+      }
+      store
+    }
+
   /** A21 under the gate: version-diff read on the snapshot store —
     * `changes(v1, v2)` over a two-merge history must equal the
     * multiset difference of the two full snapshots (copy-on-write
@@ -231,15 +264,30 @@ object CdcQueries {
     * while reading only the files the second merge touched).
     */
   def qStoreChanges(spark: SparkSession, dir: String): DataFrame = {
-    val p = parsed(spark, dir)
-    val storeDir = java.nio.file.Files.createTempDirectory("gq-changes-store")
-    storeDir.toFile.deleteOnExit()
-    val store = new graft.store.SnapshotStore(spark, storeDir.toString, "user_id")
-    val v1 = store.merge(p.filter(pmod(col("id"), lit(2)) === 0))
-    val v2 = store.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+    val store = twoMergeStore(spark, dir)
+    val Seq(v1, v2) = store.versions().sorted.take(2)
     store.changes(v1, v2)
       .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
         col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A17 under the gate: time travel — `readVersion` on the
+    * PREVIOUS version of the two-merge history must reproduce the
+    * snapshot as it stood before the second merge (= the upsert
+    * snapshot of only the even-id changes), and `versions()` must
+    * list exactly the two retained versions. The as-of read plans
+    * from v1's manifest alone: files rewritten by the second merge
+    * stay visible to v1 (copy-on-write), which is the entire point
+    * of retaining versions.
+    */
+  def qStoreTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val store = twoMergeStore(spark, dir)
+    val vs = store.versions().sorted
+    store.readVersion(vs.head)
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .withColumn("n_versions", lit(vs.length.toLong))
       .orderBy(col("user_id"))
   }
 
@@ -247,6 +295,7 @@ object CdcQueries {
     "q_cdc_route"      -> (qCdcRoute _),
     "q_cdc_quarantine" -> (qCdcQuarantine _),
     "q_store_changes"  -> (qStoreChanges _),
+    "q_store_timetravel" -> (qStoreTimetravel _),
     "q_pit_features"   -> (qPitFeatures _),
     "q_cdc_scd2"       -> (qCdcScd2 _),
     "q_table_diff"     -> (qTableDiff _),
@@ -282,6 +331,19 @@ object CdcQueries {
 
     // changes(v1, v2) == soft-delete snapshot of the FULL log
     // EXCEPT ALL the snapshot of the even-id half (v1)
+    // as-of read of v1 == upsert snapshot over only the even-id
+    // half of the log, exactly q_store_changes' snap1 CTE
+    "q_store_timetravel" ->
+      s"""SELECT user_id, event_id AS last_id,
+         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         | CAST(2 AS BIGINT) AS n_versions
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn
+         |      FROM events WHERE event_id % 2 = 0)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_store_changes" ->
       s"""WITH snap AS (
          | SELECT user_id, event_id AS last_id,

@@ -69,9 +69,12 @@ object DerivedTable {
     read(root)
   }
 
-  /** Metadata-only fingerprint (never reads data). */
-  private def fingerprint(dir: String, sources: Seq[String],
-                          params: String): Long = {
+  /** Metadata-only fingerprint (never reads data). Package-visible:
+    * artifacts that cannot land by atomic rename (the snapshot store
+    * records absolute file paths in its manifests) key their
+    * build-in-place roots on the same fingerprint. */
+  private[graft] def fingerprint(dir: String, sources: Seq[String],
+                                 params: String): Long = {
     import scala.jdk.CollectionConverters._
     val parts: Seq[String] = sources.flatMap { t =>
       val base = java.nio.file.Paths.get(dir, s"$t.parquet")

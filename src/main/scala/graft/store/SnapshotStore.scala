@@ -459,12 +459,16 @@ final class SnapshotStore(
     val toPaths = toM.map(_.path).toSet
     val added = toM.filterNot(f => fromPaths(f.path)).map(_.path)
     val dropped = fromM.filterNot(f => toPaths(f.path)).map(_.path)
+    // read each side through ITS version's manifest schema (readFiles)
+    // — plan-time exact under schema evolution, and no footer-inference
+    // job per construction (a raw spark.read.parquet without a schema
+    // runs one every call)
     val newRows =
       if (added.isEmpty) readVersion(vTo).limit(0)
-      else spark.read.parquet(added: _*)
+      else readFiles(vTo, added)
     val oldRows =
       if (dropped.isEmpty) newRows.limit(0)
-      else spark.read.parquet(dropped: _*)
+      else readFiles(vFrom, dropped)
     newRows.exceptAll(oldRows)
   }
 

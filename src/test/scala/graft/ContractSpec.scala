@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     val qKeys = SparkEntry.queries.keySet
     val oKeys = SparkEntry.oracleSql.keySet
     assert((oKeys -- qKeys).isEmpty, s"oracles without queries: ${oKeys -- qKeys}")
-    // Map ++ silently drops duplicate keys between blocks — ALL NINE
+    // Map ++ silently drops duplicate keys between blocks — ALL
     // blocks (incl. the relational one) must be pairwise disjoint so
     // no query gets shadowed, and their sizes must sum to the total
     // (that sum check is what catches a block missing from this list)
@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.StreamQueries.queries.keySet,
       graft.operators.AnalyticsQueries.queries.keySet,
       graft.operators.TimeSeriesQueries.queries.keySet,
-      graft.operators.DiagnosticsQueries.queries.keySet)
+      graft.operators.DiagnosticsQueries.queries.keySet,
+      graft.operators.InterchangeQueries.queries.keySet)
     for (i <- blocks.indices; j <- blocks.indices if i < j)
       assert((blocks(i) & blocks(j)).isEmpty,
         s"duplicate query names across blocks: ${blocks(i) & blocks(j)}")
