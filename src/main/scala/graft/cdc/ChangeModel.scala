@@ -105,4 +105,16 @@ object ChangeModel {
           col("event_type").as("EVENT_TYPE"),
           col("value").as("VALUE")).as("after"))).as("line"),
       col("ts"))
+
+  /** [[mixedChangeLines]] landed once per corpus — same lineage-
+    * sharing rationale as [[linesTable]]: the multi-table topic is
+    * the pipeline's INPUT, so its fabrication is paid once and every
+    * routing/fan-out consumer reads the landed table. */
+  def mixedLinesTable(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(
+      spark, "cdc-mixed-lines", dir, Seq("events"), "v1") {
+      mixedChangeLines(graft.sources.Tables(spark, dir).events)
+        .select(col("line"), col("ts"))
+    }
 }

@@ -195,7 +195,7 @@ object CdcQueries {
     * exactly the odd-id records with the normalized table name.
     */
   def qCdcRoute(spark: SparkSession, dir: String): DataFrame = {
-    val lines = ChangeModel.mixedChangeLines(Tables(spark, dir).events)
+    val lines = ChangeModel.mixedLinesTable(spark, dir)
     CdcOps.routeTable(CdcOps.parse(lines), "orders")
       .select(col("id"), col("user_id"), col("op_type"), col("tab_name"))
       .orderBy(col("id"))
