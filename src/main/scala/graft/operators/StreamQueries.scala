@@ -457,7 +457,53 @@ object StreamQueries {
     spark.read.parquet(outDir).distinct().orderBy(col("doc_id"))
   }
 
+  /** A12/A19 under the gate: the batch-throughput sync log. A
+    * two-arrival stream (even event ids, then odd) runs with a
+    * [[graft.streaming.RateListener]] whose file sink appends the
+    * reference-format line per micro-batch
+    * [ref: LoggerManager.scala:38-60, 62-100]; the DATED LOG FILE is
+    * then parsed back into (batch_id, n_rows, rate_positive) and
+    * oracle-compared — the logged totals must be exactly the two
+    * arrival counts, so a dropped batch, a double-fired listener, or
+    * a mis-formatted line all fail the gate. rec/s is wall-clock
+    * (non-deterministic), so the gate pins only its positivity.
+    */
+  def qStreamSyncLog(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val inDir = tmp("gq-slog-in")
+    val logDir = tmp("gq-slog-log")
+    val ckpt = tmp("gq-slog-ckpt")
+    val listener = new graft.streaming.RateListener(Some(logDir))
+    spark.streams.addListener(listener)
+    try {
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir + "/batch0")
+      val q = spark.readStream.schema(ev.schema).parquet(inDir + "/*/")
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir + "/batch1")
+      q.processAllAvailable()
+      // progress events arrive on the async listener bus — wait for
+      // both batch lines before reading the log back
+      val deadline = System.currentTimeMillis() + 20000
+      while (listener.reports.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.stop()
+    } finally spark.streams.removeListener(listener)
+    spark.read.text(logDir + "/sync-*.log")
+      .select(
+        regexp_extract(col("value"), "batch=(\\d+)", 1).cast("long").as("batch_id"),
+        regexp_extract(col("value"), "total=(\\d+)", 1).cast("long").as("n_rows"),
+        (regexp_extract(col("value"), "rate=(\\d+\\.\\d+)", 1).cast("double") >= 0)
+          .as("rate_positive"))
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sync_log"     -> (qStreamSyncLog _),
     "q_stream_rate_limit"   -> (qStreamRateLimit _),
     "q_stream_decontaminate" -> (qStreamDecontaminate _),
     "q_stream_join"        -> (qStreamJoin _),
@@ -473,6 +519,16 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the two logged batch totals == the two arrival counts
+    "q_stream_sync_log" ->
+      """SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows, true AS rate_positive
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), true
+        |FROM events WHERE event_id % 2 <> 0
+        |ORDER BY batch_id""".stripMargin,
+
     // identical to q_stream_cdc_snapshot's oracle: the rate-limited
     // multi-batch fold must converge to the same full-log snapshot
     "q_stream_rate_limit" ->
