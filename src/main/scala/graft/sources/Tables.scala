@@ -57,9 +57,18 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   private[graft] def loadCached(spark: SparkSession, path: String): DataFrame = {
-    val key = path + "@" + new java.io.File(path).lastModified()
-    val schema = schemaCache.computeIfAbsent(key,
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    // lastModified() == 0 means "not a local file we can fingerprint"
+    // (scheme path, missing dir) — fall back to uncached inference
+    // rather than serve a potentially-stale schema forever
+    val mtime = new java.io.File(path).lastModified()
+    if (mtime == 0L) spark.read.parquet(path)
+    else {
+      // bound the cache: rewritten-in-place tables leave dead mtime
+      // keys behind; a rare full clear just re-infers once per table
+      if (schemaCache.size > 1024) schemaCache.clear()
+      val schema = schemaCache.computeIfAbsent(path + "@" + mtime,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
   }
 }

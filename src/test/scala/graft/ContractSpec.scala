@@ -58,7 +58,16 @@ class ContractSpec extends AnyFunSuite {
       val group = s"eager-check-$name"
       sc.setJobGroup(group, name)
       try b(spark, sf) finally sc.clearJobGroup()
-      val ran = sc.statusTracker.getJobIdsForGroup(group).nonEmpty
+      // the status store is fed by the ASYNC listener bus, so a
+      // just-completed construction job may not be visible yet —
+      // re-poll before declaring a mismatch (no wait on agreement,
+      // so the happy path stays fast in both directions)
+      var ran = sc.statusTracker.getJobIdsForGroup(group).nonEmpty
+      val deadline = System.currentTimeMillis() + 3000
+      while (ran != eager(name) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        ran = sc.statusTracker.getJobIdsForGroup(group).nonEmpty
+      }
       if (ran == eager(name)) None
       else if (ran) Some(s"$name runs jobs at construction but is not declared eager")
       else Some(s"$name is declared eager but ran no jobs at construction")

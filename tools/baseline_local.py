@@ -58,6 +58,10 @@ def main(sf_dir, out_dir, bench_json=None):
                 break
             finally:
                 timer.cancel()
+                # cancel() doesn't stop an ALREADY-RUNNING watchdog:
+                # join() waits for any in-flight action to finish so
+                # fired reflects reality before we check it
+                timer.join()
                 # the interrupt can fire BETWEEN query completion and
                 # cancel(), poisoning the shared connection for the
                 # NEXT oracle — if it fired, drain it with a throwaway
