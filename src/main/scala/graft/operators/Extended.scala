@@ -445,7 +445,35 @@ object Extended {
       .orderBy(col("stage"))
   }
 
+  /** B22 under the gate: the typed `Aggregator` surface. Two
+    * Aggregators run through the Dataset API — WeightedMeanCents
+    * (exact long accumulation, merge-associative; the weight is the
+    * deterministic 1.0 + event_id % 5) and RangeDigest (mergeable
+    * n/min/max state) — and their outputs are replayed in plain SQL
+    * by the oracle. Typed aggregation partial-aggregates map-side
+    * like any built-in (the property that matters at shuffle scale);
+    * what the gate pins is that reduce/merge/finish compute exactly
+    * what the declarative twin computes.
+    */
+  def qTypedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("value"),
+        (lit(1.0) + pmod(col("event_id"), lit(5)).cast("double")).as("w"))
+      .as[(String, Double, Double)]
+    val wmean = ev.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new TypedAggs.WeightedMeanCents().toColumn.name("wmean"))
+      .toDF("event_type", "wmean")
+    val digest = ev.groupByKey(_._1).mapValues(_._2)
+      .agg(new TypedAggs.RangeDigest().toColumn.name("d"))
+      .toDF("event_type", "d")
+      .select(col("event_type"), col("d.n").as("n"),
+        col("d.min").as("vmin"), col("d.max").as("vmax"))
+    wmean.join(digest, "event_type").orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typed_agg"     -> (qTypedAgg _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_funnel"       -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
@@ -474,6 +502,18 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    // WeightedMeanCents.finish = (sum4 / 100.0) / w100, replayed with
+    // the same operand order so the double divisions are bit-identical;
+    // min/max are exact data values (no float arithmetic)
+    "q_typed_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |           (100 + (event_id % 5) * 100)) AS BIGINT) / 100.0
+        |    / CAST(sum(100 + (event_id % 5) * 100) AS BIGINT) AS wmean,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_revenue_share" ->
       """WITH rev AS (
         | SELECT n_name,

@@ -74,10 +74,81 @@ object InterchangeQueries {
     auditAgg(back)
   }
 
+  /** D4 under the gate: date-partitioned writes + partition-pruned
+    * read. Events land once per corpus through writeEventsByDay
+    * (one directory per event_date); the query filters a 6-day
+    * window ON THE PARTITION COLUMN — the scan plans only matching
+    * directories (PartitionFilters, pinned in PlanShapeSpec) — and
+    * aggregates per day. The oracle replays the same window over the
+    * raw parquet, so a row landed in the wrong partition, dropped,
+    * or double-written fails the gate.
+    */
+  def qPartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    // explicit schema (event_date pinned as string): no footer
+    // inference job per construction, no partition-type guessing
+    val landedSchema = ev
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")).schema
+    val back = DerivedTable.readOrBuildAs(spark, "rt-evday", dir,
+      Seq("events"), "v1")(
+      tmp => Writers.writeEventsByDay(ev, tmp))(
+      root => spark.read.schema(landedSchema).parquet(root))
+    back.filter(col("event_date").between("2024-01-10", "2024-01-15"))
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("event_date"))
+  }
+
+  /** D1 under the gate: bucketed co-located join. Orders and
+    * customer land as 8-bucket tables on the join key (bucketBy +
+    * sortBy through the session warehouse — Spark's bucketing lives
+    * in the catalog, so the landing is per-session, overwrite-
+    * idempotent, fingerprint-named per corpus); the MERGE hint forces
+    * the sort-merge path where bucketing eliminates BOTH shuffles
+    * (the small side would otherwise broadcast and bypass the
+    * machinery under test — PlanShapeSpec pins the no-exchange
+    * shape). The oracle replays the join-aggregate over the raw
+    * parquet: bucket routing errors (wrong hash, wrong bucket count)
+    * surface as lost/duplicated join matches.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fp = java.lang.Long.toHexString(DerivedTable.fingerprint(
+      dir, Seq("orders", "customer"), "bucket8-v1"))
+    val oT = s"graft_orders_b_$fp"
+    val cT = s"graft_cust_b_$fp"
+    // EXTERNAL path-based tables under tmpdir: bucket metadata lives
+    // in the session catalog (Spark bucketing is catalog state), but
+    // a managed table's warehouse location would outlive the catalog
+    // across JVMs and block re-registration — an explicit per-corpus
+    // path + overwrite is idempotent in every session
+    def land(df: DataFrame, name: String, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val path = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-bucketed", name).toString
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", path)
+          .mode("overwrite").format("parquet").saveAsTable(name)
+      }
+    land(t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice")), oT, "o_custkey")
+    land(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+      cT, "c_custkey")
+    spark.table(oT).hint("merge")
+      .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
+    "q_partitioned_scan" -> (qPartitionedScan _),
+    "q_bucketed_join"  -> (qBucketedJoin _),
   )
 
   // one oracle body: the comparison against the PARQUET ORIGINAL is
@@ -97,5 +168,21 @@ object InterchangeQueries {
     "q_csv_roundtrip"  -> auditSql,
     "q_json_roundtrip" -> auditSql,
     "q_orc_roundtrip"  -> auditSql,
+
+    "q_partitioned_scan" ->
+      """SELECT strftime(cast(ts as timestamp), '%Y-%m-%d') AS event_date,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE strftime(cast(ts as timestamp), '%Y-%m-%d')
+        |  BETWEEN '2024-01-10' AND '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -319,6 +319,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gate queries: bucketed join shuffles neither side; partitioned scan prunes") {
+    // q_bucketed_join's MERGE hint must ride the bucket layout (no
+    // exchange on either join key), and q_partitioned_scan's date
+    // filter must reach the scan as PartitionFilters — otherwise the
+    // gates still pass on values but the layouts under test are dead.
+    val pb = plan(graft.operators.InterchangeQueries.qBucketedJoin(spark, sf))
+    assert(pb.contains("SortMergeJoin"), pb)
+    assert(!pb.contains("Exchange hashpartitioning(o_custkey"), pb)
+    assert(!pb.contains("Exchange hashpartitioning(c_custkey"), pb)
+    val ps = plan(graft.operators.InterchangeQueries.qPartitionedScan(spark, sf))
+    assert(ps.contains("PartitionFilters: ["), ps)
+    assert(ps.contains("event_date"), ps)
+  }
+
   test("AQE splits the skewed partition of a hot-key sort-merge join") {
     // SURVEY §5 claims "AQE skew-join on" — this pins that the claim
     // actually ENGAGES. One hot key owns ~95% of the left side; with
