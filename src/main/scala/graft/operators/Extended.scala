@@ -472,7 +472,37 @@ object Extended {
     wmean.join(digest, "event_type").orderBy(col("event_type"))
   }
 
+  /** B23's language surface under the gate: the SQL-text path. The
+    * function table that `GraftExtensions` injects and
+    * `functions.registerAll` registers is ONE shared builders list
+    * (they cannot drift — ApiSurfaceSpec pins the withExtensions
+    * session itself); this gate drives that registry through
+    * `spark.sql` name resolution — SQL-literal argument coercion
+    * (intArg paths) included — with the B9b accuracy-gate pattern:
+    * the exact count replays in the oracle, the sketch's closeness
+    * is a deterministic boolean.
+    */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    Tables(spark, dir).events.createOrReplaceTempView("g_events_sql")
+    spark.sql(
+      """WITH s AS (
+        |  SELECT event_type,
+        |    count(DISTINCT user_id) AS n_exact,
+        |    hll_distinct(user_id, 14) AS n_hll,
+        |    cms_query(cms_sketch(user_id, 4, 14), min(user_id)) AS cms_min_user
+        |  FROM g_events_sql GROUP BY event_type)
+        |SELECT event_type, n_exact,
+        |  (abs(n_hll - n_exact) <= greatest(CAST(n_exact * 5 DIV 100 AS BIGINT),
+        |                                    CAST(10 AS BIGINT))) AS hll_ok,
+        |  -- CMS never under-estimates and the group's min user occurs
+        |  -- at least once, so >= 1 is deterministic
+        |  (cms_min_user >= 1) AS cms_ge_true
+        |FROM s ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_surface"   -> (qSqlSurface _),
     "q_typed_agg"     -> (qTypedAgg _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_funnel"       -> (qFunnel _),
@@ -502,6 +532,12 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_surface" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  true AS hll_ok, true AS cms_ge_true
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // WeightedMeanCents.finish = (sum4 / 100.0) / w100, replayed with
     // the same operand order so the double divisions are bit-identical;
     // min/max are exact data values (no float arithmetic)
