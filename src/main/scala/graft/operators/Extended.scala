@@ -263,20 +263,48 @@ object Extended {
     * the oracle verifies sketch accuracy under the driver's real
     * partitioning.
     */
-  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_returnflag"))
-      // ONE shared exact-percentile buffer for all three points (an
-      // array percentile), not three aggregates each buffering the
-      // whole column — measured ~3x on the materialized aggregate
-      .agg(percentile(col("l_extendedprice"),
-          array(lit(0.45), lit(0.5), lit(0.55))).as("ps"),
-        graft.functions.approx_quantile(col("l_extendedprice"), 0.5).as("est"))
-      .select(col("l_returnflag"), col("ps")(0).as("p45"),
-        col("ps")(1).as("p50"), col("ps")(2).as("p55"), col("est"))
-      .select(col("l_returnflag"), col("p50"),
-        (col("est") >= col("p45") && col("est") <= col("p55")).as("sketch_ok"))
+  /** Exact per-group percentiles by DISTRIBUTED RANK, not the
+    * `percentile()` aggregate: that aggregate buffers the whole
+    * group's column in one aggregation buffer (OOM-shaped at scale
+    * and the dominant cost of both quantile gates). Here the group
+    * sorts through a window (spillable external sort), only the <= 2
+    * rows per probe point survive the rank filter, and the aggregate
+    * interpolates exactly the way `percentile()` does —
+    * `vLo + (idx - floor(idx)) * (vHi - vLo)` with idx = q*(n-1) —
+    * so the result is bit-identical and the existing oracles hold.
+    * Returns (grp, p0..p{k-1}) in probe order.
+    */
+  private def exactPercentilesRank(df: DataFrame, grp: String, v: String,
+                                   qs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(grp)).orderBy(col(v))
+    val wn = Window.partitionBy(col(grp))
+    val ranked = df.select(col(grp), col(v))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    def rowIdx(q: Double) = lit(q) * (col("n") - 1)
+    val needed = qs.map { q =>
+      (col("r") === floor(rowIdx(q)) + 1) || (col("r") === ceil(rowIdx(q)) + 1)
+    }.reduce(_ || _)
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      val idx = lit(q) * (max(col("n")) - 1)
+      val lo = max(when(col("r") === floor(rowIdx(q)) + 1, col(v)))
+      val hi = max(when(col("r") === ceil(rowIdx(q)) + 1, col(v)))
+      (lo + (idx - floor(idx)) * (hi - lo)).as(s"p$i")
+    }
+    ranked.filter(needed).groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val exact = exactPercentilesRank(li, "l_returnflag", "l_extendedprice",
+      Seq(0.45, 0.5, 0.55))
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.approx_quantile(col("l_extendedprice"), 0.5).as("est"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("p1").as("p50"),
+        (col("est") >= col("p0") && col("est") <= col("p2")).as("sketch_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** B21c: t-digest quantiles — same accuracy-gate shape as
     * q_quantile_sketch, but ALSO gated at the p95 tail, where the k1
@@ -284,26 +312,24 @@ object Extended {
     * uniform-capacity compactor can't honor a +/-1pp band there with
     * the same memory).
     */
-  def qQuantileTdigest(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_returnflag"))
-      // ONE shared exact-percentile buffer for all five points (the
-      // B21b array-percentile discipline)
-      .agg(percentile(col("l_extendedprice"),
-          array(lit(0.45), lit(0.5), lit(0.55), lit(0.94), lit(0.96))).as("ps"),
-        // ONE digest build answers both probes (the array form) — two
-        // single-q calls each built a separate 600k-insert digest
-        graft.functions.tdigest_quantiles(
-          col("l_extendedprice"), Seq(0.5, 0.95)).as("ests"))
-      .select(col("l_returnflag"), col("ps"),
+  def qQuantileTdigest(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    // exact side via the distributed rank scan (B21b discipline);
+    // ONE digest build answers both probes (the array form) — two
+    // single-q calls each built a separate 600k-insert digest
+    val exact = exactPercentilesRank(li, "l_returnflag", "l_extendedprice",
+      Seq(0.45, 0.5, 0.55, 0.94, 0.96))
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.tdigest_quantiles(
+        col("l_extendedprice"), Seq(0.5, 0.95)).as("ests"))
+      .select(col("l_returnflag"),
         col("ests")(0).as("est50"), col("ests")(1).as("est95"))
-      .select(col("l_returnflag"), col("ps")(0).as("p45"), col("ps")(1).as("p50"),
-        col("ps")(2).as("p55"), col("ps")(3).as("p94"), col("ps")(4).as("p96"),
-        col("est50"), col("est95"))
-      .select(col("l_returnflag"), col("p50"),
-        (col("est50") >= col("p45") && col("est50") <= col("p55")).as("mid_ok"),
-        (col("est95") >= col("p94") && col("est95") <= col("p96")).as("tail_ok"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("p1").as("p50"),
+        (col("est50") >= col("p0") && col("est50") <= col("p2")).as("mid_ok"),
+        (col("est95") >= col("p3") && col("est95") <= col("p4")).as("tail_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Ranking window functions: rank/dense_rank/percent_rank/ntile
     * over order prices per customer segment.
