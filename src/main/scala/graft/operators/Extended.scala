@@ -512,12 +512,18 @@ object Extended {
     graft.functions.registerAll(spark)
     Tables(spark, dir).events.createOrReplaceTempView("g_events_sql")
     spark.sql(
-      """WITH s AS (
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM g_events_sql),
+        |-- pre-distinct (the B9b q_hll_distinct discipline): mixing
+        |-- count(DISTINCT) with sketch aggregates compiles to a 3x
+        |-- Expand plan (measured 6.3s vs <1s); HLL insertion is
+        |-- idempotent and CMS over the distinct frame still never
+        |-- under-estimates, so the gate is unchanged
+        |s AS (
         |  SELECT event_type,
-        |    count(DISTINCT user_id) AS n_exact,
+        |    count(*) AS n_exact,
         |    hll_distinct(user_id, 14) AS n_hll,
         |    cms_query(cms_sketch(user_id, 4, 14), min(user_id)) AS cms_min_user
-        |  FROM g_events_sql GROUP BY event_type)
+        |  FROM d GROUP BY event_type)
         |SELECT event_type, n_exact,
         |  (abs(n_hll - n_exact) <= greatest(CAST(n_exact * 5 DIV 100 AS BIGINT),
         |                                    CAST(10 AS BIGINT))) AS hll_ok,
