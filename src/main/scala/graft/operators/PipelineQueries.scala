@@ -25,6 +25,37 @@ object PipelineQueries {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables(spark, dir).documents, minJaccard = 0.5, lenBand = 20)
 
+  /** C68: edit-distance-confirmed near-dup — the classic
+    * screen-then-verify dedup shape with a SECOND similarity axis:
+    * the cheap trigram-Jaccard screen (threshold relaxed to 0.3)
+    * proposes candidates, and each pair is CONFIRMED by exact
+    * Levenshtein distance on the full texts, kept when the distance
+    * is <= 20% of the longer text (division-free: lev*5 <= maxlen).
+    * Jaccard on shingle SETS is blind to ordering and local edit
+    * density; edit distance is the axis that distinguishes "same
+    * words shuffled" from "same text lightly edited". Scale shape:
+    * only candidate pairs ever carry text bodies (the screen's
+    * inverted index moves 8-byte hashes), and the O(len^2) confirm
+    * is paid per SURVIVING candidate — the standard cost structure
+    * of a verify stage. Fully oracle-replayable: both engines
+    * implement classic unit-cost Levenshtein.
+    */
+  def qDedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("mx"))
+      .filter(col("lev") * 5 <= col("mx"))
+      .select(col("id_a"), col("id_b"), col("lev"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** C41: fuzzy decontamination — near-dup pairs BETWEEN the eval
     * slice (src0 plays the benchmark) and the training remainder;
     * the drop-list a training pipeline applies before a run. Exact
@@ -525,6 +556,7 @@ object PipelineQueries {
     "q_bm25"            -> (qBm25 _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
+    "q_dedup_edit"      -> (qDedupEdit _),
     "q_ngram_adaptive"  -> (qNgramAdaptive _),
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
@@ -684,6 +716,27 @@ object PipelineQueries {
          |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // trigram screen at 0.3 replayed verbatim, then exact
+    // levenshtein confirm — both engines' levenshtein is classic
+    // unit-cost edit distance, integer-exact
+    "q_dedup_edit" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE i*1.0/(ca.c + cb.c - i) >= 0.3),
+         |pairs AS (SELECT id_a, id_b,
+         |    levenshtein(da.text, db.text) AS lev,
+         |    greatest(length(da.text), length(db.text)) AS mx
+         |  FROM cand JOIN documents da ON id_a = da.doc_id
+         |            JOIN documents db ON id_b = db.doc_id)
+         |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev
+         |FROM pairs WHERE lev * 5 <= mx
          |ORDER BY id_a, id_b""".stripMargin,
 
     // asymmetric: i / |A| with no length band, both orientations
