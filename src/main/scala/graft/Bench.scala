@@ -118,8 +118,11 @@ object Bench {
     var keep = bySlowest.length
     while (keep > 0 && mkJson(bySlowest.take(keep), bySlowest.length - keep).length > budget) keep -= 1
     println(mkJson(bySlowest.take(keep), bySlowest.length - keep))
-    // the complete map goes to the committed file — the reliable copy
-    try {
+    // the complete map goes to the committed file — the reliable
+    // copy. NOT on filtered triage runs: a SPARK_GRAFT_BENCH_ONLY
+    // subset would silently replace the committed full-suite record
+    // with a partial map
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("bench.json")
       java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

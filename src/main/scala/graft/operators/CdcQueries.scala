@@ -241,19 +241,29 @@ object CdcQueries {
   private def twoMergeStore(spark: SparkSession,
                             dir: String): graft.store.SnapshotStore =
     storeLock.synchronized {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-change-store",
-        java.lang.Long.toHexString(graft.sources.DerivedTable.fingerprint(
-          dir, Seq("events"), "two-merge-even-odd"))).toString
-      var store = new graft.store.SnapshotStore(spark, root, "user_id")
-      if (store.versions().length != 2) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-        store = new graft.store.SnapshotStore(spark, root, "user_id")
+      val root = graft.sources.DerivedTable.rootFor(
+        "change-store", dir, Seq("events"), "two-merge-even-odd")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root))) {
+        // build at a pid-unique path, publish by ATOMIC RENAME (the
+        // manifests are root-relative, so the store is relocatable):
+        // a concurrent builder in another JVM either wins the rename
+        // or discards its build — no process can observe a partial
+        // store, and nothing ever deletes a directory another
+        // process may be reading
+        val tmp = root + ".build-" + ProcessHandle.current().pid()
+        val b = new graft.store.SnapshotStore(spark, tmp, "user_id")
         val p = parsed(spark, dir)
-        store.merge(p.filter(pmod(col("id"), lit(2)) === 0))
-        store.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+        b.merge(p.filter(pmod(col("id"), lit(2)) === 0))
+        b.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException
+                     | _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
       }
-      store
+      new graft.store.SnapshotStore(spark, root, "user_id")
     }
 
   /** A21 under the gate: version-diff read on the snapshot store —
@@ -265,7 +275,7 @@ object CdcQueries {
     */
   def qStoreChanges(spark: SparkSession, dir: String): DataFrame = {
     val store = twoMergeStore(spark, dir)
-    val Seq(v1, v2) = store.versions().sorted.take(2)
+    val Seq(v1, v2) = store.versions().take(2) // versions() is oldest-first
     store.changes(v1, v2)
       .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
         col("event_type"), col("value"))
@@ -283,7 +293,7 @@ object CdcQueries {
     */
   def qStoreTimetravel(spark: SparkSession, dir: String): DataFrame = {
     val store = twoMergeStore(spark, dir)
-    val vs = store.versions().sorted
+    val vs = store.versions() // oldest-first
     store.readVersion(vs.head)
       .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
         col("event_type"), col("value"))

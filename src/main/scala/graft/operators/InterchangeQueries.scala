@@ -121,20 +121,44 @@ object InterchangeQueries {
     // EXTERNAL path-based tables under tmpdir: bucket metadata lives
     // in the session catalog (Spark bucketing is catalog state), but
     // a managed table's warehouse location would outlive the catalog
-    // across JVMs and block re-registration — an explicit per-corpus
-    // path + overwrite is idempotent in every session
-    def land(df: DataFrame, name: String, key: String): Unit =
+    // across JVMs and block re-registration. The DATA lands once per
+    // corpus with the atomic-rename discipline (write through a
+    // pid-unique external table, rename the directory into place —
+    // bucket ids ride the parquet file NAMES, so the files are
+    // relocatable; a concurrent JVM either wins the rename or
+    // discards its build, and no reader ever sees a partial write);
+    // each session then registers DDL over the landed location.
+    def land(df: DataFrame, name: String, key: String,
+             ddlCols: String): Unit =
       if (!spark.catalog.tableExists(name)) {
-        val path = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-bucketed", name).toString
-        df.write.bucketBy(8, key).sortBy(key)
-          .option("path", path)
-          .mode("overwrite").format("parquet").saveAsTable(name)
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-bucketed", name)
+        if (!java.nio.file.Files.exists(root)) {
+          val pid = ProcessHandle.current().pid()
+          val tmpName = s"${name}_tmp_$pid"
+          val tmpPath = root.toString + ".tmp-" + pid
+          df.write.bucketBy(8, key).sortBy(key)
+            .option("path", tmpPath)
+            .mode("overwrite").format("parquet").saveAsTable(tmpName)
+          spark.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files stay
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmpPath), root,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException
+                       | _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(tmpPath))
+          }
+        }
+        spark.sql(s"CREATE TABLE $name ($ddlCols) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+          s"LOCATION '$root'")
       }
     land(t.orders.select(col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice")), oT, "o_custkey")
+      col("o_totalprice")), oT, "o_custkey",
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
     land(t.customer.select(col("c_custkey"), col("c_mktsegment")),
-      cT, "c_custkey")
+      cT, "c_custkey", "c_custkey BIGINT, c_mktsegment STRING")
     spark.table(oT).hint("merge")
       .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))

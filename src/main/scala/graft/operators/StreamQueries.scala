@@ -486,10 +486,16 @@ object StreamQueries {
       ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
         .write.mode("overwrite").parquet(inDir + "/batch1")
       q.processAllAvailable()
-      // progress events arrive on the async listener bus — wait for
-      // both batch lines before reading the log back
+      // progress events arrive on the async listener bus, and the
+      // in-memory report is appended BEFORE the file line — wait on
+      // the artifact this query actually reads (the log file's line
+      // count), not the buffer
+      def logLines(): Int = listener.logFile match {
+        case Some(f) if Files.exists(f) => Files.readAllLines(f).size()
+        case _ => 0
+      }
       val deadline = System.currentTimeMillis() + 20000
-      while (listener.reports.size < 2 && System.currentTimeMillis() < deadline)
+      while (logLines() < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       q.stop()
     } finally spark.streams.removeListener(listener)

@@ -47,13 +47,22 @@ object DerivedTable {
     * (their on-disk bytes ARE the thing under test, so the landing
     * format must be the interchange format, not parquet).
     */
+  /** The canonical landed-artifact root for a (family, corpus,
+    * params) triple — ONE place owns the tmpdir + hex(fingerprint)
+    * layout, so every landing (parquet, interchange formats, the
+    * snapshot store, bucketed tables) shares the corpus-keyed
+    * discipline. */
+  private[graft] def rootFor(family: String, dir: String,
+                             sources: Seq[String], params: String): String =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$family",
+      java.lang.Long.toHexString(fingerprint(dir, sources, params))).toString
+
   def readOrBuildAs(spark: SparkSession, family: String, dir: String,
                     sources: Seq[String], params: String)
                    (write: String => Unit)
                    (read: String => DataFrame): DataFrame = lock.synchronized {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-$family",
-      java.lang.Long.toHexString(fingerprint(dir, sources, params))).toString
+    val root = rootFor(family, dir, sources, params)
     val rootPath = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.exists(rootPath)) {
       val tmp = java.nio.file.Paths.get(

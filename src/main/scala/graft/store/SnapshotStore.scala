@@ -70,16 +70,24 @@ final class SnapshotStore(
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
 
-  /** The key-range index of a committed version. */
+  /** The key-range index of a committed version. Manifest rows store
+    * paths RELATIVE to the store root (the property that makes the
+    * store relocatable — a fingerprint-keyed build can land by atomic
+    * directory rename, and at cluster scale the table can move
+    * between storage roots without a manifest rewrite, the same
+    * choice real table formats make); they are resolved to absolute
+    * paths here, the single parse point every consumer reads through.
+    * Absolute paths from pre-relative manifests still resolve.
+    */
   def manifest(v: Long): Seq[DataFileEntry] =
     Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala.toSeq
       .filterNot(l => l.startsWith("#") || l.isEmpty)
       .map { l =>
         l.split("\t") match {
           case Array(p, r, mn, mx) =>
-            DataFileEntry(p, r.toLong, mn.toLong, mx.toLong)
+            DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong)
           case Array(p, r, mn, mx, b64) =>
-            DataFileEntry(p, r.toLong, mn.toLong, mx.toLong,
+            DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong,
               Some(java.util.Base64.getDecoder.decode(b64)))
           case _ => throw new IllegalStateException(
             s"corrupt manifest ${manifestDir.resolve(s"m$v.tsv")}: " +
@@ -257,7 +265,9 @@ final class SnapshotStore(
     val body = ((s"# graft-manifest v1 key=$keyCol" + schemaTag +
       effTxn.map(t => s" txn=$t").getOrElse("")) +:
       entries.sortBy(e => (e.minKey, e.path))
-        .map(e => s"${e.path}\t${e.rows}\t${e.minKey}\t${e.maxKey}" +
+        // runtime entries carry absolute paths; the manifest ROW is
+        // root-relative (see manifest() — relocatability)
+        .map(e => s"${relativizePath(e.path)}\t${e.rows}\t${e.minKey}\t${e.maxKey}" +
           e.bloom.map(b => "\t" + java.util.Base64.getEncoder.encodeToString(b))
             .getOrElse("")))
       .mkString("\n")
@@ -564,4 +574,22 @@ final class SnapshotStore(
     */
   private def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")
+
+  private lazy val absRoot: String =
+    Paths.get(root).toAbsolutePath.normalize().toString
+
+  /** Manifest row → absolute path (relative rows resolve against the
+    * CURRENT root; absolute rows from pre-relative manifests pass
+    * through). */
+  private def resolvePath(p: String): String =
+    if (p.startsWith("/")) p
+    else if (p.startsWith("file:")) normalizePath(p)
+    else s"$absRoot/$p"
+
+  /** Absolute path → manifest row (root-relative when under the
+    * root, which every file written by this store is). */
+  private def relativizePath(p: String): String = {
+    val abs = normalizePath(p)
+    if (abs.startsWith(absRoot + "/")) abs.substring(absRoot.length + 1) else abs
+  }
 }

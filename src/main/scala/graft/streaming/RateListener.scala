@@ -41,7 +41,12 @@ final class RateListener(logDir: Option[String] = None) extends StreamingQueryLi
   def formatted: Seq[String] = reports.map(line)
 
   private def line(b: BatchRate): String =
-    f"[ graft ] batch=${b.batchId} time=${b.timestamp} total=${b.numInputRows} rate=${b.rowsPerSecond}%.4f rec/s"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale,
+    // which would render the rate as "1234,5678" under e.g. de_DE and
+    // break every consumer parsing the line back
+    "[ graft ] batch=%d time=%s total=%d rate=%.4f rec/s".formatLocal(
+      java.util.Locale.ROOT, b.batchId, b.timestamp, b.numInputRows,
+      b.rowsPerSecond)
 
   /** Today's sync-log file under `logDir` (daily rotation like the
     * reference's dated log names).
@@ -57,7 +62,10 @@ final class RateListener(logDir: Option[String] = None) extends StreamingQueryLi
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     if (p.numInputRows > 0) {
-      val rate = Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0)
+      // non-finite rates (NaN on no measurement, Infinity on a
+      // sub-millisecond batch) would print unparseably — report 0.0
+      val rate = Option(p.processedRowsPerSecond)
+        .filter(java.lang.Double.isFinite(_)).getOrElse(0.0)
       val b = BatchRate(p.batchId, p.timestamp, p.numInputRows, rate)
       batches.synchronized { batches += b }
       // a broken sink must not break the listener: an unwritable /

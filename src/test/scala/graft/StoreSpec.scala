@@ -352,6 +352,31 @@ class StoreSpec extends AnyFunSuite {
     assert(store.changes(1L, 1L).count() == 0)
   }
 
+  test("store is relocatable: manifests are root-relative, rename keeps every read working") {
+    // the property twoMergeStore's atomic-rename landing depends on
+    // (and the choice real table formats make): manifest rows must
+    // not pin the build path
+    val buildRoot = newRoot() + "-build"
+    val b = new SnapshotStore(spark, buildRoot, "user_id", filesPerCommit = 4)
+    val log = parsedLog
+    b.merge(log.filter(pmod(col("id"), lit(2)) === 0))
+    b.merge(log.filter(pmod(col("id"), lit(2)) =!= 0))
+    val before = b.read().get.collect().toSeq
+    val finalRoot = newRoot() + "-final"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(buildRoot), java.nio.file.Paths.get(finalRoot),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val moved = new SnapshotStore(spark, finalRoot, "user_id", filesPerCommit = 4)
+    assert(moved.versions() == Seq(0L, 1L))
+    assert(moved.read().get.collect().toSeq.toSet == before.toSet)
+    assert(moved.changes(0L, 1L).count() > 0) // file-diff read resolves too
+    // manifest FILE content carries no absolute build path
+    val m1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(finalRoot, "_manifests", "m1.tsv"))
+    assert(!m1.contains(buildRoot) && !m1.contains(finalRoot),
+      s"manifest pins an absolute root:\n$m1")
+  }
+
   test("merge planning never materializes the delta key set on the driver") {
     val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
     store.commit(spark.range(0L, 2000000L)
