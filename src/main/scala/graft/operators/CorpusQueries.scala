@@ -550,6 +550,50 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C38b: substring EXCISION — the dedup ACTION the C38 detector
+    * feeds (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": remove the repeated span itself, keep
+    * the rest of the document). Every word-8-gram seen in >= 2
+    * documents marks its position interval [i, i+7]; per doc the
+    * overlapping intervals MERGE (the q_interval_merge running-max
+    * scan over a per-doc window) and the report is words covered /
+    * words surviving — the numbers a curation pipeline uses to
+    * decide rewrite-vs-drop. All integer; the oracle replays the
+    * same interval union on the span STRINGS while only 8-byte
+    * hashes ever shuffle here (the C38 discipline).
+    */
+  def qSubstringExcise(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+    val sh = toks.filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${W - 1}), " +
+          s"i -> struct(i AS i, xxhash64(array_join(slice(w, i, $W), ' ')) AS h))"))
+        .as("sh"))
+      .select(col("doc_id"), col("sh.i").as("i"), col("sh.h").as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val iv = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i").cast("long").as("st"),
+        (col("i") + (W - 1)).cast("long").as("en"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exc = iv.withColumn("pmax", max(col("en")).over(wPrev))
+      .select(col("doc_id"),
+        greatest(lit(0L), col("en") -
+          greatest(col("st"), coalesce(col("pmax") + 1, col("st"))) + 1)
+          .as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_excised"))
+    base.join(exc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised_words"),
+        (col("n_words") - coalesce(col("n_excised"), lit(0L))).as("n_kept_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C39: cross-source vocabulary overlap via KMV (bottom-k) sketches
     * — the sketch-tier answer to "how much do these corpus slices
     * share?" without an all-pairs token join. Each source keeps its k
@@ -755,6 +799,7 @@ object CorpusQueries {
     "q_bpe_merges"          -> (qBpeMerges _),
     "q_tokenizer_apply"     -> (qTokenizerApply _),
     "q_substring_dup"       -> (qSubstringDup _),
+    "q_substring_excise"    -> (qSubstringExcise _),
     "q_sketch_overlap"      -> (qSketchOverlap _),
     "q_collocations"        -> (qCollocations _),
   )
@@ -1059,6 +1104,31 @@ object CorpusQueries {
         |  CAST(count(d.s) AS BIGINT) AS n_dup_pos
         |FROM sh h LEFT JOIN dup d ON h.s = d.s
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    // same 8-gram dup rule as q_substring_dup, then the interval
+    // union replayed on span strings
+    "q_substring_excise" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n_words FROM toks),
+        |sh0 AS (SELECT doc_id, unnest([{'i': i, 's': array_to_string(w[i:i+7], ' ')}
+        |                               for i in generate_series(1, len(w)-7)]) AS u
+        |        FROM toks WHERE len(w) >= 8),
+        |sh AS (SELECT doc_id, u.i AS i, u.s AS s FROM sh0),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |iv AS (SELECT doc_id, i AS st, i + 7 AS en FROM sh JOIN dup USING (s)),
+        |m AS (SELECT doc_id, st, en,
+        |        max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |exc AS (SELECT doc_id,
+        |          CAST(sum(greatest(0, en - greatest(st, coalesce(pmax + 1, st)) + 1))
+        |            AS BIGINT) AS n_excised
+        |        FROM m GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |  CAST(coalesce(e.n_excised, 0) AS BIGINT) AS n_excised_words,
+        |  CAST(b.n_words - coalesce(e.n_excised, 0) AS BIGINT) AS n_kept_words
+        |FROM base b LEFT JOIN exc e USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // exact counts + accuracy gate; the KMV estimate itself is
     // hash-derived and can't replay in SQL (the q_hll_distinct pattern)
