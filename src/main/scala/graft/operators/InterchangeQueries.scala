@@ -74,6 +74,40 @@ object InterchangeQueries {
     auditAgg(back)
   }
 
+  /** D6c under the gate: the PERMISSIVE dirty-input path — the batch
+    * twin of the CDC dead-letter quarantine. Every 7th event's value
+    * cell is deterministically corrupted before the CSV lands; the
+    * schema-pinned PERMISSIVE read must null exactly the failed cell,
+    * keep the fields that parsed (event_type still groups the row),
+    * and capture the raw line in `_corrupt_record`. The oracle
+    * recomputes the valid/quarantined split and the valid-side cents
+    * sum from the raw parquet — a silently dropped poison row, a
+    * mis-attributed quarantine, or corruption bleeding into other
+    * columns all move a count.
+    */
+  def qCsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dirty = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          concat(lit("bad:"), col("value").cast("string")))
+          .otherwise(col("value").cast("string")).as("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val back = DerivedTable.readOrBuildAs(spark, "rt-csvq", dir,
+      Seq("events"), "v1")(
+      tmp => Writers.writeCsv(dirty, tmp))(
+      root => Writers.readCsv(spark, schema, root, mode = "PERMISSIVE"))
+    back.groupBy(col("event_type")).agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_valid"),
+      count(col("_corrupt_record")).as("n_quarantined"),
+      sum(when(col("_corrupt_record").isNull,
+        round(col("value") * 100).cast("long"))).as("sum_cents_valid"))
+      .orderBy(col("event_type"))
+  }
+
   /** D4 under the gate: date-partitioned writes + partition-pruned
     * read. Events land once per corpus through writeEventsByDay
     * (one directory per event_date); the query filters a 6-day
@@ -173,6 +207,7 @@ object InterchangeQueries {
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
     "q_partitioned_scan" -> (qPartitionedScan _),
     "q_bucketed_join"  -> (qBucketedJoin _),
+    "q_csv_quarantine" -> (qCsvQuarantine _),
   )
 
   // one oracle body: the comparison against the PARQUET ORIGINAL is
@@ -201,6 +236,17 @@ object InterchangeQueries {
         |WHERE strftime(cast(ts as timestamp), '%Y-%m-%d')
         |  BETWEEN '2024-01-10' AND '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_csv_quarantine" ->
+      """SELECT event_type,
+        |  CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_valid,
+        |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents_valid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
