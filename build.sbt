@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through: sbt's default LoggedOutput
+// prefixes every stdout line with "[info] ", which breaks line-oriented
+// JSON parsing of the Bench/Verify output (a parser that expects the
+// line to START with '{' never matches). StdoutOutput emits the child's
+// stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

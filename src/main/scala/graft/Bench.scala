@@ -94,30 +94,28 @@ object Bench {
       }
     }
     // The driver parses this line out of a bounded 2000-char stdout
-    // TAIL, and sbt's epilogue ("[success] Total time: ...") eats
-    // ~100 of those chars AFTER our line. At 167 queries the full
-    // per-query map is ~4.5 KB — it can NEVER fit, and r3/r4/r5 all
-    // recorded "parsed": null because the line's head fell off the
-    // window. So stdout gets a line that is guaranteed to fit: the
-    // totals plus only the slowest per-query entries that keep the
-    // line under budget, with a pointer to bench.json (committed),
-    // which always carries the complete map.
+    // TAIL. Two past failure modes, both fixed: (a) the full per-query
+    // map (~5 KB at 200+ queries) can never fit the window — it lives
+    // ONLY in the committed bench.json now; (b) sbt's LoggedOutput used
+    // to prefix the line with "[info] " so a start-of-line JSON parse
+    // never matched — build.sbt now sets run/outputStrategy :=
+    // StdoutOutput so this line starts at column 0. stdout gets ONE
+    // compact summary line (total/n/errors), guaranteed to fit.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
-    def mkJson(entries: Seq[(String, Double)], omitted: Int): String = {
+    def mkJson(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"queries_full":"bench.json","errors":$errJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_full":"bench.json","errors":$errJson,"n_queries":${results.size},"sf":"$sfDir"}"""
     }
-    val fullJson = mkJson(results.toSeq, 0)
-    // stdout budget: 2000-char tail minus sbt epilogue and margin
-    val budget = 1700
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    var keep = bySlowest.length
-    while (keep > 0 && mkJson(bySlowest.take(keep), bySlowest.length - keep).length > budget) keep -= 1
-    println(mkJson(bySlowest.take(keep), bySlowest.length - keep))
+    val fullJson = mkJson(results.toSeq)
+    // filtered triage runs (dev-only) print the full per-query map —
+    // they don't write bench.json, and the 2000-char driver window
+    // only matters for the unfiltered driver run
+    if (only.nonEmpty) println(fullJson)
+    println(mkJson(Seq.empty))
     // the complete map goes to the committed file — the reliable
     // copy. NOT on filtered triage runs: a SPARK_GRAFT_BENCH_ONLY
     // subset would silently replace the committed full-suite record

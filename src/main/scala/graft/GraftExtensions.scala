@@ -109,6 +109,8 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)),
     ("simhash64", "simhash64(array<string>) - 64-bit SimHash signature",
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    ("pii_scrub", "pii_scrub(str) - one-pass email/phone redaction: struct(red_text, n_emails, n_phones)",
+      (exprs: Seq[Expression]) => graft.functions.PiiScrub(exprs.head)),
     ("minhash_sig", "minhash_sig(array<bigint>) - 64-long MinHash signature",
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)),
     ("dot_product", "dot_product(arr, arr) - double-accumulated dot product",

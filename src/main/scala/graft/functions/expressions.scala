@@ -550,6 +550,168 @@ case class LangScores(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = c)
 }
 
+/** C24 kernel: one-pass PII scrub. Replaces the three sequential
+  * `regexp_replace`/`regexp_extract_all` passes (each a full regex
+  * scan of the document) with hand-rolled byte scanners that
+  * reproduce the two patterns' Java-regex semantics exactly:
+  *
+  *   email: `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
+  *   phone: `(\+1-)?555-[0-9]{4}`
+  *
+  * Both patterns are pure-ASCII character classes, so scanning raw
+  * UTF-8 bytes is exact (multi-byte sequences have the high bit set
+  * and never match an ASCII class). Match enumeration mirrors
+  * leftmost non-overlapping scan with greedy backtracking:
+  * an email match anchors at each '@' whose maximal local-class run
+  * before it is nonempty (clamped to the previous match's end) and
+  * whose domain run splits at the RIGHTMOST '.' followed by >=2
+  * letters — exactly where the greedy `+` backtracks to.
+  */
+object PiiAlgos {
+  private def isLocal(b: Byte): Boolean = {
+    val c = b.toChar
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  }
+  private def isDomain(b: Byte): Boolean = {
+    val c = b.toChar
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '-'
+  }
+  private def isAlpha(b: Byte): Boolean = {
+    val c = b.toChar
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  }
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** Appends [start,end) email-match spans to `spans`; returns count. */
+  private def emailSpans(s: Array[Byte], spans: java.util.ArrayList[Int]): Int = {
+    var n = 0
+    var prevEnd = 0
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '@') {
+        // maximal local-class run ending at i-1, clamped to prevEnd
+        var lo = i
+        while (lo > prevEnd && isLocal(s(lo - 1))) lo -= 1
+        if (lo < i) {
+          // maximal domain-class run after '@'
+          var hi = i + 1
+          while (hi < s.length && isDomain(s(hi))) hi += 1
+          // rightmost '.' in (i+1, hi) with >=2 letters after it and a
+          // nonempty prefix — where the greedy `+` backtracks to
+          var dot = hi - 1
+          var end = -1
+          while (end < 0 && dot > i + 1) {
+            if (s(dot) == '.') {
+              var le = dot + 1
+              while (le < hi && isAlpha(s(le))) le += 1
+              if (le - dot - 1 >= 2) end = le
+            }
+            if (end < 0) dot -= 1
+          }
+          if (end >= 0) {
+            spans.add(lo); spans.add(end)
+            n += 1
+            prevEnd = end
+            i = end - 1 // loop increment lands on `end`
+          }
+        }
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Appends [start,end) phone-match spans to `spans`; returns count. */
+  private def phoneSpans(s: Array[Byte], spans: java.util.ArrayList[Int]): Int = {
+    var n = 0
+    var i = 0
+    def core(p: Int): Boolean =
+      p + 8 <= s.length && s(p) == '5' && s(p + 1) == '5' && s(p + 2) == '5' &&
+        s(p + 3) == '-' && isDigit(s(p + 4)) && isDigit(s(p + 5)) &&
+        isDigit(s(p + 6)) && isDigit(s(p + 7))
+    while (i < s.length) {
+      if (i + 3 <= s.length && s(i) == '+' && s(i + 1) == '1' &&
+          s(i + 2) == '-' && core(i + 3)) {
+        spans.add(i); spans.add(i + 11); n += 1; i += 11
+      } else if (core(i)) {
+        spans.add(i); spans.add(i + 8); n += 1; i += 8
+      } else i += 1
+    }
+    n
+  }
+
+  private def replaceSpans(s: Array[Byte], spans: java.util.ArrayList[Int],
+                           token: Array[Byte]): Array[Byte] = {
+    val nSpans = spans.size() / 2
+    if (nSpans == 0) return s
+    var kept = 0
+    var j = 0
+    while (j < nSpans) { kept += spans.get(2 * j + 1) - spans.get(2 * j); j += 1 }
+    val out = new Array[Byte](s.length - kept + nSpans * token.length)
+    var src = 0
+    var dst = 0
+    j = 0
+    while (j < nSpans) {
+      val a = spans.get(2 * j); val b = spans.get(2 * j + 1)
+      System.arraycopy(s, src, out, dst, a - src); dst += a - src
+      System.arraycopy(token, 0, out, dst, token.length); dst += token.length
+      src = b
+      j += 1
+    }
+    System.arraycopy(s, src, out, dst, s.length - src)
+    out
+  }
+
+  private val EmailToken = "<EMAIL>".getBytes("UTF-8")
+  private val PhoneToken = "<PHONE>".getBytes("UTF-8")
+
+  /** red_text = phoneReplace(emailReplace(t)); counts are over the
+    * ORIGINAL text — byte-identical to the sequential
+    * regexp_replace/regexp_extract_all composition it replaces.
+    */
+  def scrub(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val spans = new java.util.ArrayList[Int](8)
+    val nEmails = emailSpans(bytes, spans)
+    val red1 = replaceSpans(bytes, spans, EmailToken)
+    spans.clear()
+    val nPhones = phoneSpans(bytes, spans)
+    val phoneOnRed = if (red1 eq bytes) spans else {
+      val s2 = new java.util.ArrayList[Int](8)
+      phoneSpans(red1, s2)
+      s2
+    }
+    val red2 = replaceSpans(red1, phoneOnRed, PhoneToken)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(red2), nEmails.toLong, nPhones.toLong))
+  }
+}
+
+/** C24: fused single-pass PII scrub — see [[PiiAlgos.scrub]]. */
+case class PiiScrub(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("red_text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_emails", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_phones", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pii_scrub needs STRING, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    PiiAlgos.scrub(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiAlgos.scrub($c)")
+  override protected def withNewChildInternal(c: Expression): PiiScrub = copy(c)
+}
+
 /** C3: SimHash-64 over a token array. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -14,6 +14,11 @@ package object functions {
   /** C3: SimHash-64 of an array<string> token column. */
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
+  /** C24: one-pass PII scrub — struct(red_text, n_emails, n_phones);
+    * byte-identical to the sequential regexp composition it fuses.
+    */
+  def pii_scrub(c: Column): Column = toCol(PiiScrub(toExpr(c)))
+
   /** C2: 64-long MinHash signature of an array<bigint> hashed-shingle
     * column, one codegen'd pass.
     */

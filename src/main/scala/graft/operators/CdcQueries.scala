@@ -228,10 +228,10 @@ object CdcQueries {
   /** The two-merge snapshot-store history shared by q_store_changes
     * and q_store_timetravel: even-id changes merged as v1, odd-id as
     * v2. Built ONCE per corpus at a fingerprint-keyed root (the
-    * clustersTable discipline) — the store's manifests record
-    * absolute paths, so it is built in place rather than
-    * rename-landed; a partial build (crash between merges) is
-    * detected by version count and rebuilt. Queries over a landed
+    * clustersTable discipline) — manifests are root-RELATIVE, so the
+    * store is relocatable: it is built at a pid-unique path and
+    * published by atomic rename, and no process can ever observe a
+    * partially-built store. Queries over a landed
     * store bill only their read (file-level diff / as-of scan), the
     * way a real pipeline reads its committed table instead of
     * re-ingesting the feed. Replaces the per-construction temp store

@@ -278,7 +278,10 @@ object Extended {
                                    qs: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(col(grp)).orderBy(col(v))
     val wn = Window.partitionBy(col(grp))
-    val ranked = df.select(col(grp), col(v))
+    // NULLs are dropped up front: percentile() ignores them, but
+    // row_number/count would rank them (nulls-first), silently
+    // shifting every quantile on a nullable column
+    val ranked = df.select(col(grp), col(v)).filter(col(v).isNotNull)
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
     def rowIdx(q: Double) = lit(q) * (col("n") - 1)

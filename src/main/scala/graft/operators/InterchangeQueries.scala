@@ -21,6 +21,9 @@ import graft.sources.{DerivedTable, Tables, Writers}
   * corrupted in transit moves at least one sum.
   */
 object InterchangeQueries {
+  // same-JVM serialization for the bucketed-table landing (see land()
+  // in qBucketedJoin) — the cross-JVM race is handled by atomic rename
+  private val bucketLock = new Object
 
   /** Shared round-trip check body: read-back frame → one exact
     * aggregate per event_type. */
@@ -162,13 +165,18 @@ object InterchangeQueries {
     // relocatable; a concurrent JVM either wins the rename or
     // discards its build, and no reader ever sees a partial write);
     // each session then registers DDL over the landed location.
+    // bucketLock serializes same-JVM landers: without it two threads
+    // racing a cold landing collide on the shared tmp table/path and
+    // on the tableExists->CREATE TABLE window (cross-JVM races are
+    // already handled by the atomic rename; the tmp suffix adds the
+    // thread id so even an unsynchronized caller cannot collide)
     def land(df: DataFrame, name: String, key: String,
-             ddlCols: String): Unit =
+             ddlCols: String): Unit = bucketLock.synchronized {
       if (!spark.catalog.tableExists(name)) {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft-bucketed", name)
         if (!java.nio.file.Files.exists(root)) {
-          val pid = ProcessHandle.current().pid()
+          val pid = s"${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
           val tmpName = s"${name}_tmp_$pid"
           val tmpPath = root.toString + ".tmp-" + pid
           df.write.bucketBy(8, key).sortBy(key)
@@ -188,6 +196,7 @@ object InterchangeQueries {
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
           s"LOCATION '$root'")
       }
+    }
     land(t.orders.select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice")), oT, "o_custkey",
       "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")

@@ -16,10 +16,14 @@ object TypedAggs {
   case class WSum(sum4: Long, w100: Long)
 
   class WeightedMeanCents extends Aggregator[(Double, Double), WSum, Double] {
+    // half-AWAY-FROM-ZERO, matching SQL round() in the oracle replay:
+    // math.round alone is half-toward-+inf and diverges on negative
+    // exact-half cents (-0.5 -> 0 vs SQL -1)
+    private def cents(x: Double): Long =
+      if (x < 0) -math.round(-x * 100) else math.round(x * 100)
     override def zero: WSum = WSum(0L, 0L)
     override def reduce(b: WSum, a: (Double, Double)): WSum =
-      WSum(b.sum4 + math.round(a._1 * 100) * math.round(a._2 * 100),
-        b.w100 + math.round(a._2 * 100))
+      WSum(b.sum4 + cents(a._1) * cents(a._2), b.w100 + cents(a._2))
     override def merge(x: WSum, y: WSum): WSum =
       WSum(x.sum4 + y.sum4, x.w100 + y.w100)
     override def finish(r: WSum): Double =
