@@ -37,7 +37,7 @@ final class TDigestBuffer(val compression: Double) {
     */
   def compress(): Unit = {
     if (size <= 1) return
-    val idx = (0 until size).sortBy(i => (means(i), weights(i)))
+    val idx = IndexSort.sorted(size, means, weights)
     val nm = new Array[Double](capacity + 1)
     val nw = new Array[Long](capacity + 1)
     var out = 0
@@ -81,7 +81,7 @@ final class TDigestBuffer(val compression: Double) {
   def quantile(q: Double): Double = {
     if (size == 0) return Double.NaN
     compress()
-    val idx = (0 until size).sortBy(i => means(i))
+    val idx = IndexSort.sorted(size, means, null)
     if (size == 1) return means(idx(0))
     val target = q * total
     var cum = 0.0
