@@ -154,13 +154,29 @@ object Ann {
     assignToCentroids(emb, cents)
       .select(col("vec_id"), col("list_id"))
 
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+  /** The two artifact frames of a plain-IVF index, the landable
+    * form: centroids `(list_id, carr)` and the assigned+normed
+    * corpus `(neighbor_id, list_id, ce, nc)`. A production service
+    * materializes these once per corpus generation and serves every
+    * query batch from them ([[ivfQueryTopK]]); q_ann_eval lands
+    * them through the DerivedTable seam.
+    */
+  def ivfIndexFrames(emb: DataFrame, nLists: Int = 8): (DataFrame, DataFrame) = {
     val refined = ivfCentroids(emb, nLists)
     val lists = assignToCentroids(emb, refined)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
       .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+    (refined, lists)
+  }
 
+  /** The query side of plain IVF against built (or loaded) index
+    * frames: probe the centroids, exact-score the vectors of the
+    * nprobe nearest lists, rank. The corpus is touched only through
+    * `lists` — no assign pass, no centroid rebuild.
+    */
+  def ivfQueryTopK(cents: DataFrame, lists: DataFrame, queries: DataFrame,
+                   k: Int, nprobe: Int = 2): DataFrame = {
+    val refined = cents
     // probe: each query's nprobe nearest centroids
     val qScored = queries.crossJoin(broadcast(refined))
       .withColumn("sim", dot_double(col("embedding"), col("carr")) /
@@ -182,6 +198,12 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nprobe: Int = 2): DataFrame = {
+    val (refined, lists) = ivfIndexFrames(emb, nLists)
+    ivfQueryTopK(refined, lists, queries, k, nprobe)
   }
 
   /** C7c: Product-quantization (PQ) ANN — the memory-compressed scale
