@@ -68,24 +68,43 @@ object AnalyticsQueries {
     * (p_retailprice, p_size). A part survives iff no other part is <=
     * on both dims and < on one. Shape: collapse to one row per
     * distinct price (min size) — that aggregate is the only big
-    * shuffle — then a running strict-predecessor min over the
-    * price-ordered group rows, then join back. The ordered pass runs
-    * over the *price-distinct* frame, orders of magnitude smaller
-    * than the fact table; the final join is broadcast-able for the
-    * same reason. Comparisons are raw parquet doubles (no arithmetic)
-    * so both engines order identically.
+    * shuffle — then a strict-predecessor running MIN over the
+    * price-ordered group rows, then join back. The running min uses
+    * the distributed two-pass prefix-scan template (the qPpsSample /
+    * lateness-audit pattern): range-partition by price, ONE long per
+    * partition to the driver (each partition's min), exclusive
+    * prefix-min as offsets, offset-seeded in-partition scan — NOT a
+    * single-partition window: the price-distinct frame is
+    * data-bounded (distinct prices), the one frame in the suite that
+    * grew with the corpus rather than the calendar, so the scan must
+    * stay parallel. Long.MaxValue seeds the no-predecessor case, so
+    * `p_size < prev_min` uniformly encodes the old `prev_min IS NULL
+    * OR ...` filter. Comparisons are raw parquet doubles (no
+    * arithmetic) so both engines order identically.
     */
   def qParetoFront(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val p = Tables(spark, dir).part
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     val perPrice = p.groupBy(col("p_retailprice"))
-      .agg(min(col("p_size")).as("grp_min"))
-    val w = Window.orderBy(col("p_retailprice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withPrev = perPrice.withColumn("prev_min", min(col("grp_min")).over(w))
+      .agg(min(col("p_size")).cast("long").as("grp_min"))
+    val parts = perPrice.repartitionByRange(col("p_retailprice"))
+      .sortWithinPartitions(col("p_retailprice"))
+      .as[(Double, Long)].rdd
+    val partMins = parts.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MaxValue; it.foreach(r => m = math.min(m, r._2)); Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMins.scanLeft(Long.MaxValue)(math.min)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val withPrev = parts.mapPartitionsWithIndex { (i, it) =>
+      var acc = bcOff.value(i)
+      it.map { case (price, gm) =>
+        val prev = acc; acc = math.min(acc, gm); (price, gm, prev)
+      }
+    }.toDF("p_retailprice", "grp_min", "prev_min")
     p.join(broadcast(withPrev), Seq("p_retailprice"))
-      .filter(col("p_size") === col("grp_min") &&
-        (col("prev_min").isNull || col("p_size") < col("prev_min")))
+      .filter(col("p_size").cast("long") === col("grp_min") &&
+        col("p_size").cast("long") < col("prev_min"))
       .select(col("p_partkey"), col("p_retailprice"),
         col("p_size").cast("long").as("p_size"))
       .orderBy(col("p_partkey"))

@@ -26,9 +26,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // if the frame is fact-sized. Every current occurrence is over a
     // provably bounded frame (audited r6): day-calendar aggregates
     // (q_anomaly/q_changepoint/q_robust_anomaly order by day; the
-    // robust ranks order a day-count frame), the
-    // distinct-price frame of the pareto front, and q_revenue_share's
-    // 25-row nation aggregate. A NEW global window failing this list
+    // robust ranks order a day-count frame) and q_revenue_share's
+    // 25-row nation aggregate. The pareto front's distinct-price
+    // frame — the one data-bounded frame — moved to the two-pass
+    // prefix-scan template in r9 and is window-free now. A NEW
+    // global window failing this list
     // is exactly the regression this test exists to catch — either
     // rewrite it on the zipWithIndex pattern or prove its frame
     // bounded and allowlist it here with the proof.
@@ -37,7 +39,6 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_anomaly"        -> Set("d"),           // day calendar
       "q_changepoint"    -> Set("d"),           // day calendar
       "q_robust_anomaly" -> Set("", "dev2x,d", "r,d"), // day-count frames
-      "q_pareto_front"   -> Set("p_retailprice"), // distinct prices
       "q_revenue_share"  -> Set(""))            // 25-row nation frame
     val found = scala.collection.mutable.Map
       .empty[String, Set[String]].withDefaultValue(Set.empty)
