@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.cdc.ChangeModel
 import graft.sources.Tables
-import graft.streaming.{AggStream, CdcStream, EventStream}
+import graft.streaming.{AggStream, CdcStream, EventStream, KafkaCdcSource}
 
 /** The streaming tier (A9/A15/A22) wired into the DRIVER'S ORACLE
   * GATE, not just ScalaTest equivalence specs: each query drives the
@@ -54,6 +54,109 @@ object StreamQueries {
     CdcStream.readSnapshot(spark, snapDir).get
       .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
         col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A13 under the gate (the q_kafka_seam item): the A9 fold driven
+    * through the `graftlines` DataSourceV2 streaming source — a
+    * Kafka-shaped (topic, partition, offset) line stream served from
+    * local segment files through the REAL `startingOffsets` /
+    * offset-commit interfaces — proving the reference's
+    * resume-from-offset-log loop end-to-end:
+    *
+    *  1. phase A consumes the first arrival from `earliest`; every
+    *     batch commit rewrites the reference-format
+    *     `topic,partition,from,until` offset log
+    *     [ref: ConsumerMain.scala:128-151, files/offset.log];
+    *  2. the second arrival APPENDS to the segment files;
+    *  3. phase B is a NEW query with a FRESH checkpoint — recovery
+    *     comes from the stored log alone, mapped through
+    *     [[KafkaCdcSource.offsetLogToStartingOffsets]] (the
+    *     ReadByAssignOffset path [ref: ReadByAssignOffset.scala:57-61]),
+    *     not from the previous WAL.
+    *
+    * The gate pins BOTH sides of exactly-once: the stored snapshot
+    * must equal the full-log batch oracle (nothing skipped — the
+    * interleaved id split makes phase B carry last-writes for half
+    * the keys), and the consumption record must count every line
+    * exactly once (n_consumed == n_distinct == count(events):
+    * a replay inflates n_consumed over n_distinct, which the
+    * idempotent fold alone would hide).
+    */
+  def qStreamKafkaSeam(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Paths, StandardCopyOption, StandardOpenOption}
+    val lines = ChangeModel.changeLines(Tables(spark, dir).events)
+      .withColumn("id", get_json_object(col("line"), "$.after.ID").cast("long"))
+    val segDir = tmp("gq-kseam-seg")
+    val snapDir = tmp("gq-kseam-snap")
+    val consumedDir = tmp("gq-kseam-consumed")
+    val logPath = segDir + "/offset.log"
+    // two "Kafka partitions" of topic pub, keyed by id parity; the
+    // arrival split interleaves within each partition so phase B
+    // rewrites keys phase A already stored
+    def writePhase(p: Int, phaseA: Boolean): Unit = {
+      val out = tmp(s"gq-kseam-w$p")
+      lines.filter(expr(s"id % 2 = $p AND ((id div 2) % 2 = 0) = $phaseA"))
+        .select("line").coalesce(1).write.mode("overwrite").text(out)
+      val part = {
+        val s = Files.list(Paths.get(out))
+        try s.filter(_.getFileName.toString.startsWith("part-")).findFirst.get
+        finally s.close()
+      }
+      val seg = Paths.get(segDir, s"pub-$p.log")
+      if (phaseA) Files.move(part, seg, StandardCopyOption.REPLACE_EXISTING)
+      else Files.write(seg, Files.readAllBytes(part), StandardOpenOption.APPEND)
+    }
+    def readSeam(starting: String) = spark.readStream.format("graftlines")
+      .option("path", segDir).option("commitLog", logPath)
+      .option("startingOffsets", starting).load()
+    (0 to 1).foreach(writePhase(_, phaseA = true))
+    // per-batch offset persistence, the reference's driver-loop store
+    // (engine-side commit() lags one batch by design — see
+    // OffsetLogListener); progress events are async, so phase A waits
+    // until the log covers everything it consumed
+    val listener = new graft.streaming.OffsetLogListener(
+      s"graftlines($segDir)", logPath)
+    spark.streams.addListener(listener)
+    try {
+      val qa = CdcStream.startFromLines(readSeam("earliest"), snapDir,
+        tmp("gq-kseam-ckptA"), Some(consumedDir))
+      qa.processAllAvailable(); qa.stop()
+      val expectA = graft.streaming.GraftLines.segments(segDir)
+        .map { case (t, p, f) =>
+          (t, p) -> graft.streaming.GraftLines.countLines(f) }.toMap
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ({
+        val logged =
+          if (Files.exists(Paths.get(logPath)))
+            graft.streaming.GraftLines.parseOffsetsJson(
+              KafkaCdcSource.offsetLogToStartingOffsets(
+                scala.jdk.CollectionConverters
+                  .ListHasAsScala(Files.readAllLines(Paths.get(logPath)))
+                  .asScala.toSeq))
+          else Map.empty[(String, Int), Long]
+        logged != expectA
+      }) {
+        if (System.nanoTime() > deadline) throw new IllegalStateException(
+          s"offset log $logPath never caught up to phase A ($expectA)")
+        Thread.sleep(50)
+      }
+      (0 to 1).foreach(writePhase(_, phaseA = false))
+      val logLines = scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(Paths.get(logPath))).asScala.toSeq
+      val qb = CdcStream.startFromLines(
+        readSeam(KafkaCdcSource.offsetLogToStartingOffsets(logLines)), snapDir,
+        tmp("gq-kseam-ckptB"), Some(consumedDir))
+      qb.processAllAvailable(); qb.stop()
+    } finally spark.streams.removeListener(listener)
+    val counts = spark.read.parquet(consumedDir).agg(
+      count(lit(1)).as("n_consumed"),
+      count_distinct(col("topic"), col("partition"), col("offset"))
+        .as("n_distinct"))
+    CdcStream.readSnapshot(spark, snapDir).get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .crossJoin(broadcast(counts))
       .orderBy(col("user_id"))
   }
 
@@ -518,6 +621,7 @@ object StreamQueries {
     "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
+    "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
     "q_stream_session"      -> (qStreamSession _),
@@ -631,6 +735,20 @@ object StreamQueries {
         |        ORDER BY doc_id) AS rn FROM kept)
         |SELECT doc_id, lang, source, n_chars FROM w
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the q_stream_cdc_snapshot snapshot oracle PLUS the exactly-once
+    // consumption pin: both count columns must equal count(events)
+    "q_stream_kafka_seam" ->
+      """SELECT user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+        | (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_consumed,
+        | (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_distinct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // identical to q_cdc_softdelete's oracle: the streamed store must
     // converge to the batch soft-delete snapshot of the whole log
     "q_stream_cdc_snapshot" ->

@@ -40,11 +40,24 @@ object CdcStream {
     */
   def start(spark: SparkSession, linesDir: String, snapshotDir: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    Files.createDirectories(Paths.get(snapshotDir))
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val lines = reader.text(linesDir).withColumnRenamed("value", "line")
+    startFromLines(lines, snapshotDir, checkpointDir)
+  }
+
+  /** The same ingest over an ALREADY-BUILT streaming `line` frame —
+    * the seam where the source format swaps (file, graftlines, or
+    * `format("kafka")` on a real cluster) without touching the fold.
+    * `consumedDir` (optional) additionally appends each batch's
+    * (topic, partition, offset) rows — the per-batch consumption
+    * record q_stream_kafka_seam counts to prove exactly-once resume.
+    */
+  def startFromLines(lines: DataFrame, snapshotDir: String,
+                     checkpointDir: String,
+                     consumedDir: Option[String] = None): StreamingQuery = {
+    Files.createDirectories(Paths.get(snapshotDir))
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -63,9 +76,13 @@ object CdcStream {
         // persist: the copy-on-write merge evaluates the delta twice
         // (key-set for file pruning, then the fold) — without a cache
         // the source micro-batch would be re-scanned per pass
-        val parsed = CdcOps.parse(batch).persist()
+        val parsed = CdcOps.parse(batch.select("line")).persist()
         try store.merge(parsed)
         finally parsed.unpersist()
+        consumedDir.foreach { d =>
+          batch.selectExpr("topic", "partition", "offset")
+            .write.mode("append").parquet(d)
+        }
         ()
       }
       .start()
