@@ -388,6 +388,68 @@ object CorpusQueries {
       .limit(30)
   }
 
+  /** C69: fixed-point n-gram LM quality scoring — the KenLM-ish
+    * "how predictable is this document under a corpus LM" signal
+    * real curation stacks run next to C9 quality and C31 rarity: a
+    * bigram model trained on the corpus itself scores each document
+    * by its mean per-bigram -log2 P(w2|w1). The log is FIXED-POINT
+    * in eighth-bits — elog(n) = 8*floor(log2 n) + next-3-mantissa-
+    * bits (the standard piecewise-linear log2 approximation),
+    * computed with length(bin(n)) and integer shifts only, so both
+    * engines evaluate it bit-identically (a float log's 1-ulp
+    * licence would flip rounded boundaries). Per-bigram deficit =
+    * elog(n1) - elog(n12) >= 0 (monotone, n12 <= n1); per-doc
+    * perplexity proxy = (1000 * sum_deficit) div n_bigrams — all
+    * integers end to end.
+    *
+    * Scale shape: the pair-count table (the C35 product) LANDS once
+    * per corpus via the DerivedTable seam — vocab²-bounded, tiny
+    * next to the corpus — and the unigram frame derives from it
+    * (sum over w2), not from a second corpus pass. The corpus-sized
+    * work is one bigram explode joined against the (broadcastable)
+    * count tables: map-heavy, single aggregation by doc_id.
+    */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = graft.sources.DerivedTable.readOrBuild(spark, "word-pairs",
+      dir, Seq("documents"), "bigram-counts-v1") {
+      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    }
+    val uni = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    def elog(c: String): String =
+      s"""(8 * (length(bin($c)) - 1)
+         | + (CASE WHEN length(bin($c)) - 1 >= 3
+         |    THEN shiftright($c, length(bin($c)) - 4)
+         |    ELSE shiftleft($c, 4 - length(bin($c))) END) - 8)""".stripMargin
+    // score each DISTINCT pair once (the deficit frame is
+    // vocab²-bounded — broadcastable far beyond this corpus; past
+    // broadcast size it shuffle-joins on the pair key, still
+    // linear), then ONE instance-level join feeds the single
+    // per-doc aggregation shuffle with map-side partials. A
+    // doc×pair pre-aggregation was measured WORSE at 25x (6.6s vs
+    // 1.9s): it trades the map-only broadcast join for a
+    // doc×pair-cardinality hash aggregate.
+    val deficits = pairs.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr(s"${elog("n1")} - ${elog("n12")}").as("deficit"))
+    // explicit broadcast: deficits' lineage (landed-pairs ⋈ derived
+    // unigrams) hides its true vocab²-bounded size from the size
+    // estimator, which otherwise plans a corpus-wide sort-merge join
+    // (measured 5.7s vs 1.6s at 25x)
+    bigrams.join(broadcast(deficits), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("deficit")).as("sum_deficit_ebits"))
+      .withColumn("ppl_milli_ebits",
+        expr("(sum_deficit_ebits * 1000) div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C50: BPE merge training — the tokenizer-training loop at corpus
     * scale: 5 rounds of (count adjacent pairs → take the most
     * frequent → merge every leftmost non-overlapping occurrence),
@@ -787,6 +849,7 @@ object CorpusQueries {
     "q_tfidf"               -> (qTfidf _),
     "q_profile"             -> (qProfile _),
     "q_pii_redact"          -> (qPiiRedact _),
+    "q_lm_score"            -> (qLmScore _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
@@ -921,6 +984,31 @@ object CorpusQueries {
          | CAST(len(regexp_extract_all(t,
          |   '(\\+1-)?555-[0-9]{4}')) AS BIGINT) AS n_phones
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the fixed-point eighth-bit log2 replays with length(bin())
+    // and integer shifts — no float log anywhere, so the scores are
+    // engine-exact
+    "q_lm_score" -> {
+      def elog(c: String): String =
+        s"""(8 * (length(bin($c)) - 1)
+           | + (CASE WHEN length(bin($c)) - 1 >= 3
+           |    THEN $c >> (length(bin($c)) - 4)
+           |    ELSE $c << (4 - length(bin($c))) END) - 8)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |inst AS (SELECT doc_id, unnest([struct_pack(a := w[i], b := w[i+1])
+         |                                for i in generate_series(1, len(w)-1)]) AS p
+         |         FROM toks WHERE len(w) >= 2),
+         |pi AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM inst),
+         |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pi GROUP BY 1, 2),
+         |uc AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pc GROUP BY 1),
+         |scored AS (
+         | SELECT doc_id, ${elog("n1")} - ${elog("n12")} AS deficit
+         | FROM pi JOIN pc USING (w1, w2) JOIN uc USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | CAST(sum(deficit) AS BIGINT) AS sum_deficit_ebits,
+         | CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // the Bloom prefilter is plan-level only (exactness restored by
     // the confirm join): the oracle is the plain distinct semi-join
