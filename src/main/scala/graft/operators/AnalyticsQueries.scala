@@ -537,32 +537,49 @@ object AnalyticsQueries {
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val S = 1000000000000L
-    val edges = copurchasePairs(spark, dir).filter(col("support") >= 2)
-      .select(col("p1").as("u"), col("p2").as("v"))
+    // ONE scan of the landed pair table emits both edge directions
+    // (explode, not unionAll — the union form planned TWO full scans
+    // of the ~6M-row unfiltered pair parquet to produce a ~36k-edge
+    // graph, the dominant cost of the whole query at sf0.1), cached
+    // small. Its count then sizes the loop: parallelism follows the
+    // GRAPH's size, not the session's shuffle width (the textrank/CC
+    // pattern) — running a 36k-edge round's join+agg at 32-way width
+    // bills fixed task overhead ~32x per stage, three rounds over.
+    val both0 = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(explode(array(
+        struct(col("p1").as("u"), col("p2").as("v")),
+        struct(col("p2").as("u"), col("p1").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).cache()
+    val nEdges = both0.count()
+    val loopParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
     // Edge frame hash-partitioned on the join key ONCE and cached: the
     // per-round both-join then reuses the cached layout instead of
-    // re-shuffling the edge frame every round (the dominant per-round
-    // cost — edges outnumber nodes). deg is derived from that same
-    // partitioning (no extra shuffle), and the rank frame CARRIES the
-    // degree column so rounds need no separate deg join: each round is
-    // one node-frame shuffle (the inflow groupBy) plus one co-partitioned
-    // join — down from five exchanges per round in the naive form.
-    val both = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).cache()
+    // re-shuffling the edge frame every round; deg derives from the
+    // same partitioning (no extra shuffle), and the rank frame
+    // CARRIES the degree column so rounds need no separate deg join:
+    // each round is one node-frame shuffle (the inflow groupBy) plus
+    // one co-partitioned join.
+    val both = both0.repartition(loopParts, col("u")).cache()
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d")).cache()
     val nF = broadcast(deg.agg(count(lit(1)).as("n")))
+    // Per-round eager localCheckpoint, not one lazy 3-round plan:
+    // the lazy form was MEASURED SLOWER (2.25-2.4s vs 2.0s eager at
+    // sf0.1) — the deep DAG pays optimizer + AQE replanning on the
+    // whole unrolled lineage, which exceeds the 4 job launches it
+    // saves. (Not a lineage-safety issue: with a fixed round count
+    // each generation is consumed once; CC/k-core checkpoint for the
+    // consumed-twice hazard.)
+    // r0 stays lazy: it is one projection over the CACHED deg frame,
+    // so the first round recomputes nothing — checkpointing it only
+    // added a job launch
     var r = deg.crossJoin(nF)
       .select(col("u"), col("d"), expr(s"${S}L div n").as("pr"))
-      .localCheckpoint(true)
     try {
       for (_ <- 1 to 3) {
         val inflow = both
           .join(r.select(col("u"), col("d"), col("pr")), "u")
           .select(col("v"), expr("(85 * (pr div d)) div 100").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
-        // eager localCheckpoint, not cache/count/unpersist: dropping
-        // the parent generation's cache invalidates the child's entry
-        // (the CC lesson — dependents recompute their full lineage)
         val next = deg
           .join(inflow.withColumnRenamed("v", "u"), Seq("u"), "left")
           .crossJoin(nF)
@@ -576,7 +593,7 @@ object AnalyticsQueries {
       import spark.implicits._
       rows.map(x => (x.getLong(0), x.getLong(2))).toSeq.toDF("node", "pr")
     } finally {
-      both.unpersist(); deg.unpersist()
+      both0.unpersist(); both.unpersist(); deg.unpersist()
     }
   }
 

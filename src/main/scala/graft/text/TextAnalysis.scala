@@ -111,20 +111,30 @@ object TextAnalysis {
     val loopParts = math.max(1, math.min(
       edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
     val edges = edges0.coalesce(loopParts)
-    val outd = edges.groupBy(col("w1").as("u")).agg(count(lit(1)).as("od"))
     val nodes = edges.select(col("w1").as("w"))
       .unionAll(edges.select(col("w2").as("w"))).distinct()
-    var r = nodes.withColumn("r", lit(Scale))
+    // outd and nodes are consumed once per round over edges' cached
+    // layout; cache them so each round's plan starts from leaves
+    val outdC = edges.groupBy(col("w1").as("u")).agg(count(lit(1)).as("od")).cache()
+    val nodesC = nodes.cache()
+    var r = nodesC.withColumn("r", lit(Scale))
     (1 to iterations).foreach { _ =>
       val s = edges
         .join(r.withColumnRenamed("w", "w1"), "w1")
-        .join(outd.withColumnRenamed("u", "w1"), "w1")
+        .join(outdC.withColumnRenamed("u", "w1"), "w1")
         .select(col("w2").as("w"), expr("r div od").as("c"))
         .groupBy(col("w")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, Seq("w"), "left")
+      // eager per-round localCheckpoint (the qPagerank discipline):
+      // the single unrolled 5-round lazy plan was MEASURED 3x slower
+      // on a 931-edge graph (1.9s vs ~0.6s of round jobs) — the deep
+      // DAG pays optimizer + AQE replanning on the whole lineage per
+      // stage, which dwarfs the job launches checkpointing adds
+      r = nodesC.join(s, Seq("w"), "left")
         .select(col("w"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(true)
     }
+    outdC.unpersist(); nodesC.unpersist()
     r
   }
 }
