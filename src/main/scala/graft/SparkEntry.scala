@@ -65,6 +65,8 @@ object SparkEntry {
     "q_stream_sync_log",
     "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
+    // two-pass prefix-scan (per-partition min job at construction, r9)
+    "q_pareto_front",
     "q_ngram_adaptive", "q_containment_pairs",
     // the zipWithIndex total-rank pattern (the scale-correct
     // alternative to a single-partition row_number window) counts
