@@ -140,33 +140,39 @@ object DiagnosticsQueries {
     * computed exactly by the rank trick: row_number + count, sum the
     * middle one-or-two values, keep everything doubled (med2x) /
     * quadrupled (mad4x) so no division ever happens — integer-exact
-    * in any engine. Two per-group sort windows + one join, all keyed
-    * on event_type: per-group parallelism at any scale.
+    * in any engine. ONE fact shuffle total (groupByKey on
+    * event_type), then ONE in-task pass per group computes both
+    * medians: sort the group's cents, take the middles, derive the
+    * absolute deviations, sort those, take the middles again. The
+    * per-group buffer is exactly what a Window operator with an
+    * unbounded frame would hold for the same group — identical
+    * memory posture, but one pass instead of the four buffering
+    * window passes (rank, count, median-sum, deviation-rank) the
+    * declarative form needs because the median must join back to
+    * every row before the MAD sort (measured: 1.13s two-scan-plus-
+    * join -> 0.93s stacked-windows -> 0.45s this shape at sf0.1).
+    * Per-group parallelism at any scale, like the windows.
     */
   def qRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ev = Tables(spark, dir).events
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"), col("event_id"))
-    def med2x(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col(valueCol), col("event_id"))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("n div 2 + 1"))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          sum(col(valueCol) *
-            when(col("n") % 2 === 1, 2L).otherwise(1L)).as(out))
-    }
-    val med = med2x(ev, "cents", "med2x")
-    val dev = ev.join(broadcast(med.select(col("event_type"), col("med2x"))),
-        "event_type")
-      .withColumn("dev2x", abs(col("cents") * 2 - col("med2x")))
-    med2x(dev, "dev2x", "mad4x")
-      .select(col("event_type"), col("n"), col("mad4x"))
-      .join(med.select(col("event_type"), col("med2x")), "event_type")
-      .select(col("event_type"), col("n"), col("med2x"), col("mad4x"))
+      .as[(String, Long, Long)]
+    ev.groupByKey(_._1).mapGroups { (k, it) =>
+      val buf = it.map(t => (t._2, t._3)).toArray
+      // event_id tiebreak keeps the in-group order total (it cannot
+      // change either median VALUE, but keeps the scan deterministic)
+      java.util.Arrays.sort(buf, Ordering.Tuple2[Long, Long])
+      val n = buf.length
+      def mid2x(a: Array[Long]): Long =
+        if (n % 2 == 1) 2L * a((n + 1) / 2 - 1)
+        else a(n / 2 - 1) + a(n / 2)
+      val cents = buf.map(_._1)
+      val med2x = mid2x(cents)
+      val devs = cents.map(c => math.abs(2L * c - med2x)).sorted
+      (k, n.toLong, med2x, mid2x(devs))
+    }.toDF("event_type", "n", "med2x", "mad4x")
       .orderBy(col("event_type"))
   }
 

@@ -162,10 +162,16 @@ object PipelineQueries {
       Ann.bruteTopK(emb, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
     }
+    // ONE index build shared by both landings: lazy so a warm corpus
+    // (both roots landed) never constructs the pipeline or pins its
+    // centroid cache entry, and a cold corpus runs seed-pick + Lloyd
+    // + assign once — the lists builder reuses the cents builder's
+    // cached centroid frame instead of re-running the corpus pass.
+    lazy val built = Ann.ivfIndexFrames(emb, 8)
     val cents = graft.sources.DerivedTable.readOrBuild(spark, "ann-ivf-cents",
-      dir, Seq("embeddings"), "nLists8") { Ann.ivfIndexFrames(emb, 8)._1 }
+      dir, Seq("embeddings"), "nLists8") { built._1 }
     val lists = graft.sources.DerivedTable.readOrBuild(spark, "ann-ivf-lists",
-      dir, Seq("embeddings"), "nLists8") { Ann.ivfIndexFrames(emb, 8)._2 }
+      dir, Seq("embeddings"), "nLists8") { built._2 }
     val approx = Ann.ivfQueryTopK(cents, lists, q, k = 5, nprobe = 2)
       .select(col("query_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")

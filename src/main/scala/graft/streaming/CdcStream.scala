@@ -58,10 +58,18 @@ object CdcStream {
                      checkpointDir: String,
                      consumedDir: Option[String] = None): StreamingQuery = {
     Files.createDirectories(Paths.get(snapshotDir))
+    // one token per query run: the consumption record lands under
+    // rec=<token>_<batchId>, so a failed-and-retried micro-batch
+    // OVERWRITES its own record instead of appending a duplicate
+    // (which would inflate n_consumed over n_distinct and spuriously
+    // fail the exactly-once gate even though the idempotent merge
+    // converged). A fresh run gets a fresh token — a genuine source
+    // replay across runs still shows up as a duplicate offset.
+    val runToken = java.util.UUID.randomUUID().toString.take(8)
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Incremental compaction (A16) through the table-format seam:
         // only the DELTA is snapshotted (a window over the batch),
         // then folded into the stored base via a keyed full-outer
@@ -81,7 +89,7 @@ object CdcStream {
         finally parsed.unpersist()
         consumedDir.foreach { d =>
           batch.selectExpr("topic", "partition", "offset")
-            .write.mode("append").parquet(d)
+            .write.mode("overwrite").parquet(s"$d/rec=${runToken}_$batchId")
         }
         ()
       }

@@ -197,20 +197,32 @@ class GraftLinesStream(path: String, startingOffsets: String,
     GraftLinesReaderFactory
 
   /** The reference-format offset persistence: one
-    * `topic,partition,from,until` line per partition, from = this
-    * run's starting offset, until = the committed end — rewritten
+    * `topic,partition,from,until` line per partition — rewritten
     * atomically per batch, the way the reference updates its znodes /
-    * local file after every batch.
+    * local file after every batch. `from` = the batch's start (the
+    * previous commit this stream instance saw, falling back to the
+    * run's starting offset), `until` = the committed end — the SAME
+    * per-batch meaning [[OffsetLogListener]] writes, so the two
+    * writers of this format agree on all three columns. Resume reads
+    * only `until` ([[KafkaCdcSource.offsetLogToStartingOffsets]]), so
+    * `from` is purely diagnostic.
     */
+  @volatile private var lastCommitted: Map[(String, Int), Long] = Map.empty
+
   override def commit(end: Offset): Unit = commitLog.foreach { lp =>
     val e = end.asInstanceOf[GraftLinesOffset].parts
+    val prev = if (lastCommitted.nonEmpty) lastCommitted else initial.parts
     val lines = e.toSeq.sortBy { case ((t, p), _) => (t, p) }
       .map { case ((t, p), u) =>
-        s"$t,$p,${initial.parts.getOrElse((t, p), 0L)},$u" }
-    val tmp = Paths.get(lp + ".tmp-" + ProcessHandle.current().pid())
+        s"$t,$p,${prev.getOrElse((t, p), 0L)},$u" }
+    // tmp name unique per (process, thread): the listener-bus twin
+    // below may write the same logPath concurrently.
+    val tmp = Paths.get(lp + ".tmp-" + ProcessHandle.current().pid() +
+      "_" + Thread.currentThread().getId)
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(UTF_8))
     Files.move(tmp, Paths.get(lp), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    lastCommitted = e
   }
 
   override def stop(): Unit = ()
@@ -257,7 +269,8 @@ final class OffsetLogListener(sourceDesc: String, logPath: String)
         val lines = until.toSeq.sortBy { case ((t, p), _) => (t, p) }
           .map { case ((t, p), u) => s"$t,$p,${from.getOrElse((t, p), 0L)},$u" }
         try {
-          val tmp = Paths.get(logPath + ".tmp-" + ProcessHandle.current().pid())
+          val tmp = Paths.get(logPath + ".tmp-" + ProcessHandle.current().pid() +
+            "_" + Thread.currentThread().getId)
           Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(UTF_8))
           Files.move(tmp, Paths.get(logPath), StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)

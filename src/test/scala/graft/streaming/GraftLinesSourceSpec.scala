@@ -67,9 +67,10 @@ class GraftLinesSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 7L)))
     // 3 lines/partition/batch over 10 lines = 4 batches (0..3); Spark
     // commits batch n-1 as batch n starts, so the engine-side log
-    // must have reached batch 2's end: offset 9 on both partitions
+    // must have reached batch 2 (6..9): from = the batch's start
+    // (per-batch, same meaning as OffsetLogListener), until = 9
     val logged = Files.readAllLines(Paths.get(log)).asScala.toSeq
-    assert(logged == Seq("pub,0,0,9", "pub,1,0,9"),
+    assert(logged == Seq("pub,0,6,9", "pub,1,6,9"),
       s"commit log: $logged")
   }
 
