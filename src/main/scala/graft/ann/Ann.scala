@@ -163,11 +163,22 @@ object Ann {
     */
   def ivfIndexFrames(emb: DataFrame, nLists: Int = 8): (DataFrame, DataFrame) = {
     val refined = ivfCentroids(emb, nLists)
-    val lists = assignToCentroids(emb, refined)
+    (refined, ivfListEntries(emb, refined))
+  }
+
+  /** The list-table rows for `emb` against a FROZEN coarse quantizer:
+    * nearest-centroid assignment plus the normed vector the scoring
+    * side reads — (neighbor_id, list_id, ce, nc). This is the
+    * maintenance kernel of the streaming index
+    * ([[graft.streaming.IvfStream]]): new arrivals are assigned to
+    * the EXISTING centroids (one broadcast pass, batch-sized), never
+    * re-clustered — the frozen-quantizer discipline of every
+    * production IVF service.
+    */
+  def ivfListEntries(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroids(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
       .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
-    (refined, lists)
-  }
 
   /** The query side of plain IVF against built (or loaded) index
     * frames: probe the centroids, exact-score the vectors of the

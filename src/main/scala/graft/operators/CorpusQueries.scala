@@ -12,6 +12,9 @@ import graft.sources.Tables
   */
 object CorpusQueries {
 
+  private def spreadIfOneSplit(df: DataFrame): DataFrame =
+    Tables.spreadIfOneSplit(df)
+
   // PII patterns — plain character-class regexes, identical semantics
   // under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
   // backreferences, greedy quantifiers only.
@@ -597,21 +600,76 @@ object CorpusQueries {
     */
   def qSubstringDup(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val sh = Tables(spark, dir).documents
+    val sh = spreadIfOneSplit(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= W)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${W - 1}), i -> array_join(slice(w, i, $W), ' '))"))
         .as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val dup = sh.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"), lit(1L).as("isdup"))
-    sh.join(dup, Seq("h"), "left")
+    // ONE explode, ONE shuffle of the gram stream: collapse positions
+    // to (h, doc_id, c) on an EXPLICIT h-only partitioning (h is a
+    // subset of the group key, so the aggregate accepts it), then the
+    // distinct-doc count per gram is a count(*) window over the SAME
+    // h partitioning — sort-only, no exchange, no join back to the
+    // position stream (the old agg + left-join form ran the explode
+    // twice and planned 7 exchanges; this plans 3).
+    sh.repartition(col("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        coalesce(sum(col("isdup")), lit(0L)).as("n_dup_pos"))
+      .agg(sum(col("c")).as("n_shingles"),
+        coalesce(sum(when(col("nd") >= 2, col("c"))), lit(0L)).as("n_dup_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C70: memorization / novelty audit — per EVAL document, the
+    * longest contiguous token span that also appears verbatim in the
+    * TRAINING remainder (the Lee et al. 2022 memorization metric,
+    * the generation-side contamination check next to C16/C41/C56).
+    * Resolution is the C38 span machinery: a span "appears in
+    * training" iff every one of its W-token windows does, so the
+    * longest memorized span = (longest run of consecutive matching
+    * W-gram positions) + W-1, and spans shorter than W read as 0 —
+    * the same W-gram floor every suffix-array-free implementation
+    * uses. Pipeline: training W-gram hash set (distinct on the
+    * 8-byte xxhash64 — the span STRING never shuffles), eval grams
+    * semi-joined against it, then a per-doc gaps-and-islands run
+    * length (i - row_number, doc-bounded window). The oracle replays
+    * it on the strings themselves (counts agree absent 64-bit
+    * collisions, ~n²/2⁶⁴ — the C38 discipline).
+    */
+  def qMemorization(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    // spread the RAW text (pre-split — the token array serializes
+    // several times bigger) before the ~Wx gram explode
+    val toks = spreadIfOneSplit(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val isEval = col("doc_id") % 10 === 0
+    def grams(df: DataFrame): DataFrame = df.filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${W - 1}), " +
+          s"i -> struct(i AS i, xxhash64(array_join(slice(w, i, $W), ' ')) AS h))"))
+        .as("sh"))
+      .select(col("doc_id"), col("sh.i").as("i"), col("sh.h").as("h"))
+    // no .distinct() on the training side: left_semi dedups its
+    // build side by construction — an explicit distinct would be a
+    // second full shuffle of the gram stream for nothing
+    val trainSet = grams(toks.filter(!isEval)).select(col("h"))
+    val hits = grams(toks.filter(isEval)).join(trainSet, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val longest = hits
+      .withColumn("grp", col("i") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("k")) + lit(W - 1).cast("long")).as("longest_span"))
+    toks.filter(isEval)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(longest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
       .orderBy(col("doc_id"))
   }
 
@@ -629,7 +687,8 @@ object CorpusQueries {
     */
   def qSubstringExcise(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val toks = Tables(spark, dir).documents
+    val toks = spreadIfOneSplit(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val base = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
     val sh = toks.filter(size(col("w")) >= W)
@@ -865,6 +924,7 @@ object CorpusQueries {
     "q_bpe_merges"          -> (qBpeMerges _),
     "q_tokenizer_apply"     -> (qTokenizerApply _),
     "q_substring_dup"       -> (qSubstringDup _),
+    "q_memorization"        -> (qMemorization _),
     "q_substring_excise"    -> (qSubstringExcise _),
     "q_sketch_overlap"      -> (qSketchOverlap _),
     "q_collocations"        -> (qCollocations _),
@@ -1182,6 +1242,31 @@ object CorpusQueries {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n DESC, w1, w2
         |LIMIT 30""".stripMargin,
+
+    // the eval/train split and the W-gram run replayed on the span
+    // STRINGS; the engine shuffles 8-byte hashes (the C38 discipline)
+    "q_memorization" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest([array_to_string(w[i:i+7], ' ')
+        |                 for i in generate_series(1, len(w)-7)]) AS g
+        |  FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 8)),
+        |eg0 AS (SELECT doc_id, unnest([{'i': i, 'g': array_to_string(w[i:i+7], ' ')}
+        |                               for i in generate_series(1, len(w)-7)]) AS u
+        |        FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 8),
+        |eg AS (SELECT doc_id, u.i AS i, u.g AS g FROM eg0),
+        |hit AS (SELECT doc_id, i FROM eg WHERE g IN (SELECT g FROM tg)),
+        |runs AS (SELECT doc_id, grp, count(*) AS k FROM (
+        |  SELECT doc_id,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM hit) GROUP BY doc_id, grp),
+        |lng AS (SELECT doc_id, max(k) AS mk FROM runs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(coalesce(lng.mk + 7, 0) AS BIGINT) AS longest_span
+        |FROM documents d LEFT JOIN lng USING (doc_id)
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle groups by the span STRING; the engine shuffles its
     // 8-byte hash — identical counts absent 64-bit collisions

@@ -41,7 +41,9 @@ object PipelineQueries {
     * implement classic unit-cost Levenshtein.
     */
   def qDedupEdit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    // spread a one-split scan: both the screen's shingle explode and
+    // the banded-DP verify are per-row-expensive map work
+    val docs = graft.sources.Tables.spreadIfOneSplit(Tables(spark, dir).documents)
     val cand = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
       .select(col("id_a"), col("id_b"))
     val t = docs.select(col("doc_id"), col("text"))
@@ -482,8 +484,12 @@ object PipelineQueries {
     * only signatures (8 bytes) move, payloads never shuffle.
     */
   def qMmPhash(spark: SparkSession, dir: String): DataFrame = {
+    // spread a one-split scan before the per-payload hash pipeline
+    // (the q_memorization lesson): the signature pass is the
+    // expensive map work here and would otherwise run on one core
     val sig = Multimodal.phashPipeline(
-      Multimodal.asMedia(Tables(spark, dir).documents))
+      Multimodal.asMedia(graft.sources.Tables.spreadIfOneSplit(
+        Tables(spark, dir).documents)))
     val bandArr = array((0 to 5).map(i =>
       shiftright(col("ph"), 10 * i).bitwiseAND(lit(1023L))): _*)
     val bands = sig.select(col("doc_id"), col("ph"),
@@ -1180,6 +1186,30 @@ object PipelineQueries {
     // (exact integer sums — partial-agg order can't perturb it),
     // reassignment, nprobe probe selection, list scoring, final rank.
     "q_ann_ivf" ->
+      s"""WITH $embCte,
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+         |scored AS (
+         | SELECT p.query_id, a2.neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM probes p JOIN a2 USING (list_id)
+         |  JOIN ed qe ON p.query_id = qe.vec_id JOIN ed ce ON a2.neighbor_id = ce.vec_id
+         |  JOIN nm nq ON p.query_id = nq.vec_id JOIN nm nc ON a2.neighbor_id = nc.vec_id
+         | WHERE p.query_id != a2.neighbor_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the streaming-maintained IVF index (IvfStream, gate in
+    // StreamQueries) must converge to the one-shot build for any
+    // arrival split: frozen deterministic quantizer + keyed upsert,
+    // so the SAME full-pipeline SQL replay as q_ann_ivf is its oracle
+    "q_stream_ann_index" ->
       s"""WITH $embCte,
          |$ivfAssignCtes
          |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (

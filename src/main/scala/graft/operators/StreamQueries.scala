@@ -611,7 +611,41 @@ object StreamQueries {
       .orderBy(col("batch_id"))
   }
 
+  /** IvfStream under the gate: streaming maintenance of the C7b IVF
+    * index — the coarse quantizer landed once from the full corpus,
+    * then the vectors arriving in TWO chunks, each assigned to its
+    * frozen nearest centroid and upserted into the list table through
+    * the txn-guarded SnapshotStore merge — then the IVF top-5 of the
+    * q_ann_ivf query batch against the MAINTAINED index. Because the
+    * quantizer is deterministic and frozen, the streamed list table
+    * equals a one-shot assign of the whole corpus, so the output
+    * equals q_ann_ivf and shares its fully-SQL-replayed oracle (any
+    * lost/duplicated/mis-assigned arrival shifts a rank). The
+    * replay-no-op and arrival-split invariances are spec'd in
+    * IvfStreamSpec.
+    */
+  def qStreamAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val inDir = tmp("gq-ivf-in")
+    val indexDir = tmp("gq-ivf-index")
+    val storeDir = tmp("gq-ivf-store")
+    val ckpt = tmp("gq-ivf-ckpt")
+    graft.streaming.IvfStream.landCentroids(emb, indexDir, nLists = 8)
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.IvfStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", indexDir, storeDir, ckpt)
+    q.processAllAvailable()
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.IvfStream.queryTopK(spark, indexDir, storeDir,
+      emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ann_index"    -> (qStreamAnnIndex _),
     "q_stream_sync_log"     -> (qStreamSyncLog _),
     "q_stream_rate_limit"   -> (qStreamRateLimit _),
     "q_stream_decontaminate" -> (qStreamDecontaminate _),

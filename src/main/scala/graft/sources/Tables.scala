@@ -56,6 +56,21 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Spread a frame that arrived as ONE scan split across the machine
+    * before per-row-expensive map work (gram explodes, payload
+    * hashing): a single small parquet file otherwise serializes the
+    * whole map pass onto one core (the DerivedTable landed-layout
+    * lesson). Guard is strictly ==1 — with even a few splits the
+    * exchange is measured pure overhead (q_memorization: -22% at
+    * sf0.1 single-split, +22% at 25x two-split). Plan-time partition
+    * check, no job; a no-op at cluster scale where scans have many
+    * splits.
+    */
+  private[graft] def spreadIfOneSplit(df: DataFrame): DataFrame = {
+    val width = math.min(32, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions == 1) df.repartition(width) else df
+  }
+
   private[graft] def loadCached(spark: SparkSession, path: String): DataFrame = {
     // lastModified() == 0 means "not a local file we can fingerprint"
     // (scheme path, missing dir) — fall back to uncached inference
