@@ -66,6 +66,9 @@ object CorpusQueries {
     * corpus-sized join shuffle is gone (only near-certain hits move).
     */
   def qBloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    // (no one-split spread here: shingle_hashes is a cheap codegen
+    // kernel, not string-concat gram work — the exchange measured as
+    // a net loss, 1.01 -> 1.12s at sf0.1)
     val docs = Tables(spark, dir).documents
     val grams = docs.select(col("doc_id"), col("source"),
       explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
@@ -697,10 +700,16 @@ object CorpusQueries {
           s"i -> struct(i AS i, xxhash64(array_join(slice(w, i, $W), ' ')) AS h))"))
         .as("sh"))
       .select(col("doc_id"), col("sh.i").as("i"), col("sh.h").as("h"))
-    val dup = sh.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val iv = sh.join(dup, Seq("h"), "left_semi")
+    // ONE explode, ONE shuffle of the position stream: "this gram
+    // appears in >= 2 distinct docs" is min(doc) != max(doc) over an
+    // h window on an explicit h repartition — the old groupBy +
+    // semi-join form ran the explode twice (the q_substring_dup
+    // restructure, kept exact)
+    val wH = Window.partitionBy(col("h"))
+    val iv = sh.repartition(col("h"))
+      .withColumn("dmin", min(col("doc_id")).over(wH))
+      .withColumn("dmax", max(col("doc_id")).over(wH))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("i").cast("long").as("st"),
         (col("i") + (W - 1)).cast("long").as("en"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"))

