@@ -180,6 +180,17 @@ object Ann {
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
       .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
 
+  /** The IVF-PQ row set for `emb` against FROZEN quantizers (landed
+    * centroids + codebooks): the [[ivfListEntries]] row plus the
+    * packed PQ codes — (neighbor_id, list_id, ce, nc, codes). The
+    * maintenance kernel of the streaming IVF-PQ index: both encode
+    * passes are broadcast-only, batch-sized.
+    */
+  def ivfPqEntries(emb: DataFrame, cents: DataFrame, codebooks: DataFrame,
+                   m: Int = 8): DataFrame =
+    ivfListEntries(emb, cents)
+      .join(pqPackCodes(emb, codebooks, m), "neighbor_id")
+
   /** The query side of plain IVF against built (or loaded) index
     * frames: probe the centroids, exact-score the vectors of the
     * nprobe nearest lists, rank. The corpus is touched only through

@@ -737,6 +737,42 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
        |  FROM dist) WHERE rn = 1)""".stripMargin
 
+  /** The full IVF-PQ two-quantizer replay — shared by q_ann_ivfpq
+    * (one-shot build) and q_stream_ann_pq (streaming-maintained
+    * artifacts): both must produce this exact ranking.
+    */
+  private val ivfPqReplaySql: String =
+    s"""WITH $embCte,
+       |$ivfAssignCtes
+       |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, list_id FROM (
+       | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
+       |$pqCtes,
+       |adc AS (SELECT p.query_id, cn.vec_id AS neighbor_id,
+       |  list_sum(list(dq.d2 ORDER BY cn.sub)) AS adc
+       | FROM codes cn
+       |  JOIN a2 ON a2.neighbor_id = cn.vec_id
+       |  JOIN probes p ON p.list_id = a2.list_id
+       |  JOIN dist dq ON dq.sub = cn.sub AND dq.code = cn.code
+       |    AND dq.vec_id = p.query_id
+       | WHERE p.query_id != cn.vec_id
+       | GROUP BY 1, 2),
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
+       | FROM adc) WHERE srank <= 32),
+       |rescored AS (SELECT query_id, neighbor_id,
+       |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+       | FROM shortlist
+       |  JOIN ed qe ON query_id = qe.vec_id JOIN ed ce ON neighbor_id = ce.vec_id
+       |  JOIN nm nq ON query_id = nq.vec_id JOIN nm nc ON neighbor_id = nc.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       | FROM rescored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
@@ -1149,37 +1185,13 @@ object PipelineQueries {
     // both deterministic quantizers replayed and COMPOSED: the IVF
     // probe set (a2/probes) gates which corpus vectors enter the
     // PQ-coded ADC scan; shortlist then exact re-rank as in q_ann_pq.
-    "q_ann_ivfpq" ->
-      s"""WITH $embCte,
-         |$ivfAssignCtes
-         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
-         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, list_id FROM (
-         | ${ivfSimRank("ed", "lloyd", " WHERE c.vec_id < 8")}) WHERE rn <= 2),
-         |$pqCtes,
-         |adc AS (SELECT p.query_id, cn.vec_id AS neighbor_id,
-         |  list_sum(list(dq.d2 ORDER BY cn.sub)) AS adc
-         | FROM codes cn
-         |  JOIN a2 ON a2.neighbor_id = cn.vec_id
-         |  JOIN probes p ON p.list_id = a2.list_id
-         |  JOIN dist dq ON dq.sub = cn.sub AND dq.code = cn.code
-         |    AND dq.vec_id = p.query_id
-         | WHERE p.query_id != cn.vec_id
-         | GROUP BY 1, 2),
-         |shortlist AS (SELECT query_id, neighbor_id FROM (
-         | SELECT query_id, neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
-         | FROM adc) WHERE srank <= 32),
-         |rescored AS (SELECT query_id, neighbor_id,
-         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
-         | FROM shortlist
-         |  JOIN ed qe ON query_id = qe.vec_id JOIN ed ce ON neighbor_id = ce.vec_id
-         |  JOIN nm nq ON query_id = nq.vec_id JOIN nm nc ON neighbor_id = nc.vec_id)
-         |SELECT query_id, rank, neighbor_id FROM (
-         | SELECT query_id, neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         | FROM rescored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqReplaySql,
+
+    // the streaming-maintained IVF-PQ index (IvfStream.landIvfPq +
+    // queryTopKPq, gate in StreamQueries) must converge to the
+    // one-shot build for any arrival split — same full two-quantizer
+    // SQL replay as q_ann_ivfpq
+    "q_stream_ann_pq" -> ivfPqReplaySql,
 
     // the full IVF pipeline replayed in SQL: affine-hash seed pick,
     // nearest-seed assignment, one Lloyd step in scaled-long space

@@ -644,8 +644,38 @@ object StreamQueries {
       emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
   }
 
+  /** IvfStream's PQ tier under the gate: the full IVF-PQ quantizer
+    * pair landed once (frozen centroids + codebooks), the vectors
+    * arriving in TWO chunks — each assigned AND PQ-encoded against
+    * the frozen artifacts, upserted through the txn-guarded store —
+    * then the compressed-scan + exact-rerank top-5 (C7d) served from
+    * the MAINTAINED artifacts alone. Shares q_ann_ivfpq's full
+    * two-quantizer SQL replay as its oracle.
+    */
+  def qStreamAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val inDir = tmp("gq-ivfpq-in")
+    val indexDir = tmp("gq-ivfpq-index")
+    val storeDir = tmp("gq-ivfpq-store")
+    val ckpt = tmp("gq-ivfpq-ckpt")
+    graft.streaming.IvfStream.landIvfPq(emb, indexDir, nLists = 8, m = 8, k = 16)
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.IvfStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", indexDir, storeDir, ckpt)
+    q.processAllAvailable()
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.IvfStream.queryTopKPq(spark, indexDir, storeDir,
+      emb.filter(col("vec_id") < 8), topK = 5, nprobe = 2, rerank = 32,
+      excludeSelf = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_ann_index"    -> (qStreamAnnIndex _),
+    "q_stream_ann_pq"       -> (qStreamAnnPq _),
     "q_stream_sync_log"     -> (qStreamSyncLog _),
     "q_stream_rate_limit"   -> (qStreamRateLimit _),
     "q_stream_decontaminate" -> (qStreamDecontaminate _),

@@ -53,8 +53,46 @@ object IvfStream {
     ()
   }
 
+  /** Full IVF-PQ quantizer landing: [[landCentroids]] plus the PQ
+    * codebooks and an (m, k) meta file. A store maintained against
+    * this index carries packed PQ codes next to each list entry, so
+    * [[queryTopKPq]] can serve the compressed-scan + exact-rerank
+    * path (C7d) from the maintained artifacts alone.
+    */
+  def landIvfPq(emb: DataFrame, indexDir: String, nLists: Int = 8,
+                m: Int = 8, k: Int = 16): Unit = {
+    landCentroids(emb, indexDir, nLists)
+    val cb = Ann.pqCodebooks(emb, m, k)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    cb.unpersist()
+    val spark = emb.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"m": $m, "k": $k}""".getBytes("UTF-8"))
+    finally out.close()
+    ()
+  }
+
   def centroids(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/cents")
+
+  private def hasCodebooks(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def metaOf(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def intOf(key: String): Int =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalStateException(
+          s"index meta $metaPath is missing key '$key': $meta")).group(1).toInt
+    (intOf("m"), intOf("k"))
+  }
 
   def readLists(spark: SparkSession, storeDir: String): Option[DataFrame] =
     new SnapshotStore(spark, storeDir, keyCol).read()
@@ -73,7 +111,15 @@ object IvfStream {
                  txn: Option[Long]): Long = {
     val spark = batch.sparkSession
     val store = new SnapshotStore(spark, storeDir, keyCol)
-    val entries = Ann.ivfListEntries(batch, centroids(spark, indexDir))
+    // with a full IVF-PQ landing the maintained row also carries the
+    // packed PQ codes (frozen codebooks — same discipline as the
+    // frozen centroids); both encode passes are broadcast-only
+    val entries =
+      if (hasCodebooks(spark, indexDir))
+        Ann.ivfPqEntries(batch, centroids(spark, indexDir),
+          spark.read.parquet(s"$indexDir/codebooks"),
+          m = metaOf(spark, indexDir)._1)
+      else Ann.ivfListEntries(batch, centroids(spark, indexDir))
     store.mergeWith(entries, init = identity[DataFrame], fold = upsert, txn = txn)
   }
 
@@ -107,4 +153,25 @@ object IvfStream {
       readLists(spark, storeDir).getOrElse(
         throw new IllegalStateException(s"no list table at $storeDir")),
       queries, k, nprobe)
+
+  /** IVF-PQ top-k against the maintained index (requires a
+    * [[landIvfPq]] landing): landed centroids + codebooks, codes and
+    * normed vectors from the store snapshot — the exact frames
+    * [[Ann.queryIvfPq]] reads from a one-shot
+    * [[Ann.buildIvfPqIndex]], so query semantics are identical.
+    */
+  def queryTopKPq(spark: SparkSession, indexDir: String, storeDir: String,
+                  queries: DataFrame, topK: Int, nprobe: Int = 2,
+                  rerank: Int = 32, excludeSelf: Boolean = false): DataFrame = {
+    val lists = readLists(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no list table at $storeDir"))
+    val (m, k) = metaOf(spark, indexDir)
+    val idx = Ann.IvfPqIndex(
+      cents = centroids(spark, indexDir),
+      codebooks = spark.read.parquet(s"$indexDir/codebooks"),
+      codes = lists.select(col(keyCol), col("list_id"), col("codes")),
+      vectors = lists.select(col(keyCol), col("ce"), col("nc")),
+      m = m, k = k)
+    Ann.queryIvfPq(idx, queries, topK, nprobe, rerank, excludeSelf)
+  }
 }

@@ -64,6 +64,24 @@ class IvfStreamSpec extends AnyFunSuite {
     assert(fp(got) == fp(want))
   }
 
+  test("IVF-PQ tier: maintained artifacts serve the same top-k as the one-shot build") {
+    val emb = Tables(spark, sfDir).embeddings
+    val indexDir = tmp("ivfpq-index").toString
+    val storeDir = tmp("ivfpq-store").toString
+    IvfStream.landIvfPq(emb, indexDir, nLists = 8, m = 8, k = 16)
+    IvfStream.mergeBatch(emb.filter(col("vec_id") % 2 === 1),
+      indexDir, storeDir, txn = Some(0L))
+    IvfStream.mergeBatch(emb.filter(col("vec_id") % 2 === 0),
+      indexDir, storeDir, txn = Some(1L))
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = IvfStream.queryTopKPq(spark, indexDir, storeDir, queries,
+      topK = 5, nprobe = 2, rerank = 32, excludeSelf = true)
+    // the one-shot path: build everything from the corpus in-session
+    val want = Ann.ivfPqTopK(emb, queries, topK = 5,
+      nLists = 8, nprobe = 2, m = 8, k = 16, rerank = 32)
+    assert(fp(got) == fp(want))
+  }
+
   test("replayed txn is a no-op; re-delivered vectors fold idempotently") {
     val emb = Tables(spark, sfDir).embeddings
     val indexDir = tmp("ivfs2-index").toString
