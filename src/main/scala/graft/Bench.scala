@@ -86,10 +86,16 @@ object Bench {
     val prevReadings: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench.json")), "UTF-8")
-      val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-      """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qs)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // readings only compare within the SAME scale factor — a
+      // filtered 25x triage run must not third-iterate/flag against
+      // committed sf0.1 numbers
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else {
+        val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qs)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
     var sinceGc = 0
@@ -149,13 +155,17 @@ object Bench {
     if (only.nonEmpty) println(fullJson)
     println(mkJson(Seq.empty))
     // the complete map goes to a committed file — the reliable copy.
-    // Filtered triage runs write bench_filtered.json so a
-    // SPARK_GRAFT_BENCH_ONLY subset can never clobber the committed
-    // full-suite bench.json (the r9-close artifact-drift hazard),
-    // while the triage record still lands somewhere auditable.
+    // ONLY a full-suite run at the canonical benchmark SF may write
+    // bench.json: filtered triage runs AND full runs at other SF
+    // dirs (5x/25x stress) write bench_filtered.json instead, so
+    // neither a SPARK_GRAFT_BENCH_ONLY subset nor a stress sweep can
+    // clobber the committed artifact (both clobber modes have now
+    // fired once — r9 close and the r10 5x run).
+    val canonicalSf = "/root/testdata/sf0.1"
     try {
       val out = java.nio.file.Paths.get(
-        if (only.isEmpty) "bench.json" else "bench_filtered.json")
+        if (only.isEmpty && sfDir == canonicalSf) "bench.json"
+        else "bench_filtered.json")
       java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

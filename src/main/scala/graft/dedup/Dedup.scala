@@ -388,13 +388,28 @@ object Dedup {
     * with true Jaccard s becomes a candidate: 1-(1-s^4)^16 (>=99.98%
     * at s=0.8).
     */
+  /** The 16x4 band hashes of a 64-slot minhash signature column —
+    * ONE definition shared by [[minhashLsh]] and the streaming index
+    * ([[graft.streaming.NearDupStream]]) so the banding cannot
+    * diverge between the batch and incremental paths.
+    */
+  def bandStructs(sig: Column): Seq[Column] = (0 until 16).map { k =>
+    struct(lit(k).as("band"),
+      xxhash64((0 until 4).map(r => sig.getItem(4 * k + r)) :+ lit(k): _*).as("bh"))
+  }
+
+  /** Banded signature rows (doc_id, band, bh) for the C2 LSH. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val withSig = hashedShingles(docs).select(col("doc_id"),
+      graft.functions.minhash_sig(col("shh")).as("sig"))
+    withSig.select(col("doc_id"), explode(array(bandStructs(col("sig")): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
     val withSig = hashedShingles(docs).select(col("doc_id"), col("shh"),
       graft.functions.minhash_sig(col("shh")).as("sig"))
-    val bands = (0 until 16).map { k =>
-      struct(lit(k).as("band"),
-        xxhash64((0 until 4).map(r => col("sig").getItem(4 * k + r)) :+ lit(k): _*).as("bh"))
-    }
+    val bands = bandStructs(col("sig"))
     val cand = withSig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val pairs = cand.alias("x").join(cand.alias("y"), Seq("band", "bh"))

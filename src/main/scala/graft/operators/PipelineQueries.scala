@@ -737,6 +737,23 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
        |  FROM dist) WHERE rn = 1)""".stripMargin
 
+  /** The exact >= 0.8 Jaccard pair replay — shared by q_dedup_minhash
+    * (one-shot C2 scan) and q_stream_neardup (streaming-maintained
+    * index): the LSH banding at 16x4 over 64-slot signatures recalls
+    * every pair at this threshold, so both paths' verified output is
+    * this exact set.
+    */
+  private val minhashReplaySql: String =
+    s"""WITH $triCte,
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM tri a JOIN tri b USING (g)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
+       |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+       |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The full IVF-PQ two-quantizer replay — shared by q_ann_ivfpq
     * (one-shot build) and q_stream_ann_pq (streaming-maintained
     * artifacts): both must produce this exact ranking.
@@ -864,16 +881,12 @@ object PipelineQueries {
         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.5
         |ORDER BY eval_id, train_id""".stripMargin,
 
-    "q_dedup_minhash" ->
-      s"""WITH $triCte,
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM tri a JOIN tri b USING (g)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, i*1.0/(ca.c + cb.c - i) AS jaccard
-         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-         |WHERE i*1.0/(ca.c + cb.c - i) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" -> minhashReplaySql,
+
+    // the streaming-maintained MinHash-LSH index (NearDupStream, gate
+    // in StreamQueries) must serve the same verified pair set as the
+    // one-shot C2 scan for any arrival split — same exact SQL replay
+    "q_stream_neardup" -> minhashReplaySql,
 
     "q_embedding_clusters" ->
       s"""WITH RECURSIVE $embCte,

@@ -673,9 +673,35 @@ object StreamQueries {
       excludeSelf = true)
   }
 
+  /** NearDupStream under the gate: the C2 MinHash-LSH index
+    * maintained across TWO document arrivals (signature store +
+    * bucket posting store through the txn-guarded CoW merges), then
+    * ALL verified near-dup pairs served from the index alone. The
+    * doc_id parity split puts most near-dup twins in DIFFERENT
+    * arrivals, so the equality with the one-shot C2 scan (shared
+    * exact SQL replay) genuinely exercises the cross-batch fold.
+    */
+  def qStreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-nd-in")
+    val storeDir = tmp("gq-nd-store")
+    val ckpt = tmp("gq-nd-ckpt")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.NearDupStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", storeDir, ckpt)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.NearDupStream.pairs(spark, storeDir, minJaccard = 0.8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_ann_index"    -> (qStreamAnnIndex _),
     "q_stream_ann_pq"       -> (qStreamAnnPq _),
+    "q_stream_neardup"      -> (qStreamNeardup _),
     "q_stream_sync_log"     -> (qStreamSyncLog _),
     "q_stream_rate_limit"   -> (qStreamRateLimit _),
     "q_stream_decontaminate" -> (qStreamDecontaminate _),

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+import graft.store.SnapshotStore
+
+/** A29: streaming NEAR-dup index maintenance — the C2 MinHash-LSH
+  * index under the A26/A28 landed-store lifecycle, completing the
+  * streaming dedup story (IngestStream folds EXACT duplicates at
+  * ingest; this maintains the near-dup candidate index the same
+  * way). The reference's consume → upsert → queryable-table loop
+  * [ref: ConsumerMain.scala:91-152] with the table replaced by two
+  * index artifacts:
+  *
+  *  - a SIGNATURE store keyed by doc_id holding each document's
+  *    hashed-shingle set (the exact-verify side);
+  *  - a BUCKET store keyed by the 64-bit (band, band-hash) key
+  *    holding the sorted posting list of doc_ids in that LSH bucket
+  *    (one row per bucket — the A22 continuously-maintained-
+  *    aggregate shape, folded by sorted set-union).
+  *
+  * Per-batch work is batch-sized: signatures and band hashes are
+  * map-side kernels over the arriving documents, and the CoW merges
+  * rewrite only store files whose key range the batch touches. Both
+  * folds are idempotent and txn-guarded, so replays converge. The
+  * banding is [[Dedup.bandStructs]] — the SAME definition the batch
+  * operator uses, so the streamed index equals the one-shot C2 scan
+  * for any arrival split (the q_stream_neardup gate pins this
+  * against q_dedup_minhash's exact SQL replay).
+  *
+  * At 100 TB: bucket posting lists are near-dup-mass-sized (LSH at
+  * 16x4 over 64-slot signatures — a bucket collects only docs whose
+  * signatures agree on a band), and [[pairs]] explodes pairs only
+  * WITHIN buckets — candidate generation stays linear + bucket-
+  * bounded exactly like the batch path.
+  */
+object NearDupStream {
+
+  private val sigKey = "doc_id"
+  private val bucketKey = "bkey"
+
+  private def sigStore(spark: SparkSession, dir: String) =
+    new SnapshotStore(spark, s"$dir/sig", sigKey)
+  private def bucketStore(spark: SparkSession, dir: String) =
+    new SnapshotStore(spark, s"$dir/bucket", bucketKey)
+
+  /** Upsert by doc_id: a re-delivered document replaces its row. */
+  private def upsertSig(base: DataFrame, delta: DataFrame): DataFrame =
+    base.join(delta.select(col(sigKey)), Seq(sigKey), "left_anti")
+      .unionByName(delta)
+
+  /** Sorted set-union of posting lists per bucket — associative,
+    * commutative, idempotent: any arrival split and any replay
+    * converges to the same row.
+    */
+  private def unionBuckets(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col(bucketKey))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("docs")))))
+        .as("docs"))
+
+  /** The two per-batch index contributions. */
+  private def contributions(batch: DataFrame): (DataFrame, DataFrame) = {
+    val sig = Dedup.hashedShingles(batch).select(col(sigKey), col("shh"))
+    val buckets = Dedup.minhashBands(batch)
+      .select(xxhash64(col("band"), col("bh")).as(bucketKey), col(sigKey))
+      .groupBy(col(bucketKey))
+      .agg(sort_array(collect_set(col(sigKey))).as("docs"))
+    (sig, buckets)
+  }
+
+  /** Fold one document batch into both index stores (the foreachBatch
+    * body, callable directly for batch backfills).
+    */
+  def mergeBatch(batch: DataFrame, storeDir: String,
+                 txn: Option[Long]): Unit = {
+    val spark = batch.sparkSession
+    val (sig, buckets) = contributions(batch)
+    sigStore(spark, storeDir)
+      .mergeWith(sig, init = identity[DataFrame], fold = upsertSig, txn = txn)
+    bucketStore(spark, storeDir)
+      .mergeWith(buckets, init = identity[DataFrame], fold = unionBuckets,
+        txn = txn)
+    ()
+  }
+
+  def start(spark: SparkSession, docsDir: String, schemaDir: String,
+            storeDir: String, checkpointDir: String): StreamingQuery = {
+    Files.createDirectories(Paths.get(storeDir))
+    val schema = spark.read.parquet(schemaDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, storeDir, Some(batchId))
+      }
+      .start()
+  }
+
+  /** All verified near-dup pairs from the maintained index: explode
+    * pairs within each stored bucket, dedup, exact-verify against the
+    * stored shingle sets at `minJaccard` — the C2 semantics served
+    * from the index alone (the corpus is never re-read).
+    */
+  def pairs(spark: SparkSession, storeDir: String,
+            minJaccard: Double = 0.8): DataFrame = {
+    val buckets = bucketStore(spark, storeDir).read().getOrElse(
+      throw new IllegalStateException(s"no bucket store at $storeDir"))
+    val sh = sigStore(spark, storeDir).read().getOrElse(
+      throw new IllegalStateException(s"no signature store at $storeDir"))
+    val cand = buckets.filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("id_a"), col("docs"))
+      .select(col("id_a"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(sigKey).as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col(sigKey).as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -392,4 +392,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val json = KafkaCdcSource.offsetLogToStartingOffsets(lines)
     assert(json == """{"tt": {"0": 39, "1": 30, "2": 40, "3": 107, "4": 95}}""", json)
   }
+
+  // --- round-10 shapes ---
+
+  test("memorization: only (doc_id, text) read; gram shuffles are 8-byte hashes") {
+    val p = plan(graft.operators.CorpusQueries.queries("q_memorization")(spark, sf))
+    // column pruning: the documents scan must not read the unused cols
+    assert(!p.contains("n_chars"), "pruned column still in scan:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the run-length window is per-doc, never an empty partitionSpec
+    assert(!"windowspecdefinition\\(i".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("solo returns: ONE fact exchange on l_orderkey; supplier broadcasts") {
+    val p = plan(Relational.qSoloReturns(spark, sf))
+    val factEx = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length
+    assert(factEx == 1, s"expected 1 l_orderkey exchange, got $factEx:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the old shape re-shuffled the pair frame for the stats join
+    assert(!"Exchange hashpartitioning\\(l_orderkey#\\d+L, l_suppkey".r
+      .findFirstIn(p).isDefined, "pair-frame re-shuffle is back:\n" + p)
+  }
+
+  test("robust stats: one event_type shuffle into the single-pass group kernel") {
+    val p = plan(graft.operators.DiagnosticsQueries.queries("q_robust_stats")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("Window"), "window chain is back:\n" + p)
+  }
+
+  test("substring dup: one gram-hash exchange, one doc pivot exchange, no join-back") {
+    val p = plan(graft.operators.CorpusQueries.queries("q_substring_dup")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    // spread round-robin + h + doc_id are the only hash-family
+    // exchanges; the old agg+join form planned 7 exchanges total
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin"), "join-back is back:\n" + p)
+  }
 }
