@@ -73,7 +73,7 @@ object SparkEntry {
     // alternative to a single-partition row_number window) counts
     // partitions with an eager job at construction
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
-    "q_rarity_score", "q_rfm", "q_winsorize",
+    "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
     // iterative TextRank fixpoint (per-round materialization)
     "q_textrank")
 

@@ -72,8 +72,13 @@ object CorpusQueries {
     val docs = Tables(spark, dir).documents
     val grams = docs.select(col("doc_id"), col("source"),
       explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
+    // benchmark gram set: small by construction (the held-out split),
+    // and read twice — by the blob build and by the exact confirm
+    // semi-join. Caching it saves a full re-shingle of the eval
+    // split per read.
     val eval = grams.filter(col("source") === "src0")
       .select(col("gh")).distinct()
+      .cache()
     // one-row blob; numBits pinned (driver-derived sizing would make
     // the plan depend on stats — fixed 2^17 bits ≈ 16 KB holds the
     // benchmark's ~10k grams at ~2% fpp, and fpp only costs verify
@@ -415,7 +420,13 @@ object CorpusQueries {
     * work is one bigram explode joined against the (broadcastable)
     * count tables: map-heavy, single aggregation by doc_id.
     */
-  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** The unsorted C69 score frame, shared by q_lm_score and the C72
+    * bucketing pass so the two cannot drift.
+    */
+  private[graft] def lmScoreFrame(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -427,11 +438,7 @@ object CorpusQueries {
       bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     }
     val uni = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    def elog(c: String): String =
-      s"""(8 * (length(bin($c)) - 1)
-         | + (CASE WHEN length(bin($c)) - 1 >= 3
-         |    THEN shiftright($c, length(bin($c)) - 4)
-         |    ELSE shiftleft($c, 4 - length(bin($c))) END) - 8)""".stripMargin
+    def elog(c: String): String = sparkElog(c)
     // score each DISTINCT pair once (the deficit frame is
     // vocab²-bounded — broadcastable far beyond this corpus; past
     // broadcast size it shuffle-joins on the pair key, still
@@ -453,6 +460,47 @@ object CorpusQueries {
         sum(col("deficit")).as("sum_deficit_ebits"))
       .withColumn("ppl_milli_ebits",
         expr("(sum_deficit_ebits * 1000) div n_bigrams"))
+  }
+
+  /** C72: CCNet-style per-language perplexity bucketing — the
+    * head/middle/tail split Wenzek et al. run after LM scoring:
+    * within each language, documents are ranked by the C69 score
+    * (ascending — low perplexity first), and the rank terciles
+    * become the quality buckets a mixture policy samples from.
+    * Boundaries are pure integer rank arithmetic (3*r <= n, <= 2n),
+    * ties broken by doc_id, so both engines replay the split
+    * bit-identically — no percentile interpolation, no floats.
+    *
+    * Scale shape: the per-language rank does NOT use a per-lang
+    * window (a hot language would collapse into one task). It is the
+    * C27/C30 pattern — ONE range-partitioned global sort on
+    * (lang, score, doc_id) + zipWithIndex — and per-language ranks
+    * fall out by subtracting each language's first global position,
+    * a #langs-row broadcast. Corpus-sized data crosses exactly one
+    * range exchange beyond the C69 scoring passes.
+    */
+  def qLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = lmScoreFrame(spark, dir)
+      .select(col("doc_id"), col("ppl_milli_ebits"))
+      .join(Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val ranked = scores
+      .select(col("lang"), col("ppl_milli_ebits"), col("doc_id"))
+      .orderBy(col("lang"), col("ppl_milli_ebits"), col("doc_id"))
+      .as[(String, Long, Long)].rdd.zipWithIndex()
+      .map { case ((lang, ppl, id), i) => (lang, ppl, id, i + 1L) }
+      .toDF("lang", "ppl_milli_ebits", "doc_id", "gpos")
+    val offs = ranked.groupBy(col("lang"))
+      .agg(min(col("gpos")).as("off"), count(lit(1)).as("n"))
+    ranked.join(broadcast(offs), Seq("lang"))
+      .withColumn("lang_rank", col("gpos") - col("off") + lit(1L))
+      .withColumn("bucket",
+        when(col("lang_rank") * 3 <= col("n"), lit("head"))
+          .when(col("lang_rank") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("ppl_milli_ebits"),
+        col("lang_rank"), col("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -823,15 +871,36 @@ object CorpusQueries {
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // the (doc, term, tf) table LANDS once per corpus via the
+    // DerivedTable seam (the C69 word-pairs discipline): both
+    // consumers — the score join and the document-frequency
+    // aggregate — read the landed parquet, instead of each
+    // recomputing the corpus explode+aggregate (column pruning makes
+    // the two tf subtrees differ, so ReusedExchange cannot fire on
+    // the inline form). sf0.1: 1.06s inline -> 1.01s landed — the
+    // residual is the local[32] per-job floor across this shape's
+    // 6 AQE stages, not compute; the scan saved is what matters at
+    // corpus scale.
+    val tf = graft.sources.DerivedTable.readOrBuild(spark, "doc-term-freq",
+      dir, Seq("documents"), "tf-counts-v1") {
+      words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    }
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfn"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nd))
       .withColumn("score", expr("tf * ((nd * 1000000) div dfn)"))
-    val top = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("w"))
-    scored.withColumn("rn", row_number().over(top)).filter(col("rn") <= 3)
-      .select(col("doc_id"), col("w").as("term"), col("score"))
+    // per-doc top-3 as a hash aggregate (sort the per-doc term list,
+    // slice 3), not a row_number window: measured equal on the
+    // window form (Spark 4's WindowGroupLimit already bounds the
+    // rank filter map-side), kept for one hash aggregate with
+    // map-side partials instead of two sort+limit passes around the
+    // doc exchange. Order matches (score desc, term asc) via the
+    // (-score, term) struct sort.
+    scored.groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("w"))), asc = true), 1, 3).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("t"))
+      .select(col("doc_id"), col("t.w").as("term"), (-col("t.ns")).as("score"))
       .orderBy(col("doc_id"), col("term"))
   }
 
@@ -879,13 +948,64 @@ object CorpusQueries {
     * the oracle is exact.
     */
   def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long"), lit(64L)))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("tf"))
-      .orderBy(col("doc_id"), col("bucket"))
+    featureHashTable(spark, dir).orderBy(col("doc_id"), col("bucket"))
+
+  /** The C63 (doc_id, bucket, tf) table, LANDED once per corpus via
+    * the DerivedTable seam and shared by q_feature_hash and the C73
+    * importance weights so the two can't drift. The fixed 64-bucket
+    * space keeps the table schema corpus-independent.
+    */
+  private[graft] def featureHashTable(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(spark, "doc-bucket-tf",
+      dir, Seq("documents"), "feature-hash-v1") {
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long"), lit(64L)))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** C73: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW-pool document by how target-like its hashed n-gram
+    * feature profile is — log p_target(doc) - log p_raw(doc) under
+    * bucket-unigram models of the two pools — so a later pass can
+    * resample the raw corpus toward the target distribution (the
+    * C45 PPS machinery takes these weights directly). The target
+    * pool is the held-out src0 split (the same convention as the
+    * C16/C25 contamination gates); features are the C63 64-bucket
+    * hash space; the log is the C69 fixed-point eighth-bit log2, and
+    * +1 Laplace smoothing keeps every bucket finite — all integer,
+    * engine-exact.
+    *
+    * Scale shape: bucket statistics are ONE tiny aggregate over the
+    * landed C63 table (64 rows out); the per-bucket weight table
+    * broadcasts; scoring is a map-only broadcast join over the
+    * landed features plus one per-doc aggregation — the corpus text
+    * is never re-read. Per-token normalization uses explicit
+    * FLOOR division ((a - pmod(a, n)) div n) so negative totals
+    * round identically to the oracle's floor semantics.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featureHashTable(spark, dir)
+    val side = Tables(spark, dir).documents
+      .select(col("doc_id"), (col("source") === "src0").cast("int").as("is_tgt"))
+    val tagged = feats.join(side, Seq("doc_id"))
+    val bucketCounts = tagged.groupBy(col("bucket"))
+      .agg(sum(when(col("is_tgt") === 1, col("tf")).otherwise(0L)).as("t"),
+        sum(when(col("is_tgt") === 0, col("tf")).otherwise(0L)).as("r"))
+    val wtab = bucketCounts.select(col("bucket"),
+      expr(s"${sparkElog("(t + 1)")} - ${sparkElog("(r + 1)")}").as("s_b"))
+    tagged.filter(col("is_tgt") === 0)
+      .join(broadcast(wtab), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("s_b")).as("imp_ebits"))
+      .withColumn("imp_milli_per_tok",
+        expr("(imp_ebits * 1000 - pmod(imp_ebits * 1000, n_tok)) div n_tok"))
+      .orderBy(col("doc_id"))
+  }
 
   /** C64: out-of-vocabulary rate — the corpus-quality feature a
     * tokenizer/quality pipeline scores before training: vocab = the
@@ -913,11 +1033,13 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_hash"    -> (qFeatureHash _),
+    "q_dsir_weights"    -> (qDsirWeights _),
     "q_oov_rate"        -> (qOovRate _),
     "q_tfidf"               -> (qTfidf _),
     "q_profile"             -> (qProfile _),
     "q_pii_redact"          -> (qPiiRedact _),
     "q_lm_score"            -> (qLmScore _),
+    "q_lm_buckets"          -> (qLmBuckets _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
     "q_global_shuffle"      -> (qGlobalShuffle _),
@@ -973,6 +1095,40 @@ object CorpusQueries {
       "THEN ' alt 555-' || lpad(CAST((doc_id*91) % 10000 AS VARCHAR), 4, '0') " +
       "ELSE '' END"
 
+  /** Fixed-point eighth-bit log2, Spark SQL form: 8*floor(log2 c) +
+    * next-3-mantissa-bits, integer shifts only — engine-exact (see
+    * the C69 Scaladoc). [[duckElog]] is the DuckDB twin.
+    */
+  private[graft] def sparkElog(c: String): String =
+    s"""(8 * (length(bin($c)) - 1)
+       | + (CASE WHEN length(bin($c)) - 1 >= 3
+       |    THEN shiftright($c, length(bin($c)) - 4)
+       |    ELSE shiftleft($c, 4 - length(bin($c))) END) - 8)""".stripMargin
+
+  /** DuckDB twin of [[sparkElog]] (>>/<< instead of shiftright/left). */
+  private def duckElog(c: String): String =
+    s"""(8 * (length(bin($c)) - 1)
+       | + (CASE WHEN length(bin($c)) - 1 >= 3
+       |    THEN $c >> (length(bin($c)) - 4)
+       |    ELSE $c << (4 - length(bin($c))) END) - 8)""".stripMargin
+
+  /** Shared CTE chain for the C69/C72 oracles: bigram instances,
+    * pair/unigram counts, and the per-instance fixed-point deficit.
+    */
+  private val lmScoreCtes: String = {
+    def elog(c: String): String = duckElog(c)
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |inst AS (SELECT doc_id, unnest([struct_pack(a := w[i], b := w[i+1])
+       |                                for i in generate_series(1, len(w)-1)]) AS p
+       |         FROM toks WHERE len(w) >= 2),
+       |pi AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM inst),
+       |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pi GROUP BY 1, 2),
+       |uc AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pc GROUP BY 1),
+       |scored AS (
+       | SELECT doc_id, ${elog("n1")} - ${elog("n12")} AS deficit
+       | FROM pi JOIN pc USING (w1, w2) JOIN uc USING (w1))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_feature_hash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -982,6 +1138,31 @@ object CorpusQueries {
         |  CAST(count(*) AS BIGINT) AS tf
         |FROM toks GROUP BY 1, 2
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // C63 bucket replay + the fixed-point log-ratio. DuckDB's //
+    // truncates toward zero on negatives (measured), so the floor
+    // division is spelled with an explicit positive-mod on BOTH
+    // sides (Spark: pmod; here: ((a % n) + n) % n)
+    "q_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |f AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2, 3),
+         |bc AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN source != 'src0' THEN tf ELSE 0 END) AS BIGINT) AS r
+         |  FROM f GROUP BY 1),
+         |w AS (SELECT bucket, ${duckElog("(t + 1)")} - ${duckElog("(r + 1)")} AS s_b
+         |  FROM bc)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         |  CAST(sum(tf * s_b) AS BIGINT) AS imp_ebits,
+         |  CAST((sum(tf * s_b) * 1000
+         |        - ((sum(tf * s_b) * 1000 % sum(tf)) + sum(tf)) % sum(tf))
+         |       // sum(tf) AS BIGINT) AS imp_milli_per_tok
+         |FROM f JOIN w USING (bucket) WHERE source != 'src0'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1057,27 +1238,33 @@ object CorpusQueries {
     // the fixed-point eighth-bit log2 replays with length(bin())
     // and integer shifts — no float log anywhere, so the scores are
     // engine-exact
-    "q_lm_score" -> {
-      def elog(c: String): String =
-        s"""(8 * (length(bin($c)) - 1)
-           | + (CASE WHEN length(bin($c)) - 1 >= 3
-           |    THEN $c >> (length(bin($c)) - 4)
-           |    ELSE $c << (4 - length(bin($c))) END) - 8)""".stripMargin
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |inst AS (SELECT doc_id, unnest([struct_pack(a := w[i], b := w[i+1])
-         |                                for i in generate_series(1, len(w)-1)]) AS p
-         |         FROM toks WHERE len(w) >= 2),
-         |pi AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM inst),
-         |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pi GROUP BY 1, 2),
-         |uc AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM pc GROUP BY 1),
-         |scored AS (
-         | SELECT doc_id, ${elog("n1")} - ${elog("n12")} AS deficit
-         | FROM pi JOIN pc USING (w1, w2) JOIN uc USING (w1))
+    "q_lm_score" ->
+      s"""WITH $lmScoreCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          | CAST(sum(deficit) AS BIGINT) AS sum_deficit_ebits,
          | CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same CTE chain as q_lm_score; the bucket split is pure integer
+    // rank arithmetic (3r<=n / 3r<=2n) so the tercile boundaries are
+    // engine-exact even on tied scores (doc_id tiebreak)
+    "q_lm_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |sdoc AS (SELECT doc_id,
+         |   CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
+         | FROM scored GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, d.lang, s.ppl_milli_ebits
+         |      FROM sdoc s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT doc_id, lang, ppl_milli_ebits,
+         |   CAST(row_number() OVER (
+         |     PARTITION BY lang ORDER BY ppl_milli_ebits, doc_id) AS BIGINT)
+         |     AS lang_rank,
+         |   count(*) OVER (PARTITION BY lang) AS n FROM j)
+         |SELECT doc_id, lang, ppl_milli_ebits, lang_rank,
+         | CASE WHEN lang_rank*3 <= n THEN 'head'
+         |      WHEN lang_rank*3 <= n*2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     // the Bloom prefilter is plan-level only (exactness restored by
     // the confirm join): the oracle is the plain distinct semi-join

@@ -429,6 +429,27 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
 
+  /** C71: soft dedup — instead of DROPPING near-duplicates, assign
+    * each document a training weight 1e6/cluster_size ppm so a
+    * cluster of n near-copies contributes one document's worth of
+    * gradient in expectation (the downweighting alternative to hard
+    * dedup used when duplicates carry signal — boilerplate-heavy
+    * web corpora, templated docs). Built ON the persisted C19
+    * cluster map: per-cluster sizes are one aggregate over the
+    * (id, cluster_id) snapshot, joined back on cluster_id — both
+    * sides are id-sized, the corpus text never moves. Integer ppm
+    * weights, so the frame is engine-exact.
+    */
+  def qDupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Dedup.clustersTable(spark, dir, Tables(spark, dir).documents)
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").cast("long").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D2b: per-GROUP heavy hitters — the SpaceSaving sketch as a
     * grouped aggregate (one bounded-memory sketch per source, merged
     * map-side like any partial): the per-tenant/per-language top-k
@@ -621,6 +642,7 @@ object PipelineQueries {
     "q_mm_phash"        -> (qMmPhash _),
     "q_topk_freq"       -> (qTopkFreq _),
     "q_dup_clusters"    -> (qDupClusters _),
+    "q_dup_weights"     -> (qDupWeights _),
     "q_cluster_sizes"   -> (qClusterSizes _),
     "q_group_topk"      -> (qGroupTopk _),
     "q_cross_neardup"   -> (qCrossNeardup _),
@@ -1333,6 +1355,31 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // same component closure as q_dup_clusters; the weight is pure
+    // integer ppm so the frame replays exactly
+    "q_dup_weights" ->
+      s"""WITH RECURSIVE $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE i*1.0/(ca.c + cb.c - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |          FROM clusters GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, s.cluster_size,
+         | CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |FROM clusters c JOIN sizes s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_topk_freq" ->
       """SELECT w AS item, count(*) AS cnt
