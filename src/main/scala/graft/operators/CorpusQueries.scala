@@ -426,41 +426,56 @@ object CorpusQueries {
   /** The unsorted C69 score frame, shared by q_lm_score and the C72
     * bucketing pass so the two cannot drift.
     */
-  private[graft] def lmScoreFrame(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables(spark, dir).documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  private[graft] def lmScoreFrame(spark: SparkSession, dir: String): DataFrame =
+    lmScoreAgainst(Tables(spark, dir).documents, lmDeficits(spark, dir))
+
+  /** (doc_id, w1, w2) bigram instances of a document frame. */
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The frozen corpus LM: per distinct bigram, the fixed-point
+    * -log2 P(w2|w1) deficit, derived from the LANDED word-pairs
+    * artifact. Each DISTINCT pair is scored once (the deficit frame
+    * is vocab²-bounded — broadcastable far beyond this corpus; past
+    * broadcast size it shuffle-joins on the pair key, still linear).
+    * A doc×pair pre-aggregation was measured WORSE at 25x (6.6s vs
+    * 1.9s): it trades the map-only broadcast join for a
+    * doc×pair-cardinality hash aggregate.
+    */
+  private[graft] def lmDeficits(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.sources.DerivedTable.readOrBuild(spark, "word-pairs",
       dir, Seq("documents"), "bigram-counts-v1") {
-      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      lmBigrams(Tables(spark, dir).documents)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     }
     val uni = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    def elog(c: String): String = sparkElog(c)
-    // score each DISTINCT pair once (the deficit frame is
-    // vocab²-bounded — broadcastable far beyond this corpus; past
-    // broadcast size it shuffle-joins on the pair key, still
-    // linear), then ONE instance-level join feeds the single
-    // per-doc aggregation shuffle with map-side partials. A
-    // doc×pair pre-aggregation was measured WORSE at 25x (6.6s vs
-    // 1.9s): it trades the map-only broadcast join for a
-    // doc×pair-cardinality hash aggregate.
-    val deficits = pairs.join(uni, Seq("w1"))
+    pairs.join(uni, Seq("w1"))
       .select(col("w1"), col("w2"),
-        expr(s"${elog("n1")} - ${elog("n12")}").as("deficit"))
-    // explicit broadcast: deficits' lineage (landed-pairs ⋈ derived
-    // unigrams) hides its true vocab²-bounded size from the size
-    // estimator, which otherwise plans a corpus-wide sort-merge join
-    // (measured 5.7s vs 1.6s at 25x)
-    bigrams.join(broadcast(deficits), Seq("w1", "w2"))
+        expr(s"${sparkElog("n1")} - ${sparkElog("n12")}").as("deficit"))
+  }
+
+  /** Score a document frame against a (frozen) deficit table:
+    * ONE instance-level broadcast join feeds the single per-doc
+    * aggregation shuffle with map-side partials. Bigrams absent from
+    * the model are skipped (backoff-to-skip: only known bigrams
+    * count toward n_bigrams); a doc with NO known bigram gets no
+    * row. The explicit broadcast matters: deficits' lineage
+    * (landed-pairs ⋈ derived unigrams) hides its true
+    * vocab²-bounded size from the size estimator, which otherwise
+    * plans a corpus-wide sort-merge join (measured 5.7s vs 1.6s at
+    * 25x).
+    */
+  private[graft] def lmScoreAgainst(docs: DataFrame, deficits: DataFrame): DataFrame =
+    lmBigrams(docs).join(broadcast(deficits), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("deficit")).as("sum_deficit_ebits"))
       .withColumn("ppl_milli_ebits",
         expr("(sum_deficit_ebits * 1000) div n_bigrams"))
-  }
 
   /** C72: CCNet-style per-language perplexity bucketing — the
     * head/middle/tail split Wenzek et al. run after LM scoring:
@@ -1265,6 +1280,33 @@ object CorpusQueries {
          |      WHEN lang_rank*3 <= n*2 THEN 'middle'
          |      ELSE 'tail' END AS bucket
          |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // the A30 streamed gate (QualityGateStream, query registered in
+    // StreamQueries) must equal the one-shot batch admission over
+    // the whole corpus for any arrival split: the C69 score CTE
+    // filtered at the shared fixed threshold, joined with the
+    // per-source admission counters — BOTH maintained tables replay
+    "q_stream_quality_gate" ->
+      s"""WITH $lmScoreCtes,
+         |sdoc AS (SELECT doc_id,
+         |   CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
+         | FROM scored GROUP BY doc_id),
+         |thr AS (SELECT max(ppl_milli_ebits) AS t
+         | FROM (SELECT ppl_milli_ebits,
+         |         row_number() OVER (ORDER BY ppl_milli_ebits) AS rn
+         |       FROM sdoc)
+         | WHERE rn <= (SELECT (count(*) + 1) // 2 FROM sdoc)),
+         |adm AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.ppl_milli_ebits
+         |  FROM sdoc s JOIN documents d USING (doc_id)
+         |  WHERE s.ppl_milli_ebits <= (SELECT t FROM thr)),
+         |st AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_seen,
+         |   CAST(sum(CASE WHEN s.ppl_milli_ebits <= (SELECT t FROM thr)
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         | FROM documents d LEFT JOIN sdoc s USING (doc_id)
+         | GROUP BY d.source)
+         |SELECT a.doc_id, a.lang, a.source, a.n_chars, a.ppl_milli_ebits,
+         |  st.n_seen, st.n_kept
+         |FROM adm a JOIN st USING (source) ORDER BY a.doc_id""".stripMargin,
 
     // the Bloom prefilter is plan-level only (exactness restored by
     // the confirm join): the oracle is the plain distinct semi-join

@@ -698,7 +698,40 @@ object StreamQueries {
     graft.streaming.NearDupStream.pairs(spark, storeDir, minJaccard = 0.8)
   }
 
+  /** QualityGateStream under the gate: the frozen-LM ingest filter
+    * across TWO document arrivals (admitted store + per-source stats
+    * through txn-guarded CoW merges). The output joins the admitted
+    * table with its source's admission counters, so the oracle
+    * checks BOTH maintained tables: the admitted set replays the
+    * C69 score CTE filtered at the shared threshold; the counters
+    * replay per-source totals over the whole corpus.
+    */
+  def qStreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-qg-in")
+    val storeDir = tmp("gq-qg-store")
+    val ckpt = tmp("gq-qg-ckpt")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.QualityGateStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", dir, storeDir, ckpt)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val admitted = graft.streaming.QualityGateStream
+      .readAdmitted(spark, storeDir).get
+    val stats = graft.streaming.QualityGateStream
+      .readStats(spark, storeDir).get
+    admitted.join(stats, Seq("source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("ppl_milli_ebits"), col("n_seen"), col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_quality_gate" -> (qStreamQualityGate _),
     "q_stream_ann_index"    -> (qStreamAnnIndex _),
     "q_stream_ann_pq"       -> (qStreamAnnPq _),
     "q_stream_neardup"      -> (qStreamNeardup _),
