@@ -99,20 +99,56 @@ object TimeSeriesQueries {
     * partial-aggregate shape that scales. Weighted sums stay in long
     * range (cents * 5^9 * 10 << 2^63 even at 100x).
     */
-  def qEwma(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir).orders
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaPass(dailyRevenue(spark, dir), "r")
+      .select(col("d"), col("r").as("revenue_cents"),
+        col("s").as("ewma_cents"))
+      .orderBy(col("d"))
+
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+
+  /** One truncated scatter-gather smoothing pass over a (d, value)
+    * daily series: (d, v, s) with s the truncated EWMA at d. Shared
+    * by F3 and the F14 double pass.
+    */
+  private def ewmaPass(series: DataFrame, vCol: String): DataFrame = {
     val wts = array(EwmaWeights.map(lit): _*)
-    val contrib = daily
-      .select(col("d"), col("r"), explode(expr("sequence(0, 9)")).as("k"))
+    val contrib = series
+      .select(col("d"), col(vCol), explode(expr("sequence(0, 9)")).as("k"))
       .select(date_add(col("d"), col("k")).as("t"),
-        element_at(wts, col("k") + 1).as("wt"), col("r"))
+        element_at(wts, col("k") + 1).as("wt"), col(vCol).as("v"))
     val gathered = contrib.groupBy(col("t"))
-      .agg(sum(col("r") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
-    daily.join(gathered, col("d") === col("t"))
+      .agg(sum(col("v") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
+    series.join(gathered, col("d") === col("t"))
+      .select(col("d"), col(vCol), expr("num div wsum").as("s"))
+  }
+
+  /** F14: Brown's double exponential smoothing (Holt-style linear
+    * trend) — the level/trend/one-step-forecast decomposition a
+    * demand-planning pass runs on top of F3: the SECOND smoothing
+    * pass is the SAME truncated scatter-gather applied to the first
+    * pass's (integer) output, so s2 is an EWMA of s1 and Brown's
+    * identities give level = 2*s1 - s2 and trend = alpha/(1-alpha) *
+    * (s1 - s2) = (s1 - s2)/4 (alpha = 1/5), held in milli-cents so
+    * the division is exact-scaled. Forecast = level + trend. All
+    * integer end to end (both engines truncate `div` toward zero —
+    * consistent on negative trends); the plan is two linear
+    * scatter-gather shuffles on the day key, no self-join, no
+    * sequential recurrence.
+    */
+  def qHolt(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = ewmaPass(dailyRevenue(spark, dir), "r")
+    val s2 = ewmaPass(s1.select(col("d"), col("s").as("v")), "v")
+      .select(col("d"), col("s").as("s2"))
+    s1.join(s2, Seq("d"))
       .select(col("d"), col("r").as("revenue_cents"),
-        expr("num div wsum").as("ewma_cents"))
+        (lit(2L) * col("s") - col("s2")).as("level_cents"),
+        expr("((s - s2) * 1000) div 4").as("trend_milli_cents"),
+        (lit(2L) * col("s") - col("s2") +
+          expr("(((s - s2) * 1000) div 4) div 1000")).as("forecast_cents"))
       .orderBy(col("d"))
   }
 
@@ -450,6 +486,7 @@ object TimeSeriesQueries {
     "q_gap_fill"           -> (qGapFill _),
     "q_anomaly"            -> (qAnomaly _),
     "q_ewma"               -> (qEwma _),
+    "q_holt"               -> (qHolt _),
     "q_seasonality"        -> (qSeasonality _),
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_event_paths"        -> (qEventPaths _),
@@ -557,6 +594,33 @@ object TimeSeriesQueries {
         |SELECT d, r AS revenue_cents, num // wsum AS ewma_cents
         |FROM daily JOIN gathered ON d = t
         |ORDER BY d""".stripMargin,
+
+    // the second pass replays the same scatter-gather over the first
+    // pass's integer output; Brown's identities close the frame
+    "q_holt" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |c1 AS (SELECT d + CAST(g.k AS INTEGER) AS t,
+        |  ($ewmaWeightsSql)[CAST(g.k AS INTEGER) + 1] AS wt, r
+        |  FROM daily CROSS JOIN generate_series(0, 9) AS g(k)),
+        |g1 AS (SELECT t, CAST(sum(r * wt) AS BIGINT) AS num,
+        |  CAST(sum(wt) AS BIGINT) AS wsum FROM c1 GROUP BY t),
+        |s1 AS (SELECT d, r, num // wsum AS s
+        |  FROM daily JOIN g1 ON d = t),
+        |c2 AS (SELECT d + CAST(g.k AS INTEGER) AS t,
+        |  ($ewmaWeightsSql)[CAST(g.k AS INTEGER) + 1] AS wt, s
+        |  FROM s1 CROSS JOIN generate_series(0, 9) AS g(k)),
+        |g2 AS (SELECT t, CAST(sum(s * wt) AS BIGINT) AS num,
+        |  CAST(sum(wt) AS BIGINT) AS wsum FROM c2 GROUP BY t),
+        |s2 AS (SELECT d, num // wsum AS s2 FROM s1 JOIN g2 ON d = t)
+        |SELECT s1.d, s1.r AS revenue_cents,
+        |  CAST(2 * s1.s - s2.s2 AS BIGINT) AS level_cents,
+        |  CAST(((s1.s - s2.s2) * 1000) // 4 AS BIGINT) AS trend_milli_cents,
+        |  CAST(2 * s1.s - s2.s2
+        |    + ((((s1.s - s2.s2) * 1000) // 4) // 1000) AS BIGINT) AS forecast_cents
+        |FROM s1 JOIN s2 ON s1.d = s2.d
+        |ORDER BY s1.d""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |  CAST(count(*) AS BIGINT) AS cnt,

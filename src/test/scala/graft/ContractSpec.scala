@@ -155,6 +155,31 @@ class ContractSpec extends AnyFunSuite {
     rfm.unpersist()
   }
 
+  test("F14: Brown smoothing identities close and s2 stays inside s1's range") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.operators.TimeSeriesQueries.qHolt(spark, dir).cache()
+    val e = graft.operators.TimeSeriesQueries.qEwma(spark, dir)
+    // the trend term must be active somewhere, and the identities
+    // level = 2*s1 - s2 / forecast = level + trend must close row-wise
+    // against the published F3 s1 (same first pass)
+    assert(h.count() === e.count())
+    assert(h.filter(col("trend_milli_cents") =!= 0L).count() > 0L)
+    val j = h.join(e.select(col("d"), col("ewma_cents").as("s1")), Seq("d"))
+    assert(j.filter(
+      expr("forecast_cents != level_cents + (trend_milli_cents div 1000)"))
+      .count() === 0L)
+    // s2 recovered from the identity stays between min and max of s1
+    // per the convexity of the weights (a smoothing, not an
+    // extrapolation): 2*s1 - level == s2
+    val bounds = e.agg(min(col("ewma_cents")), max(col("ewma_cents"))).collect()(0)
+    val bad = j.withColumn("s2", lit(2L) * col("s1") - col("level_cents"))
+      .filter(col("s2") < bounds.getLong(0) - 1 || col("s2") > bounds.getLong(1) + 1)
+      .count()
+    assert(bad === 0L)
+    h.unpersist()
+  }
+
   test("F10/F11/E10 invariants: attribution conserves, CUSUM closes, overlap bounds") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
