@@ -74,6 +74,7 @@ object SparkEntry {
     // partitions with an eager job at construction
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
+    "q_zipf_octaves",
     // iterative TextRank fixpoint (per-round materialization)
     "q_textrank")
 

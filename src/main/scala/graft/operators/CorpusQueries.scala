@@ -690,6 +690,94 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C74: corpus novelty curve — how much NEW 8-gram material each
+    * decile of the corpus (in doc_id ingest order) contributes. Every
+    * distinct (gram, doc) pair is attributed to the gram's FIRST
+    * document (min doc_id corpus-wide); a decile's novelty is the ppm
+    * share of its gram-pairs that are first occurrences. This is the
+    * acquisition-planning signal behind dedup-aware crawling: a flat
+    * curve means new data still adds n-grams; a collapsing tail means
+    * the source is mined out. Scale shape: ONE gram explode + ONE
+    * shuffle of 8-byte xxhash64 keys (the C38 discipline — the gram
+    * STRING never shuffles); first-doc attribution is a min() window
+    * over the SAME h partitioning (sort-only, no second exchange);
+    * the decile cut is map-side arithmetic against a broadcast
+    * one-row max(doc_id), never a global sort; the final aggregate
+    * has 10 groups (map-side combined). The oracle replays it on the
+    * gram strings — identical absent 64-bit collisions (~n²/2⁶⁴).
+    */
+  def qNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val docs = Tables(spark, dir).documents
+    val mx = docs.agg(max(col("doc_id")).as("mx_doc"))
+    val bucketOf = expr("least(9L, doc_id * 10 div (mx_doc + 1))")
+    val pairs = spreadIfOneSplit(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${W - 1}), i -> array_join(slice(w, i, $W), ' '))"))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .withColumn("mindoc", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val db = docs.select(col("doc_id")).crossJoin(broadcast(mx))
+      .select(col("doc_id"), bucketOf.as("bucket"))
+    val nd = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val g = pairs.crossJoin(broadcast(mx))
+      .withColumn("bucket", bucketOf)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("mindoc"), 1L).otherwise(0L)).as("n_novel"))
+    nd.join(g, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000 div greatest(coalesce(n_grams, 0L), 1L)")
+          .as("novelty_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** C75: Zipf octave profile — the vocabulary's rank-frequency decay
+    * summarized in rank octaves [2^k, 2^(k+1)): per octave the type
+    * count, total token mass, corpus-mass ppm, and the octave-over-
+    * octave mass decay ratio in ppm. A Zipfian corpus (freq ∝ 1/rank)
+    * has near-constant octave mass, so decay_ppm hovers near 1e6; a
+    * template-collapsed or generated corpus shows up immediately as a
+    * fat head (decay ≪ 1e6) or truncated tail — the corpus-health
+    * twin of C31's rarity score, exact-integer end to end. Vocab rank
+    * is the C31 discipline (distributed sort + zipWithIndex, never a
+    * single-partition window); octave assignment is exact map-side
+    * bit arithmetic — length(bin(rank)) − 1 IS floor(log2) for
+    * positive integers on both engines, no range join, no float log;
+    * the decay lag runs over the ≤40-row octave frame. At 100 TB the
+    * vocabulary (~1e9 types ≪ 2^40) is the only post-aggregate frame
+    * and it range-sorts in parallel.
+    */
+  def qZipfOctaves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = spreadIfOneSplit(Tables(spark, dir).documents.select(col("text")))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val rk = freq.orderBy(col("cnt").desc, col("tok"))
+      .select(col("tok"), col("cnt")).as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((_, cnt), i) => (i + 1L, cnt) }
+      .toDF("rank", "cnt")
+    val byOct = rk
+      .withColumn("octave", (length(expr("bin(rank)")) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).cast("long").as("mass"))
+    val tot = byOct.agg(sum(col("mass")).cast("long").as("total_mass"))
+    byOct.crossJoin(broadcast(tot))
+      .withColumn("lo_rank", expr("shiftleft(1L, CAST(octave AS INT))"))
+      .withColumn("prev_mass", lag(col("mass"), 1).over(Window.orderBy(col("octave"))))
+      .select(col("octave"), col("lo_rank"), col("n_types"), col("mass"),
+        expr("mass * 1000000 div total_mass").as("mass_ppm"),
+        coalesce(expr("mass * 1000000 div prev_mass"), lit(-1L)).as("decay_ppm"))
+      .orderBy(col("octave"))
+  }
+
   /** C70: memorization / novelty audit — per EVAL document, the
     * longest contiguous token span that also appears verbatim in the
     * TRAINING remainder (the Lee et al. 2022 memorization metric,
@@ -1071,6 +1159,8 @@ object CorpusQueries {
     "q_tokenizer_apply"     -> (qTokenizerApply _),
     "q_substring_dup"       -> (qSubstringDup _),
     "q_memorization"        -> (qMemorization _),
+    "q_novelty_curve"       -> (qNoveltyCurve _),
+    "q_zipf_octaves"        -> (qZipfOctaves _),
     "q_substring_excise"    -> (qSubstringExcise _),
     "q_sketch_overlap"      -> (qSketchOverlap _),
     "q_collocations"        -> (qCollocations _),
@@ -1571,5 +1661,48 @@ object CorpusQueries {
         |FROM pairs JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2
         |ORDER BY CAST(npair AS DOUBLE) / (u1.n1c * u2.n1c) DESC, w1, w2
         |LIMIT 30""".stripMargin,
+
+    // the oracle attributes first occurrence on the gram STRING; the
+    // engine shuffles its 8-byte hash (the C38 discipline)
+    "q_novelty_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
+        |                               for i in generate_series(1, len(w)-7)]) AS s
+        |        FROM toks WHERE len(w) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |fst AS (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS mindoc FROM sh),
+        |db AS (SELECT d.doc_id,
+        |         CAST(least(9, d.doc_id * 10 // (mx.mx + 1)) AS BIGINT) AS bucket
+        |       FROM documents d, mx),
+        |g AS (SELECT b.bucket, count(*) AS n_grams,
+        |        sum(CASE WHEN f.doc_id = f.mindoc THEN 1 ELSE 0 END) AS n_novel
+        |      FROM fst f JOIN db b USING (doc_id) GROUP BY 1),
+        |nd AS (SELECT bucket, count(*) AS n_docs FROM db GROUP BY 1)
+        |SELECT nd.bucket, CAST(nd.n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(g.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(g.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(coalesce(g.n_novel, 0) * 1000000
+        |       // greatest(coalesce(g.n_grams, 0), 1) AS BIGINT) AS novelty_ppm
+        |FROM nd LEFT JOIN g USING (bucket)
+        |ORDER BY nd.bucket""".stripMargin,
+
+    // length(bin(rank)) - 1 IS floor(log2(rank)) for positive ints —
+    // exact on both engines, no float log anywhere
+    "q_zipf_octaves" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |rk AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank, cnt FROM freq),
+        |byo AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+        |          count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS mass
+        |        FROM rk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total_mass FROM byo)
+        |SELECT octave, CAST(1::BIGINT << octave AS BIGINT) AS lo_rank,
+        |  CAST(n_types AS BIGINT) AS n_types, mass,
+        |  CAST(mass * 1000000 // total_mass AS BIGINT) AS mass_ppm,
+        |  CAST(coalesce(mass * 1000000 // lag(mass) OVER (ORDER BY octave), -1)
+        |    AS BIGINT) AS decay_ppm
+        |FROM byo, tot
+        |ORDER BY octave""".stripMargin,
   )
 }

@@ -476,7 +476,46 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"))
   }
 
+  /** F15: burst segmentation — contiguous calendar runs of days whose
+    * order count strictly exceeds the series' EXACT median daily
+    * count (Kleinberg-flavored burst detection reduced to a robust
+    * threshold + gaps-and-islands; the median, not the mean, so the
+    * bursts themselves cannot drag the baseline up — G6's logic
+    * applied to counts). Division-free: burst iff 2·cnt > med2x with
+    * med2x the doubled rank-trick median (G4). The threshold is a
+    * parameter; 1.5x-median was measured DEGENERATE on this synthetic
+    * series (zero rows at sf0.1 — daily counts concentrate near the
+    * median), so the gate pins the machinery at >median. Islands:
+    * epoch-day − row_number over burst days — runs break on any
+    * non-burst calendar day. The day frame is calendar-bounded
+    * (~2.4k rows at ANY scale), so its two global windows are cheap
+    * by construction; the only fact-sized work is the one
+    * groupBy(day) aggregate.
+    */
+  def qBurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("cnt"), col("d"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .agg(sum(col("cnt") * when(col("n") % 2 === 1, 2L).otherwise(1L)).as("med2x"))
+    val burst = daily.crossJoin(broadcast(med))
+      .filter(col("cnt") * 2 > col("med2x"))
+      .withColumn("grp", expr("datediff(d, DATE '1992-01-01')").cast("long") -
+        row_number().over(Window.orderBy(col("d"))))
+    burst.groupBy(col("grp"))
+      .agg(min(col("d")).as("start_day"), max(col("d")).as("end_day"),
+        count(lit(1)).as("n_days"), max(col("cnt")).as("peak_cnt"),
+        sum(col("cnt")).cast("long").as("total_cnt"))
+      .select(col("start_day"), col("end_day"), col("n_days"),
+        col("peak_cnt"), col("total_cnt"))
+      .orderBy(col("start_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burst_detect"       -> (qBurstDetect _),
     "q_churn_labels"       -> (qChurnLabels _),
     "q_cms_freq"           -> (qCmsFreq _),
     "q_attribution"        -> (qAttribution _),
@@ -496,6 +535,24 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_burst_detect" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt
+        |               FROM orders GROUP BY 1),
+        |r1 AS (SELECT d, cnt, row_number() OVER (ORDER BY cnt, d) AS rn,
+        |              count(*) OVER () AS n FROM daily),
+        |med AS (SELECT CAST(sum(cnt * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+        |          AS BIGINT) AS med2x
+        |        FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+        |b AS (SELECT d, cnt,
+        |        date_diff('day', DATE '1992-01-01', d)
+        |          - row_number() OVER (ORDER BY d) AS grp
+        |      FROM daily, med WHERE cnt * 2 > med2x)
+        |SELECT min(d) AS start_day, max(d) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(cnt) AS BIGINT) AS peak_cnt,
+        |  CAST(sum(cnt) AS BIGINT) AS total_cnt
+        |FROM b GROUP BY grp ORDER BY start_day""".stripMargin,
+
     "q_churn_labels" ->
       """WITH ev AS (SELECT user_id,
         |    epoch_us(cast(ts AS timestamp)) // 604800000000 AS wk, event_type

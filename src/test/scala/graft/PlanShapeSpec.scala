@@ -39,6 +39,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_anomaly"        -> Set("d"),           // day calendar
       "q_changepoint"    -> Set("d"),           // day calendar
       "q_robust_anomaly" -> Set("", "dev2x,d", "r,d"), // day-count frames
+      "q_burst_detect"   -> Set("", "cnt,d", "d"), // day-count frames (F15)
       "q_revenue_share"  -> Set(""))            // 25-row nation frame
     val found = scala.collection.mutable.Map
       .empty[String, Set[String]].withDefaultValue(Set.empty)
