@@ -31,8 +31,16 @@ object Bench {
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b re-measures a subset
     // standalone (regression triage); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // sorted suite order: the queries map is a HashMap, so ADDING a
+    // query used to reshuffle the entire iteration order — suite-
+    // context effects (GC alignment, memory pressure neighborhoods)
+    // then made round-over-round per-query numbers incomparable even
+    // with identical code (measured r10: a 4-query addition moved
+    // ~40 unrelated readings by +0.3-1.5s while their standalone
+    // times were unchanged). Alphabetical order pins the context.
     val benched = SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1)
 
     // warmup: run everything once at the smallest SF
     benched.foreach { case (_, fn) =>
@@ -140,7 +148,7 @@ object Bench {
     // compact summary line (total/n/errors), guaranteed to fit.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
     val outJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     def mkJson(entries: Seq[(String, Double)]): String = {
