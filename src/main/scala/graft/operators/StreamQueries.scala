@@ -730,7 +730,48 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** A31 LateRouterStream under the gate: events arrive in two
+    * chunks — the bulk (event_id % 3 != 0) establishes the high-water
+    * mark, then the remainder (event_id % 3 == 0) arrives out of
+    * order, and every row older than hwm − 1 hour is ROUTED to the
+    * late quarantine instead of silently dropped. The gate frame is
+    * per-event-type on-time/late counts over BOTH routes; the oracle
+    * replays the two-batch watermark evolution with the same modulo
+    * split (batch0 has no prior mark → all on-time; batch1 routes
+    * against max(ts) of batch0 − 1h).
+    */
+  def qStreamLate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val inDir = tmp("gq-late-in")
+    val accDir = tmp("gq-late-acc")
+    val lateDir = tmp("gq-late-q")
+    val hwmDir = tmp("gq-late-hwm")
+    val ckpt = tmp("gq-late-ckpt")
+    ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.LateRouterStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", accDir, lateDir, hwmDir,
+      ckpt, delayMicros = 3600L * 1000000L)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("event_id", "ts", "event_type")
+    val acc = graft.streaming.LateRouterStream.readRoute(spark, accDir, cols)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_ontime"))
+    val late = graft.streaming.LateRouterStream.readRoute(spark, lateDir, cols)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_late"))
+    acc.join(late, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_ontime"), lit(0L)).as("n_ontime"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_late"         -> (qStreamLate _),
     "q_stream_quality_gate" -> (qStreamQualityGate _),
     "q_stream_ann_index"    -> (qStreamAnnIndex _),
     "q_stream_ann_pq"       -> (qStreamAnnPq _),
@@ -752,6 +793,22 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two-batch watermark evolution replayed with the modulo split:
+    // batch0 (id % 3 != 0) has no prior mark; batch1 routes against
+    // max(batch0.ts) − 1h
+    "q_stream_late" ->
+      """WITH b0 AS (SELECT event_type FROM events WHERE event_id % 3 != 0),
+        |hw AS (SELECT max(ts) AS mx FROM events WHERE event_id % 3 != 0),
+        |r1 AS (SELECT event_type,
+        |         CASE WHEN ts < mx - INTERVAL 1 HOUR THEN 1 ELSE 0 END AS late
+        |       FROM events, hw WHERE event_id % 3 = 0),
+        |u AS (SELECT event_type, 0 AS late FROM b0
+        |      UNION ALL SELECT event_type, late FROM r1)
+        |SELECT event_type,
+        |  CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+        |  CAST(sum(late) AS BIGINT) AS n_late
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the two logged batch totals == the two arrival counts
     "q_stream_sync_log" ->
       """SELECT CAST(0 AS BIGINT) AS batch_id,
