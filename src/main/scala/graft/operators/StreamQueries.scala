@@ -770,8 +770,54 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** A32 BackfillStream under the gate: the REPAIR half of A31 —
+    * the same two-arrival routing, then each route folds into its
+    * own per-(day, event_type) aggregate store, and the repaired
+    * view (accepted + quarantine, summed at read) must equal the
+    * batch aggregate over ALL events: no row lost to the watermark,
+    * with the late contribution per day a first-class column. The
+    * oracle replays the modulo-split late rule and the full-corpus
+    * day aggregate in one pass.
+    */
+  def qStreamBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val inDir = tmp("gq-bf-in")
+    val accDir = tmp("gq-bf-acc")
+    val lateDir = tmp("gq-bf-q")
+    val hwmDir = tmp("gq-bf-hwm")
+    ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.LateRouterStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", accDir, lateDir, hwmDir,
+      tmp("gq-bf-ck1"), delayMicros = 3600L * 1000000L)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val accStore = tmp("gq-bf-as")
+    val lateStore = tmp("gq-bf-ls")
+    val qa = graft.streaming.BackfillStream.start(
+      spark, accDir + "/*/", inDir + "/batch0", accStore, tmp("gq-bf-ck2"))
+    qa.processAllAvailable(); qa.stop()
+    val ql = graft.streaming.BackfillStream.start(
+      spark, lateDir + "/*/", inDir + "/batch0", lateStore, tmp("gq-bf-ck3"))
+    ql.processAllAvailable(); ql.stop()
+    val a = graft.streaming.BackfillStream.readTable(spark, accStore).get
+      .select(col("d"), col("event_type"), col("n").as("na"))
+    val l = graft.streaming.BackfillStream.readTable(spark, lateStore).get
+      .select(col("d"), col("event_type"), col("n").as("nl"))
+    a.join(l, Seq("d", "event_type"), "full_outer")
+      .select(col("d"), col("event_type"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nl"), lit(0L))).as("n_total"),
+        coalesce(col("nl"), lit(0L)).as("n_late"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_late"         -> (qStreamLate _),
+    "q_stream_backfill"     -> (qStreamBackfill _),
     "q_stream_quality_gate" -> (qStreamQualityGate _),
     "q_stream_ann_index"    -> (qStreamAnnIndex _),
     "q_stream_ann_pq"       -> (qStreamAnnPq _),
@@ -808,6 +854,19 @@ object StreamQueries {
         |  CAST(sum(1 - late) AS BIGINT) AS n_ontime,
         |  CAST(sum(late) AS BIGINT) AS n_late
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // repaired view == the batch aggregate over ALL events; the late
+    // column replays the modulo-split watermark rule
+    "q_stream_backfill" ->
+      """WITH hw AS (SELECT max(ts) AS mx FROM events WHERE event_id % 3 != 0),
+        |lab AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |          CASE WHEN event_id % 3 = 0 AND ts < mx - INTERVAL 1 HOUR
+        |               THEN 1 ELSE 0 END AS late
+        |        FROM events, hw)
+        |SELECT d, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(late) AS BIGINT) AS n_late
+        |FROM lab GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
 
     // the two logged batch totals == the two arrival counts
     "q_stream_sync_log" ->
