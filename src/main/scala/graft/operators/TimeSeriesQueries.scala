@@ -514,7 +514,53 @@ object TimeSeriesQueries {
       .orderBy(col("start_day"))
   }
 
+  /** F16: Kaplan-Meier survival curve over user lifetimes — the
+    * churn-analysis estimator (Kaplan & Meier 1958) under right
+    * censoring: a user's lifetime is whole days between first and
+    * last event; a user is CHURNED iff silent for strictly more than
+    * one full day before the window's end, else CENSORED (leaves the
+    * risk set without counting as churn) — the 3-day horizon first
+    * tried never fires on this synthetic population (measured: every
+    * user's last event is within 2 days of the window end at all 3
+    * SFs), so the gate pins the estimator at the 1-day horizon; the
+    * horizon is a parameter.
+    * S(t) = prod_{j<=t} (n_j − d_j)/n_j held in ppm with an explicit
+    * floor division at EVERY step — the fold is sequential by
+    * definition, so it runs as an `aggregate()` higher-order function
+    * over the array_sort'ed ≤31-row day frame (no recursion, no
+    * float product whose rounding would drift between engines; the
+    * oracle replays the same fold with DuckDB's list_reduce). Scale:
+    * one fact-sized groupBy(user); everything after is the
+    * day-bounded frame — the suffix-sum window and the 31²-element
+    * prefix folds are constant work at any corpus size.
+    */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val pu = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+    val mxw = pu.agg(max(col("hi")).as("mxw"))
+    val lframe = pu.crossJoin(broadcast(mxw))
+      .select(expr(s"(hi - lo) div $day").as("t"),
+        (col("hi") < col("mxw") - lit(1L * day)).cast("long").as("churn"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("churn")).as("d"))
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frame = lframe.withColumn("n_risk", sum(col("cnt")).over(wSuffix))
+    val days = frame.agg(array_sort(collect_list(
+      struct(col("t"), col("n_risk").as("n"), col("d")))).as("days"))
+    frame.crossJoin(broadcast(days))
+      .select(col("t"), col("n_risk"), col("d"),
+        expr("""aggregate(filter(days, x -> x.t <= t),
+                CAST(1000000 AS BIGINT),
+                (acc, x) -> (acc * (x.n - x.d)) div x.n)""").as("surv_ppm"))
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival"           -> (qSurvival _),
     "q_burst_detect"       -> (qBurstDetect _),
     "q_churn_labels"       -> (qChurnLabels _),
     "q_cms_freq"           -> (qCmsFreq _),
@@ -535,6 +581,33 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // the KM fold replays with list_reduce over the same sorted day
+    // frame; the init rides as a prepended struct (list_reduce's acc
+    // type is the element type), floor division at every step
+    "q_survival" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |            FROM events GROUP BY 1),
+        |mxw AS (SELECT max(hi) AS mxw FROM pu),
+        |u AS (SELECT (hi - lo) // 86400000000 AS t,
+        |        CASE WHEN hi < mxw - 1 * 86400000000 THEN 1 ELSE 0 END AS churn
+        |      FROM pu, mxw),
+        |l AS (SELECT t, count(*) AS cnt, CAST(sum(churn) AS BIGINT) AS d
+        |      FROM u GROUP BY t),
+        |f AS (SELECT t, d, CAST(sum(cnt) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+        |      FROM l),
+        |days AS (SELECT list_sort(list(struct_pack(
+        |           t := t, n := n_risk, d := d, s := CAST(0 AS BIGINT)))) AS ds
+        |         FROM f)
+        |SELECT f.t, f.n_risk, f.d,
+        |  list_reduce(
+        |    list_prepend(struct_pack(t := CAST(-1 AS BIGINT), n := CAST(0 AS BIGINT),
+        |                             d := CAST(0 AS BIGINT), s := CAST(1000000 AS BIGINT)),
+        |                 list_filter(ds, y -> y.t <= f.t)),
+        |    (acc, y) -> struct_pack(t := y.t, n := y.n, d := y.d,
+        |                            s := (acc.s * (y.n - y.d)) // y.n)).s AS surv_ppm
+        |FROM f, days
+        |ORDER BY f.t""".stripMargin,
+
     "q_burst_detect" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt
         |               FROM orders GROUP BY 1),

@@ -60,6 +60,24 @@ class CorpusCurveSpec extends AnyFunSuite {
     z.unpersist()
   }
 
+  test("F16: the survival curve is a proper censored KM estimate") {
+    val s = TimeSeriesQueries.qSurvival(spark, sf).cache()
+    // deaths never exceed the risk set; risk set shrinks with t
+    assert(s.filter(col("d") > col("n_risk")).count() === 0L)
+    val rows = s.orderBy(col("t")).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_risk") >= b.getAs[Long]("n_risk"))
+        assert(a.getAs[Long]("surv_ppm") >= b.getAs[Long]("surv_ppm"),
+          "survival is monotone nonincreasing")
+      case _ => ()
+    }
+    assert(rows.head.getAs[Long]("surv_ppm") <= 1000000L)
+    assert(s.agg(sum(col("d"))).first().getLong(0) > 0L,
+      "the gate must exercise the death path")
+    s.unpersist()
+  }
+
   test("F15: burst segments are maximal disjoint above-median calendar runs") {
     import spark.implicits._
     val b = TimeSeriesQueries.qBurstDetect(spark, sf).cache()
