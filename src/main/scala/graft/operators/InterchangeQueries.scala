@@ -210,7 +210,41 @@ object InterchangeQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D8: schema-evolution read — two parquet generations of the same
+    * documents feed (gen1 written BEFORE an n_tokens column existed,
+    * gen2 with it) read through mergeSchema as ONE table: legacy rows
+    * surface NULL n_tokens instead of failing the scan, evolved rows
+    * keep their values. This is the schema-drift path every
+    * long-lived corpus feed hits — columns are ADDED over time and
+    * old shards are never rewritten; the audit must count both
+    * generations and sum the evolved column over only the generation
+    * that carries it. Split is doc_id parity; generations land once
+    * via DerivedTable (atomic rename, build-once).
+    */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val back = DerivedTable.readOrBuildAs(spark, "rt-evo", dir,
+      Seq("documents"), "v1")(
+      tmp => {
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(tmp + "/gen1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .write.mode("overwrite").parquet(tmp + "/gen2")
+      })(
+      root => spark.read.option("mergeSchema", "true")
+        .parquet(root + "/gen1", root + "/gen2"))
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
@@ -233,6 +267,17 @@ object InterchangeQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the merged read must expose gen1 rows as NULL n_tokens and sum
+    // the column over gen2 only — both replayed from the original
+    "q_schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1
+        |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_csv_roundtrip"  -> auditSql,
     "q_json_roundtrip" -> auditSql,
     "q_orc_roundtrip"  -> auditSql,
