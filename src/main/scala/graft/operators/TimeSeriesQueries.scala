@@ -559,7 +559,45 @@ object TimeSeriesQueries {
       .orderBy(col("t"))
   }
 
+  /** F17: autocorrelation function of daily revenue at lags 1..14 —
+    * the seasonality/memory diagnostic next to F4 (a weekly cycle
+    * shows as an ACF peak at lag 7; white noise hovers near 0).
+    * Exact integer throughout the F2 discipline: deviations are
+    * multiplied through by n (dev_d = n·r_d − S, so no fractional
+    * mean), products and sums ride in decimal(38,0)/HUGEINT
+    * (dev² ≈ 6e24 at sf0.1 — far past long range), and
+    * acf_ppm = (1e6·Σ dev_d·dev_{d+k}) div Σ dev² with BOTH engines
+    * truncating toward zero on negatives (the C73 finding). Lags are
+    * positional over the observed-day order (business-series ACF);
+    * the 14 leads stack in ONE window pass over the calendar-bounded
+    * day frame — the only fact-sized work is the day groupBy.
+    */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val maxLag = 14
+    val daily = dailyRevenue(spark, dir)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"),
+        (col("n") * col("r") - col("s")).cast("decimal(38,0)").as("dev"))
+    val wd = Window.orderBy(col("d"))
+    val leads = dev
+      .withColumn("ls", array((1 to maxLag).map(k =>
+        lead(col("dev"), k).over(wd)): _*))
+      .select(col("dev"), posexplode(col("ls")).as(Seq("pos", "ldev")))
+      .filter(col("ldev").isNotNull)
+      .select((col("pos") + 1).cast("long").as("k"),
+        (col("dev") * col("ldev")).as("prod"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    leads.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("prod")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        expr("CAST((num * 1000000) div den AS BIGINT)").as("acf_ppm"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf"                -> (qAcf _),
     "q_survival"           -> (qSurvival _),
     "q_burst_detect"       -> (qBurstDetect _),
     "q_churn_labels"       -> (qChurnLabels _),
@@ -581,6 +619,23 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // positional lags replay as a rank self-join (lead(expr, k) needs
+    // a constant k in SQL); HUGEINT carries the dev products
+    "q_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(r) AS s FROM daily),
+        |dev AS (SELECT d, CAST(n * r - s AS HUGEINT) AS dev FROM daily, t),
+        |rn AS (SELECT row_number() OVER (ORDER BY d) AS rn, dev FROM dev),
+        |p AS (SELECT k, a.dev * b.dev AS prod
+        |      FROM rn a, generate_series(1, 14) t(k)
+        |      JOIN rn b ON b.rn = a.rn + k),
+        |den AS (SELECT sum(dev * dev) AS den FROM rn)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST((sum(prod) * 1000000) // den AS BIGINT) AS acf_ppm
+        |FROM p, den GROUP BY k, den ORDER BY k""".stripMargin,
+
     // the KM fold replays with list_reduce over the same sorted day
     // frame; the init rides as a prepended struct (list_reduce's acc
     // type is the element type), floor division at every step

@@ -41,6 +41,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_robust_anomaly" -> Set("", "dev2x,d", "r,d"), // day-count frames
       "q_burst_detect"   -> Set("", "cnt,d", "d"), // day-count frames (F15)
       "q_survival"       -> Set("t"),           // <=31-row lifetime frame (F16)
+      "q_acf"            -> Set("d"),           // day calendar (F17)
       "q_revenue_share"  -> Set(""))            // 25-row nation frame
     val found = scala.collection.mutable.Map
       .empty[String, Set[String]].withDefaultValue(Set.empty)
