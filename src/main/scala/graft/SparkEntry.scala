@@ -76,6 +76,8 @@ object SparkEntry {
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
     "q_zipf_octaves",
+    // DerivedTable generations land eagerly at construction
+    "q_schema_evolution",
     // iterative TextRank fixpoint (per-round materialization)
     "q_textrank")
 
