@@ -541,7 +541,14 @@ object PipelineQueries {
     * — pure integers, so the oracle replays the full closure as a
     * recursive CTE over the same pair predicate.
     */
-  def qEmbeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+  def qEmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    embClustersFrame(spark, dir).orderBy(col("id"))
+
+  /** The landed C58 cluster map (id -> min-reachable-id), shared by
+    * the C58 gate and C76's labeling pass — the second consumer reads
+    * the same parquet artifact, never re-runs CC.
+    */
+  private[graft] def embClustersFrame(spark: SparkSession, dir: String): DataFrame = {
     // the release handle must fire AFTER readOrBuild's parquet write
     // materializes the CC frame (unpersisting first would force the
     // write to replay the whole iterative lineage uncached)
@@ -555,9 +562,50 @@ object PipelineQueries {
         pairs, emb.select(col("vec_id").as("id")))
       release = Some(rel)
       cc
-    }.orderBy(col("id"))
+    }
     release.foreach(_())
     out
+  }
+
+  /** C76: cluster labeling — the human-auditable name for every
+    * multi-doc C58 cluster: top-3 terms by cluster-level TF x
+    * corpus-level rational IDF (the C46 ppm idf — 10⁶·N div df),
+    * total tiebreak (score desc, term asc). The review surface a
+    * dedup pipeline ships next to its cluster map: "what IS this
+    * cluster" without reading members. Reuses the LANDED C58
+    * artifact (vec_id ↔ doc_id — the generator's shared id space,
+    * the q_semantic_dedup correspondence); plan is two linear
+    * token-key shuffles (cluster-tf, corpus-df) + a broadcast idf
+    * join + a per-cluster top-3 window — per-cluster parallelism at
+    * any scale, the corpus never pair-shuffles.
+    */
+  def qClusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val df = toks.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), expr("n_docs * 1000000 div df").as("idf_ppm"))
+    val clusters = embClustersFrame(spark, dir)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("sz") >= 2)
+      .select(col("cluster_id"), col("id").as("doc_id"))
+    val tf = clusters.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("term"))
+    // term-keyed equi-join, NOT an explicit broadcast: the idf side
+    // is vocabulary-sized (~1e9 types at 100 TB) — AQE still
+    // broadcasts it when it measures small
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf") * col("idf_ppm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("cluster_id"), col("rnk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("cluster_id"), col("rnk"))
   }
 
   /** C57: BM25 ranking — the canonical lexical IR scorer, in the
@@ -623,6 +671,7 @@ object PipelineQueries {
     "q_ann_eval"        -> (qAnnEval _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_embedding_clusters" -> (qEmbeddingClusters _),
+    "q_cluster_terms"      -> (qClusterTerms _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_ann_brute"       -> (qAnnBrute _),
     "q_hybrid_search"   -> (qHybridSearch _),
@@ -909,6 +958,40 @@ object PipelineQueries {
     // in StreamQueries) must serve the same verified pair set as the
     // one-shot C2 scan for any arrival split — same exact SQL replay
     "q_stream_neardup" -> minhashReplaySql,
+
+    // the C58 closure + C46 rational idf + per-cluster top-3, all
+    // replayed from the raw tables
+    "q_cluster_terms" ->
+      s"""WITH RECURSIVE $embCte,
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+         |  JOIN nm na ON a.vec_id = na.vec_id JOIN nm nb ON b.vec_id = nb.vec_id
+         |  WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1]*s[2]))
+         |        /(na.nrm*nb.nrm) >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |cc AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |cl AS (SELECT cluster_id, id AS doc_id FROM cc
+         |       QUALIFY count(*) OVER (PARTITION BY cluster_id) >= 2),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |         FROM documents),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT term, CAST(n_docs * 1000000 // count(*) AS BIGINT) AS idf_ppm
+         |        FROM (SELECT DISTINCT doc_id, term FROM toks), n
+         |        GROUP BY term, n_docs),
+         |tf AS (SELECT c.cluster_id, t.term, count(*) AS tf
+         |       FROM cl c JOIN toks t USING (doc_id) GROUP BY 1, 2),
+         |sc AS (SELECT cluster_id, term, tf, tf * idf_ppm AS score
+         |       FROM tf JOIN idf USING (term))
+         |SELECT cluster_id, CAST(rnk AS BIGINT) AS rnk, term,
+         |  CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score DESC, term) AS rnk FROM sc)
+         |WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
 
     "q_embedding_clusters" ->
       s"""WITH RECURSIVE $embCte,

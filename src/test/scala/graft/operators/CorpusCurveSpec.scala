@@ -60,6 +60,28 @@ class CorpusCurveSpec extends AnyFunSuite {
     z.unpersist()
   }
 
+  test("C76: cluster labels are top-3 member terms with contiguous ranks") {
+    import graft.sources.Tables
+    val ct = PipelineQueries.qClusterTerms(spark, sf).cache()
+    assert(ct.count() > 0L)
+    // <=3 labels per cluster, ranks contiguous from 1
+    val perCluster = ct.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+    assert(perCluster.filter(col("n") > 3 || col("lo") =!= 1L ||
+      col("hi") =!= col("n")).count() === 0L)
+    // every label term occurs in some member document of its cluster
+    val members = PipelineQueries.qEmbeddingClusters(spark, sf)
+      .select(col("cluster_id"), col("id").as("doc_id"))
+    val toks = Tables(spark, sf).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val inMember = ct.join(members, Seq("cluster_id"))
+      .join(toks, Seq("doc_id", "term"))
+      .select(col("cluster_id"), col("term")).distinct()
+    assert(ct.select(col("cluster_id"), col("term")).distinct()
+      .except(inMember).count() === 0L)
+    ct.unpersist()
+  }
+
   test("F16: the survival curve is a proper censored KM estimate") {
     val s = TimeSeriesQueries.qSurvival(spark, sf).cache()
     // deaths never exceed the risk set; risk set shrinks with t
