@@ -228,7 +228,50 @@ object DiagnosticsQueries {
       .orderBy(col("d"))
   }
 
+  /** G8: temporal stats-drift monitor — the week-over-week column
+    * profile a long-running ingest alerts on: per event_type, the
+    * first half of the event window vs the second (cut at the exact
+    * micros midpoint, a data-derived constant both engines compute
+    * identically), comparing row count, distinct-user reach, and
+    * exact milli-cent mean. All ratios in truncated ppm/milli so the
+    * frame replays bit-exactly. Plan: one fact scan → one
+    * (event_type, half, user) collapse (map-side combined — the only
+    * fact-sized shuffle) → a 25-row pivot; per-type parallelism at
+    * any scale. The drift twin of C62 (which monitors SPLIT
+    * composition; this monitors the time axis).
+    */
+  def qStatsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val halves = ev.crossJoin(broadcast(mid))
+      .withColumn("h", when(col("us") < col("mid"), "a").otherwise("b"))
+      .groupBy(col("event_type"), col("h"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("users"),
+        sum(col("c")).as("cents"))
+    halves.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("h") === "a", col("n"))).as("n_a"),
+        sum(when(col("h") === "b", col("n"))).as("n_b"),
+        sum(when(col("h") === "a", col("users"))).as("users_a"),
+        sum(when(col("h") === "b", col("users"))).as("users_b"),
+        sum(when(col("h") === "a", col("cents"))).as("c_a"),
+        sum(when(col("h") === "b", col("cents"))).as("c_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("users_a"), col("users_b"),
+        expr("c_a * 1000 div n_a").as("mean_milli_a"),
+        expr("c_b * 1000 div n_b").as("mean_milli_b"),
+        expr("n_b * 1000000 div n_a").as("n_ratio_ppm"),
+        expr("c_b * 1000 div n_b - c_a * 1000 div n_a").as("mean_delta_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_drift"    -> (qStatsDrift _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_key_skew"       -> (qKeySkew _),
     "q_join_size_est"  -> (qJoinSizeEst _),
@@ -238,6 +281,35 @@ object DiagnosticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_drift" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us
+        |  FROM events),
+        |mid AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS mid FROM ev),
+        |lab AS (SELECT event_type, user_id, cents,
+        |          CASE WHEN us < mid THEN 'a' ELSE 'b' END AS h FROM ev, mid),
+        |pu AS (SELECT event_type, h, user_id, count(*) AS n, sum(cents) AS c
+        |       FROM lab GROUP BY 1, 2, 3),
+        |hv AS (SELECT event_type, h, CAST(sum(n) AS BIGINT) AS n,
+        |         count(*) AS users, CAST(sum(c) AS BIGINT) AS cents
+        |       FROM pu GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN h = 'a' THEN n END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN h = 'b' THEN n END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN h = 'a' THEN users END) AS BIGINT) AS users_a,
+        |  CAST(sum(CASE WHEN h = 'b' THEN users END) AS BIGINT) AS users_b,
+        |  CAST(sum(CASE WHEN h = 'a' THEN cents END) * 1000
+        |       // sum(CASE WHEN h = 'a' THEN n END) AS BIGINT) AS mean_milli_a,
+        |  CAST(sum(CASE WHEN h = 'b' THEN cents END) * 1000
+        |       // sum(CASE WHEN h = 'b' THEN n END) AS BIGINT) AS mean_milli_b,
+        |  CAST(sum(CASE WHEN h = 'b' THEN n END) * 1000000
+        |       // sum(CASE WHEN h = 'a' THEN n END) AS BIGINT) AS n_ratio_ppm,
+        |  CAST(sum(CASE WHEN h = 'b' THEN cents END) * 1000
+        |         // sum(CASE WHEN h = 'b' THEN n END)
+        |       - sum(CASE WHEN h = 'a' THEN cents END) * 1000
+        |         // sum(CASE WHEN h = 'a' THEN n END) AS BIGINT) AS mean_delta_milli
+        |FROM hv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_robust_anomaly" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r

@@ -88,6 +88,21 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("G8: drift halves tile the corpus and reach never exceeds the type's user base") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val sd = DiagnosticsQueries.qStatsDrift(spark, dir).cache()
+    val ev = Tables(spark, dir).events
+    assert(sd.agg(sum(col("n_a") + col("n_b"))).head().getLong(0) === ev.count())
+    val reach = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    assert(sd.join(reach, Seq("event_type"))
+      .filter(col("users_a") > col("u") || col("users_b") > col("u"))
+      .count() === 0L)
+    assert(sd.filter(expr("n_ratio_ppm != n_b * 1000000 div n_a")).count() === 0L)
+    sd.unpersist()
+  }
+
   test("G4/G5: MAD is non-negative and bins are equi-depth with monotone bounds") {
     val rs = DiagnosticsQueries.qRobustStats(spark, dir).collect()
     assert(rs.nonEmpty)
