@@ -92,6 +92,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The raw (id_a, id_b, inter, ca, cb) pair statistics behind
+    * [[ngramJaccardPairs]] — consumers that need the similarity at
+    * several thresholds (the C77 sweep) take the counts and derive
+    * integer-ppm Jaccard themselves, paying the inverted-index pass
+    * ONCE.
+    */
+  def ngramPairStats(docs: DataFrame, lenBand: Int = 20): DataFrame = {
+    val tri = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
+      .select(col("doc_id"), col("n_chars"), size(col("shh")).as("c"),
+        explode(col("shh")).as("gh"))
+    val a = tri.select(col("gh"), col("doc_id").as("id_a"),
+      col("n_chars").as("nc_a"), col("c").as("ca"))
+    val b = tri.select(col("gh"), col("doc_id").as("id_b"),
+      col("n_chars").as("nc_b"), col("c").as("cb"))
+    a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("nc_a") - col("nc_b")) <= lenBand)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+  }
+
   /** Fuzzy cross-split decontamination: n-gram Jaccard near-dups
     * BETWEEN two corpora (eval benchmark vs training corpus) — the
     * asymmetric sibling of [[ngramJaccardPairs]]. Exact by

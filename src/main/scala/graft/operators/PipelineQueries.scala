@@ -25,6 +25,37 @@ object PipelineQueries {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables(spark, dir).documents, minJaccard = 0.5, lenBand = 20)
 
+  /** C77: dedup threshold sweep — the aggressiveness-planning knob
+    * every dedup rollout tunes FIRST: how many near-dup pairs (and
+    * how many touched documents) each candidate Jaccard threshold
+    * would act on, in one pass. Pays the C4 inverted-index pass ONCE
+    * at the widest screen (0.3), derives integer-ppm Jaccard from
+    * the pair counts, and cross-joins the surviving PAIR frame (tiny
+    * — pairs, not the corpus) against the 6-row threshold table for
+    * cumulative counts. The answer to "what does raising the bar to
+    * 0.7 actually delete" before running C1/C14 at that bar.
+    */
+  def qDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.spreadIfOneSplit(
+      Tables(spark, dir).documents)
+    val stats = Dedup.ngramPairStats(docs)
+      .withColumn("jppm", expr("inter * 1000000 div (ca + cb - inter)"))
+      .filter(col("jppm") >= 300000L)
+    val thr = spark.range(3, 9).select((col("id") * 100000L).as("thr_ppm"))
+    val pairsAtThr = stats.crossJoin(broadcast(thr))
+      .filter(col("jppm") >= col("thr_ppm"))
+    val np = pairsAtThr.groupBy(col("thr_ppm")).agg(count(lit(1)).as("n_pairs"))
+    val nd = pairsAtThr
+      .select(col("thr_ppm"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("thr_ppm")).agg(count(lit(1)).as("n_docs"))
+    thr.join(np, Seq("thr_ppm"), "left").join(nd, Seq("thr_ppm"), "left")
+      .select(col("thr_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("thr_ppm"))
+  }
+
   /** C68: edit-distance-confirmed near-dup — the classic
     * screen-then-verify dedup shape with a SECOND similarity axis:
     * the cheap trigram-Jaccard screen (threshold relaxed to 0.3)
@@ -662,6 +693,7 @@ object PipelineQueries {
     "q_bm25"            -> (qBm25 _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
+    "q_dedup_sweep"     -> (qDedupSweep _),
     "q_dedup_edit"      -> (qDedupEdit _),
     "q_ngram_adaptive"  -> (qNgramAdaptive _),
     "q_containment_pairs" -> (qContainmentPairs _),
@@ -867,6 +899,31 @@ object PipelineQueries {
         | count(*) OVER (PARTITION BY text) AS group_size,
         | CAST(doc_id = min(doc_id) OVER (PARTITION BY text) AS int) AS is_canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the widest screen replayed once, then cumulative counts per
+    // threshold over the surviving pair set
+    "q_dedup_sweep" ->
+      s"""WITH $triCte,
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tri a JOIN tri b USING (g)
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+         |  GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b,
+         |        CAST(i * 1000000 // (ca.c + cb.c - i) AS BIGINT) AS jppm
+         |      FROM inter JOIN cnt ca ON id_a = ca.doc_id
+         |                 JOIN cnt cb ON id_b = cb.doc_id),
+         |thr AS (SELECT k * 100000 AS thr_ppm FROM generate_series(3, 8) t(k)),
+         |pt AS (SELECT thr_ppm, id_a, id_b FROM p, thr WHERE jppm >= thr_ppm),
+         |np AS (SELECT thr_ppm, count(*) AS n_pairs FROM pt GROUP BY 1),
+         |nd AS (SELECT thr_ppm, count(*) AS n_docs FROM
+         |        (SELECT DISTINCT thr_ppm, id FROM
+         |          (SELECT thr_ppm, unnest([id_a, id_b]) AS id FROM pt))
+         |       GROUP BY 1)
+         |SELECT CAST(t.thr_ppm AS BIGINT) AS thr_ppm,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM thr t LEFT JOIN np USING (thr_ppm) LEFT JOIN nd USING (thr_ppm)
+         |ORDER BY thr_ppm""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $triCte,
