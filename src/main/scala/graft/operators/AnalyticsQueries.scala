@@ -284,10 +284,17 @@ object AnalyticsQueries {
       }
       .map { case (ck, s) => Row(ck, s(0), s(1), s(2), s(3), s(4), s(5),
         s(3) * 100 + s(4) * 10 + s(5)) }
-    spark.createDataFrame(folded, StructType(Seq(
+    val out = spark.createDataFrame(folded, StructType(Seq(
       "o_custkey", "recency_days", "frequency", "monetary_cents",
       "r_score", "f_score", "m_score", "rfm_code")
       .map(StructField(_, LongType, nullable = false))))
+      // eager-checkpoint the customer-sized result, then RELEASE the
+      // fact-sized melt pin (ADVICE r10): rank correctness needs both
+      // phases to read one materialization, but once the result
+      // exists the melt cache would otherwise outlive the query call
+      .localCheckpoint(true)
+    parts.unpersist(blocking = false)
+    out
   }
 
   /** E7: Benford first-digit audit over order totals — the classic
@@ -778,9 +785,14 @@ object AnalyticsQueries {
     */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val R = 16
-    val cents = Tables(spark, dir).orders
+    // spread a one-split scan BEFORE the x16 explode: the replicate
+    // explode + per-row md5 is this query's entire compute, and a
+    // single-row-group orders file would serialize all of it onto
+    // one core (measured 1.75s with 6 total tasks; the 2.4 MB
+    // round-robin exchange that buys 32-way hashing is noise)
+    val cents = Tables.spreadIfOneSplit(Tables(spark, dir).orders
       .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
     val tot = broadcast(cents.agg(sum(col("cents")).as("true_sum")))
     cents.select(col("o_orderkey"), col("cents"),
         explode(sequence(lit(0), lit(R - 1))).as("replicate"))

@@ -98,9 +98,16 @@ object CorpusQueries {
       // barrier, and what it holds is small by design: only
       // bloom-surviving postings (~hit rate + fpp of the corpus).
       .cache()
-    prefiltered.join(eval, Seq("gh"), "left_semi")
+    val out = prefiltered.join(eval, Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))
+      // eager-checkpoint the (tiny) contaminated-id result, then
+      // RELEASE both barrier caches (ADVICE r10): they are optimizer
+      // barriers, not artifacts, and must not outlive the query call
+      .localCheckpoint(true)
+    eval.unpersist(blocking = false)
+    prefiltered.unpersist(blocking = false)
+    out
   }
 
   /** C26: incremental dedup — the ingest-time form of exact dedup: a
@@ -366,9 +373,11 @@ object CorpusQueries {
     * countDistinct pass.
     */
   def qDocKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // tf comes from the LANDED shared (doc, term, tf) artifact
+    // ([[docTermFreq]]) — the keyword pick, TF-IDF and collocation
+    // unigrams all read one landed corpus pass instead of three
+    // explode+aggregate re-derivations
+    val tf = docTermFreq(spark, dir)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfn"))
     tf.join(dfreq, Seq("w"))
       .groupBy(col("doc_id"))
@@ -386,18 +395,13 @@ object CorpusQueries {
     * exchange is the (w1, w2) count aggregate with map-side partials,
     * and the top-30 is a TakeOrdered, not a global sort.
     */
-  def qWordPairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir).documents
-      .select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-    toks.select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
+  def qWordPairs(spark: SparkSession, dir: String): DataFrame =
+    // the LANDED shared adjacency artifact ([[wordPairCounts]]) IS
+    // this query's aggregate; the report is a TakeOrdered over it
+    wordPairCounts(spark, dir)
+      .select(col("w1"), col("w2"), col("n12").as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(30)
-  }
 
   /** C69: fixed-point n-gram LM quality scoring — the KenLM-ish
     * "how predictable is this document under a corpus LM" signal
@@ -429,6 +433,35 @@ object CorpusQueries {
   private[graft] def lmScoreFrame(spark: SparkSession, dir: String): DataFrame =
     lmScoreAgainst(Tables(spark, dir).documents, lmDeficits(spark, dir))
 
+  /** The corpus word-adjacency table (w1, w2, n12) — distinct
+    * adjacent bigram with occurrence count — LANDED once per corpus
+    * via the DerivedTable seam and shared by every consumer of token
+    * adjacency: the C69 LM deficits, the C35 pair report, the C43
+    * collocation lift, and the C44 TextRank edge set (which reads
+    * just the vocab²-bounded keys, not the corpus). One corpus pass
+    * owns the explode+aggregate; everything downstream is a parquet
+    * read of a frame that is tiny next to the corpus.
+    */
+  private[graft] def wordPairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(spark, "word-pairs",
+      dir, Seq("documents"), "bigram-counts-v1") {
+      lmBigrams(Tables(spark, dir).documents)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    }
+
+  /** The (doc_id, w, tf) term-frequency table, LANDED once per
+    * corpus (the word-pairs discipline) and shared by TF-IDF, the
+    * C34 keyword pick, and the C43 unigram totals — the single
+    * corpus explode+aggregate every bag-of-words consumer needs.
+    */
+  private[graft] def docTermFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DerivedTable.readOrBuild(spark, "doc-term-freq",
+      dir, Seq("documents"), "tf-counts-v1") {
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    }
+
   /** (doc_id, w1, w2) bigram instances of a document frame. */
   private[graft] def lmBigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -447,11 +480,7 @@ object CorpusQueries {
     * doc×pair-cardinality hash aggregate.
     */
   private[graft] def lmDeficits(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.sources.DerivedTable.readOrBuild(spark, "word-pairs",
-      dir, Seq("documents"), "bigram-counts-v1") {
-      lmBigrams(Tables(spark, dir).documents)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-    }
+    val pairs = wordPairCounts(spark, dir)
     val uni = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     pairs.join(uni, Seq("w1"))
       .select(col("w1"), col("w2"),
@@ -939,15 +968,14 @@ object CorpusQueries {
     * one-off juxtapositions out.
     */
   def qCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toksDoc = Tables(spark, dir).documents
-      .select(split(col("text"), " ").as("w"))
-    val uni = toksDoc.select(explode(col("w")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("n1c"))
-    val pairs = toksDoc.filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("npair"))
+    // both inputs read LANDED shared artifacts: pair counts from
+    // [[wordPairCounts]] (filter, no corpus pass), unigram totals as
+    // a sum over [[docTermFreq]] (vocab-sized aggregate) — the lift
+    // report never touches the corpus once the artifacts exist
+    val uni = docTermFreq(spark, dir)
+      .groupBy(col("w").as("t")).agg(sum(col("tf")).as("n1c"))
+    val pairs = wordPairCounts(spark, dir)
+      .select(col("w1"), col("w2"), col("n12").as("npair"))
       .filter(col("npair") >= 3)
     pairs
       .join(uni.select(col("t").as("w1"), col("n1c").as("n1")), "w1")
@@ -973,9 +1001,8 @@ object CorpusQueries {
     */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     // the (doc, term, tf) table LANDS once per corpus via the
-    // DerivedTable seam (the C69 word-pairs discipline): both
+    // DerivedTable seam ([[docTermFreq]], shared with C34/C43): both
     // consumers — the score join and the document-frequency
     // aggregate — read the landed parquet, instead of each
     // recomputing the corpus explode+aggregate (column pruning makes
@@ -984,10 +1011,7 @@ object CorpusQueries {
     // residual is the local[32] per-job floor across this shape's
     // 6 AQE stages, not compute; the scan saved is what matters at
     // corpus scale.
-    val tf = graft.sources.DerivedTable.readOrBuild(spark, "doc-term-freq",
-      dir, Seq("documents"), "tf-counts-v1") {
-      words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    }
+    val tf = docTermFreq(spark, dir)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfn"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nd))

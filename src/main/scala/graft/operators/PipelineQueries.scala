@@ -433,7 +433,12 @@ object PipelineQueries {
     * iterations exactly as unrolled SQL).
     */
   def qTextrank(spark: SparkSession, dir: String): DataFrame =
-    graft.text.TextAnalysis.textrank(Tables(spark, dir).documents, iterations = 5)
+    // edge set = the KEYS of the landed shared word-adjacency
+    // artifact (CorpusQueries.wordPairCounts) — the rank loop reads
+    // vocab²-bounded parquet, never the corpus
+    graft.text.TextAnalysis.textrankOnEdges(
+        CorpusQueries.wordPairCounts(spark, dir).select(col("w1"), col("w2")),
+        iterations = 5)
       .orderBy(col("r").desc, col("w"))
       .limit(50)
 

@@ -17,6 +17,13 @@ import graft.cdc.CdcOps
 final case class DataFileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                                bloom: Option[Array[Byte]] = None)
 
+/** One manifest row in the PARQUET manifest representation (path is
+  * store-root-relative, bloom null when the store has no secondary
+  * index) — the schema `SnapshotStore.manifestFrame` exposes.
+  */
+final case class ManifestRow(path: String, rows: Long, minKey: Long,
+                             maxKey: Long, bloom: Array[Byte])
+
 /** Minimal table-format seam over parquet — the role Kudu plays in
   * the reference: a continuously-upserted, snapshot-readable table
   * [ref: KuduManager.scala:108-120].
@@ -51,7 +58,8 @@ final class SnapshotStore(
     filesPerCommit: Int = 4,
     keepVersions: Int = 2,
     indexCol: Option[String] = None,
-    indexBits: Int = 1 << 14) {
+    indexBits: Int = 1 << 14,
+    parquetManifestFrom: Int = 4096) {
 
   require(keepVersions >= 1, "keepVersions must be >= 1")
 

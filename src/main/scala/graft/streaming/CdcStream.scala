@@ -58,14 +58,22 @@ object CdcStream {
                      checkpointDir: String,
                      consumedDir: Option[String] = None): StreamingQuery = {
     Files.createDirectories(Paths.get(snapshotDir))
-    // one token per query run: the consumption record lands under
-    // rec=<token>_<batchId>, so a failed-and-retried micro-batch
+    // the consumption record lands under rec=<ckpt-hash>_b<batchId>
+    // (ADVICE r10): a failed-and-retried micro-batch — within one
+    // run OR as a crash-restart replay of an uncommitted batch, the
+    // normal at-least-once foreachBatch path — reuses its
+    // checkpointed batchId under the SAME checkpoint, so it
     // OVERWRITES its own record instead of appending a duplicate
-    // (which would inflate n_consumed over n_distinct and spuriously
-    // fail the exactly-once gate even though the idempotent merge
-    // converged). A fresh run gets a fresh token — a genuine source
-    // replay across runs still shows up as a duplicate offset.
-    val runToken = java.util.UUID.randomUUID().toString.take(8)
+    // that would inflate n_consumed over n_distinct and spuriously
+    // fail the exactly-once accounting gate. The checkpoint hash
+    // (the logical stream's identity — the old random run token
+    // falsely double-counted crash-restart replays) keeps SEPARATE
+    // queries sharing one record dir (the seam gate's fresh-
+    // checkpoint resume-from-offset-log phase B) from colliding at
+    // batchId 0; a genuine source replay (new offsets for old data)
+    // still surfaces as duplicate offsets in the record itself.
+    val ckptTag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpointDir))
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -89,7 +97,7 @@ object CdcStream {
         finally parsed.unpersist()
         consumedDir.foreach { d =>
           batch.selectExpr("topic", "partition", "offset")
-            .write.mode("overwrite").parquet(s"$d/rec=${runToken}_$batchId")
+            .write.mode("overwrite").parquet(s"$d/rec=${ckptTag}_b$batchId")
         }
         ()
       }

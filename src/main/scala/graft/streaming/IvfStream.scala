@@ -42,7 +42,7 @@ object IvfStream {
 
   /** One-shot quantizer build + landing: `nLists` deterministic
     * centroids from the bootstrap corpus, written to
-    * `indexDir/cents`. The returned frame is the landed copy.
+    * `indexDir/cents`.
     */
   def landCentroids(emb: DataFrame, indexDir: String, nLists: Int = 8): Unit = {
     val cents = Ann.ivfCentroids(emb, nLists)

@@ -129,7 +129,7 @@ object QualityGateStream {
       .persist()
     deficits.count()
     val thr = threshold.getOrElse(modelThreshold(spark, modelDir))
-    spark.readStream.schema(schema).parquet(docsDir)
+    val q = spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -137,6 +137,25 @@ object QualityGateStream {
         mergeBatch(batch, deficits, storeDir, Some(batchId), thr)
       }
       .start()
+    // release the frozen-artifact pin when THIS query terminates
+    // (the IvfPqIndex release-handle discipline): without it every
+    // start() in a session would pin another copy for the session's
+    // lifetime. The listener self-removes after firing.
+    val qid = q.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            deficits.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 
   def readAdmitted(spark: SparkSession, storeDir: String): Option[DataFrame] =

@@ -94,14 +94,24 @@ object TextAnalysis {
     * sum far inside BIGINT.
     */
   def textrank(docs: DataFrame, iterations: Int = 5): DataFrame = {
-    val Scale = 1000000000000L
-    val base = Scale * 15L / 100L
     val toks = docs.select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    val edges0 = toks.select(explode(expr(
+    textrankOnEdges(toks.select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .distinct().cache()
+      .distinct(), iterations)
+  }
+
+  /** TextRank over a pre-built DISTINCT (w1, w2) edge frame — the
+    * contract entry point feeds the LANDED corpus word-adjacency
+    * artifact here (the keys of the shared pair-count table), so the
+    * rank loop never re-derives token adjacency from the corpus: its
+    * input is vocab²-bounded parquet, tiny next to the documents.
+    */
+  def textrankOnEdges(edgesIn: DataFrame, iterations: Int): DataFrame = {
+    val Scale = 1000000000000L
+    val base = Scale * 15L / 100L
+    val edges0 = edgesIn.cache()
     // loop parallelism follows the WORD GRAPH's size, not the
     // session's shuffle width (the CC pattern): a vocabulary graph is
     // tiny next to the corpus, and running its per-iteration joins at

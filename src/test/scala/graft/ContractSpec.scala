@@ -43,6 +43,19 @@ class ContractSpec extends AnyFunSuite {
     assert(qKeys.size >= 151, s"query count dropped to ${qKeys.size}")
   }
 
+  test("README's documented query count matches the registration map") {
+    // the README advertises the contract size; a drifted count is a
+    // doc bug this spec turns into a test failure (r10 verdict: the
+    // README said 235 while the tree had 237)
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val documented = "`graft.SparkEntry.queries` \\((\\d+)".r
+      .findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(documented.contains(SparkEntry.queries.size),
+      s"README documents ${documented.getOrElse("no")} queries but " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size} — update README.md")
+  }
+
   test("eagerQueries matches exactly the builders that run jobs at construction") {
     val sf = "/root/testdata/sf0.001"
     val sc = spark.sparkContext
