@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.CdcOps
+import graft.sources.Tables
 
 /** One data file of a committed snapshot version, with its key-range
   * index entry (rows + min/max of the store's key column) and, when
@@ -88,20 +89,49 @@ final class SnapshotStore(
     * Absolute paths from pre-relative manifests still resolve.
     */
   def manifest(v: Long): Seq[DataFileEntry] =
-    Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala.toSeq
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
-      .map { l =>
-        l.split("\t") match {
-          case Array(p, r, mn, mx) =>
-            DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong)
-          case Array(p, r, mn, mx, b64) =>
-            DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong,
-              Some(java.util.Base64.getDecoder.decode(b64)))
-          case _ => throw new IllegalStateException(
-            s"corrupt manifest ${manifestDir.resolve(s"m$v.tsv")}: " +
-              s"expected 4 or 5 tab-separated fields, got line: $l")
+    if (Files.exists(manifestParquet(v)))
+      // parquet-backed manifest (large stores): the driver needs the
+      // file list to construct scans — same as Spark's own source
+      // planning — but PLANNING against the manifest (mergeWith)
+      // reads the frame distributed and column-pruned instead
+      manifestFrame(v).orderBy(col("minKey"), col("path")).collect().toSeq
+        .map(r => DataFileEntry(resolvePath(r.getAs[String]("path")),
+          r.getAs[Long]("rows"), r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"),
+          Option(r.getAs[Array[Byte]]("bloom"))))
+    else
+      Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala.toSeq
+        .filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map { l =>
+          l.split("\t") match {
+            case Array(p, r, mn, mx) =>
+              DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong)
+            case Array(p, r, mn, mx, b64) =>
+              DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong,
+                Some(java.util.Base64.getDecoder.decode(b64)))
+            case _ => throw new IllegalStateException(
+              s"corrupt manifest ${manifestDir.resolve(s"m$v.tsv")}: " +
+                s"expected 4 or 5 tab-separated fields, got line: $l")
+          }
         }
-      }
+
+  private def manifestParquet(v: Long): java.nio.file.Path =
+    manifestDir.resolve(s"m$v.parquet")
+
+  /** Version v's manifest as a Spark frame — (path root-relative,
+    * rows, minKey, maxKey, bloom|null). The 100-TB planning surface
+    * (r10 verdict task 3): a table at that scale has 10⁵-10⁶ data
+    * files, and its manifest is itself a dataset — merge planning
+    * joins against this frame instead of parsing a driver-sized TSV.
+    * Small (TSV-backed) manifests lift to a local frame for API
+    * uniformity.
+    */
+  def manifestFrame(v: Long): DataFrame = {
+    val pq = manifestParquet(v)
+    if (Files.exists(pq)) Tables.loadCached(spark, pq.toString)
+    else spark.createDataFrame(manifest(v).map(e =>
+      ManifestRow(relativizePath(e.path), e.rows, e.minKey, e.maxKey,
+        e.bloom.orNull)))
+  }
 
   /** Transaction id of the last applied commit (None before any
     * commit, or for commits made without one). Rides the manifest
@@ -255,10 +285,13 @@ final class SnapshotStore(
     * pointer last and atomic, so a crash leaves the previous version
     * intact.
     */
-  private def publish(v: Long, entries: Seq[DataFileEntry],
-                      txn: Option[Long] = None,
-                      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
-    require(entries.nonEmpty, "commit of an empty snapshot is not supported")
+  /** The manifest header line: schema/txn ride it atomically with
+    * the version in BOTH representations (the TSV is always written,
+    * so lastTxn/schemaOf/versions never branch on the format).
+    */
+  private def headerLine(txn: Option[Long],
+                         schema: Option[org.apache.spark.sql.types.StructType],
+                         parquetEntries: Boolean): String = {
     // like the txn watermark below, the recorded schema carries
     // forward if a caller ever publishes without one
     val schemaTag = schema.orElse(currentVersion.flatMap(schemaOf))
@@ -270,8 +303,28 @@ final class SnapshotStore(
     // reads only the current header, so dropping it here would
     // silently re-open the double-count window the guard closes
     val effTxn = txn.orElse(lastTxn)
-    val body = ((s"# graft-manifest v1 key=$keyCol" + schemaTag +
-      effTxn.map(t => s" txn=$t").getOrElse("")) +:
+    s"# graft-manifest v1 key=$keyCol" + schemaTag +
+      effTxn.map(t => s" txn=$t").getOrElse("") +
+      (if (parquetEntries) " entries=parquet" else "")
+  }
+
+  private def flipPointer(v: Long): Unit = {
+    val tmpP = Paths.get(root, s".LATEST.tmp")
+    Files.writeString(tmpP, v.toString)
+    Files.move(tmpP, pointer,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def publish(v: Long, entries: Seq[DataFileEntry],
+                      txn: Option[Long] = None,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    require(entries.nonEmpty, "commit of an empty snapshot is not supported")
+    // past the parquet threshold the entry list stops being
+    // driver-text: land it as the parquet manifest instead (a
+    // growing TSV store auto-migrates at its next publish)
+    if (entries.size > parquetManifestFrom)
+      return publishParquet(v, manifestRowsDf(entries), anyNew = true, txn, schema)
+    val body = (headerLine(txn, schema, parquetEntries = false) +:
       entries.sortBy(e => (e.minKey, e.path))
         // runtime entries carry absolute paths; the manifest ROW is
         // root-relative (see manifest() — relocatability)
@@ -283,10 +336,42 @@ final class SnapshotStore(
     Files.writeString(tmpM, body)
     Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmpP = Paths.get(root, s".LATEST.tmp")
-    Files.writeString(tmpP, v.toString)
-    Files.move(tmpP, pointer,
+    flipPointer(v)
+    vacuum(v)
+    v
+  }
+
+  private def manifestRowsDf(entries: Seq[DataFileEntry]): DataFrame =
+    spark.createDataFrame(entries.map(e =>
+      ManifestRow(relativizePath(e.path), e.rows, e.minKey, e.maxKey,
+        e.bloom.orNull)))
+
+  /** Publish a version whose entry list is a FRAME (new + carried):
+    * the large-table twin of [[publish]] — entries land as parquet
+    * written by Spark (carried entries never round-trip the driver),
+    * the TSV keeps only the header so the pointer/txn/schema
+    * protocol is unchanged, and the commit order (data files →
+    * manifest → header → pointer) keeps every crash point safe.
+    */
+  private def publishParquet(v: Long, allEntries: DataFrame, anyNew: Boolean,
+                             txn: Option[Long],
+                             schema: Option[org.apache.spark.sql.types.StructType]): Long = {
+    require(anyNew, "commit of an empty snapshot is not supported")
+    val target = manifestParquet(v)
+    val tmp = manifestDir.resolve(s".m$v.parquet.tmp")
+    allEntries.select(col("path"), col("rows"), col("minKey"), col("maxKey"),
+        col("bloom"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // re-publish after a crash: clear the stale target before the
+    // atomic move (a directory move cannot REPLACE_EXISTING)
+    if (Files.exists(target))
+      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
+    Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true))
+    Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    flipPointer(v)
     vacuum(v)
     v
   }
@@ -367,6 +452,8 @@ final class SnapshotStore(
         // would trip publish's non-empty invariant); report no-version
         if (keyed.isEmpty) -1L
         else commit(init(keyed), txn)
+      case Some(cur) if Files.exists(manifestParquet(cur)) =>
+        mergeLarge(cur, keyed, fold, txn)
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
@@ -386,26 +473,7 @@ final class SnapshotStore(
         // conservative over-approximation.
         val bnd: Array[Long] =
           (all.map(_.minKey) ++ all.map(_.maxKey + 1L)).distinct.sorted.toArray
-        val bndB = spark.sparkContext.broadcast(bnd)
-        import spark.implicits._
-        val hitSegs: Array[Int] =
-          try {
-            keyed.select(col(keyCol).cast("long")).as[Long]
-              .mapPartitions { it =>
-                val b = bndB.value
-                val seen = new java.util.HashSet[Integer]()
-                it.foreach { k =>
-                  // upper_bound: count of boundaries <= k, minus 1
-                  var lo = 0; var hi = b.length
-                  while (lo < hi) {
-                    val m = (lo + hi) >>> 1
-                    if (b(m) <= k) lo = m + 1 else hi = m
-                  }
-                  seen.add(lo - 1)
-                }
-                seen.iterator().asScala.map(_.intValue)
-              }.distinct().collect()
-          } finally bndB.unpersist(blocking = false)
+        val hitSegs: Array[Int] = hitSegments(keyed, bnd)
         lastMergeSummaryRows = hitSegs.length.toLong
         if (hitSegs.isEmpty) return cur // empty fold: no version churn
         // segment j covers [bnd(j), bnd(j+1)); j = -1 (below all
@@ -440,6 +508,85 @@ final class SnapshotStore(
         // evolution: carried files null-fill new columns on read)
         publish(v, writeDataFiles(folded, v) ++ carried, txn, Some(folded.schema))
     }
+  }
+
+  /** The distributed delta→segment pass shared by both merge paths:
+    * map every delta key to its elementary segment (per-partition
+    * binary search + local dedup) and return only the DISTINCT hit
+    * segments — driver traffic bounded by manifest size, never by
+    * delta cardinality.
+    */
+  private def hitSegments(keyed: DataFrame, bnd: Array[Long]): Array[Int] = {
+    val bndB = spark.sparkContext.broadcast(bnd)
+    import keyed.sparkSession.implicits._
+    try {
+      keyed.select(col(keyCol).cast("long")).as[Long]
+        .mapPartitions { it =>
+          val b = bndB.value
+          val seen = new java.util.HashSet[Integer]()
+          it.foreach { k =>
+            // upper_bound: count of boundaries <= k, minus 1
+            var lo = 0; var hi = b.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (b(m) <= k) lo = m + 1 else hi = m
+            }
+            seen.add(lo - 1)
+          }
+          seen.iterator().asScala.map(_.intValue)
+        }.distinct().collect()
+    } finally bndB.unpersist(blocking = false)
+  }
+
+  /** The copy-on-write merge against a PARQUET-backed manifest — the
+    * 10⁵-10⁶-file regime (r10 verdict task 3). Differences from the
+    * TSV path, all about what touches the driver:
+    *   - boundaries come from a column-pruned (minKey, maxKey) scan
+    *     of the manifest frame — 16 bytes/file, the Bloom blobs and
+    *     paths never move for planning;
+    *   - the file-hit decision is a distributed broadcast semi-join
+    *     of the manifest frame against the (delta-local) hit-segment
+    *     starts; only AFFECTED paths are collected — bounded by the
+    *     delta's key locality, not the table's file count;
+    *   - carried entries stay a frame end-to-end: the new manifest
+    *     is carried ∪ new written by Spark, so commit cost on the
+    *     driver is O(affected), sublinear in file count.
+    */
+  private def mergeLarge(cur: Long, keyed: DataFrame,
+                         fold: (DataFrame, DataFrame) => DataFrame,
+                         txn: Option[Long]): Long = {
+    import keyed.sparkSession.implicits._
+    val v = cur + 1L
+    val mf = manifestFrame(cur)
+    val ranges: Array[(Long, Long)] =
+      mf.select(col("minKey"), col("maxKey")).as[(Long, Long)].collect()
+    val bnd: Array[Long] =
+      (ranges.map(_._1) ++ ranges.map(_._2 + 1L)).distinct.sorted
+    val hitSegs = hitSegments(keyed, bnd)
+    lastMergeSummaryRows = hitSegs.length.toLong
+    if (hitSegs.isEmpty) return cur // empty fold: no version churn
+    val hitStarts: Array[Long] = hitSegs
+      .filter(j => j >= 0 && j < bnd.length - 1).map(bnd(_)).sorted
+    val hsDf = hitStarts.toSeq.toDF("hs")
+    val cond = col("hs") >= col("minKey") && col("hs") <= col("maxKey")
+    val affectedPaths = mf.join(broadcast(hsDf), cond, "left_semi")
+      .select(col("path")).as[String].collect().toSeq.map(resolvePath)
+    val carried = mf.join(broadcast(hsDf), cond, "left_anti")
+    val baseAffected =
+      if (affectedPaths.isEmpty)
+        // no file covers any delta key (all-new keys): an empty
+        // keyed base of the stored schema, built WITHOUT touching a
+        // data file (manifests at this scale always record a schema)
+        schemaOf(cur).map(st => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+          .getOrElse(readFiles(cur,
+            Seq(resolvePath(mf.select(col("path")).as[String].head()))).limit(0))
+      else readFiles(cur, affectedPaths)
+    val folded = fold(baseAffected, keyed)
+    val newEntries = writeDataFiles(folded, v)
+    publishParquet(v,
+      carried.unionByName(manifestRowsDf(newEntries)),
+      anyNew = newEntries.nonEmpty, txn, Some(folded.schema))
   }
 
   /** Committed versions still readable (oldest first) — time travel
@@ -519,8 +666,13 @@ final class SnapshotStore(
       val name = p.getFileName.toString
       if (name.startsWith("m") && name.endsWith(".tsv") &&
           name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit) &&
-          name.stripPrefix("m").stripSuffix(".tsv").toLong <= cutoff)
+          name.stripPrefix("m").stripSuffix(".tsv").toLong <= cutoff) {
         Files.deleteIfExists(p)
+        // a parquet-backed version drops its entry frame with it
+        val pq = manifestParquet(name.stripPrefix("m").stripSuffix(".tsv").toLong)
+        if (Files.exists(pq))
+          org.apache.commons.io.FileUtils.deleteDirectory(pq.toFile)
+      }
     } finally mlisting.close()
     // union of paths still referenced by any retained manifest
     val retained: Set[String] = {

@@ -455,4 +455,120 @@ class StoreSpec extends AnyFunSuite {
     assertSameRows(store.read().get,
       CdcOps.softDeleteSnapshot(log, col("user_id")))
   }
+
+  /** Build a parquet-manifest store whose v0 carries `n` SYNTHETIC
+    * entries (fake paths, key ranges far above the real data) on top
+    * of 4 real files over keys 0..999 — a 10⁵-file table fixture
+    * without writing 10⁵ real files. Planning must never read the
+    * fake paths as long as deltas stay inside the real key range.
+    */
+  private def syntheticManifestStore(n: Int): SnapshotStore = {
+    import spark.implicits._
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k", parquetManifestFrom = 2)
+    store.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
+    val pq = s"$root/_manifests/m0.parquet"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pq)),
+      "threshold 2 must land v0 as a parquet manifest")
+    val synth = spark.range(n).select(
+      concat(lit("data/v0/synthetic-"), col("id"), lit(".parquet")).as("path"),
+      lit(10L).as("rows"),
+      (lit(1000000L) + col("id") * 10L).as("minKey"),
+      (lit(1000000L) + col("id") * 10L + 9L).as("maxKey"),
+      lit(null).cast("binary").as("bloom"))
+    spark.read.parquet(pq).unionByName(synth)
+      .write.mode("overwrite").parquet(pq + ".next")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pq))
+    java.nio.file.Files.move(java.nio.file.Paths.get(pq + ".next"),
+      java.nio.file.Paths.get(pq))
+    store
+  }
+
+  private val lastWriteWins: (DataFrame, DataFrame) => DataFrame =
+    (b, d) => d.unionByName(b.join(d.select(col("k").as("dk")),
+      col("k") === col("dk"), "left_anti").drop("dk"))
+
+  test("parquet manifest: 1e5-file merge planning is delta-local and sublinear in file count") {
+    import spark.implicits._
+    def mergeOnce(store: SnapshotStore): Double = {
+      val delta = (0L until 50L).map(k => (k, k * 7)).toDF("k", "a")
+      val t0 = System.nanoTime()
+      store.mergeWith(delta, identity[DataFrame], lastWriteWins)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val small = syntheticManifestStore(10000)
+    val tSmall = mergeOnce(small)
+    val big = syntheticManifestStore(100000)
+    val tBig = mergeOnce(big)
+    assert(big.currentVersion.contains(1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${big.root}/_manifests/m1.parquet")),
+      "large merge must publish a parquet manifest")
+    // planning summary stays delta-local: the collected hit-segment
+    // count is independent of the 10⁵ carried entries
+    assert(big.lastMergeSummaryRows > 0 && big.lastMergeSummaryRows <= 8,
+      s"summary rows ${big.lastMergeSummaryRows} not delta-local")
+    // carried entries survived by reference: v1 = 10⁵ synthetic +
+    // unaffected real + filesPerCommit rewritten
+    val m1 = big.manifestFrame(1L)
+    assert(m1.filter(col("path").contains("synthetic-")).count() == 100000L)
+    assert(m1.count() < 100000L + 10L)
+    // merge correctness through the large path (read only the real
+    // key range — the synthetic paths are fixture, not data)
+    val merged = big.readRange(0L, 999L)
+    assert(merged.count() == 1000L)
+    assert(merged.filter(col("k") === 5L).select(col("a")).as[Long].head() == 35L)
+    // sublinear: 10x the manifest must NOT cost ~10x the merge — the
+    // delta work is O(log files) and the carried rewrite is a
+    // distributed column copy (generous 6x bound + noise floor
+    // absorbs job-launch variance on a shared host)
+    assert(tBig < tSmall * 6.0 + 1.0,
+      s"merge at 1e5 files took ${tBig}s vs ${tSmall}s at 1e4 — not sublinear")
+  }
+
+  test("parquet manifest: pointer protocol, txn watermark and schema survive the format") {
+    import spark.implicits._
+    val store = syntheticManifestStore(10000)
+    val delta = (0L until 10L).map(k => (k, k * 9)).toDF("k", "a")
+    store.mergeWith(delta, identity[DataFrame], lastWriteWins, txn = Some(7L))
+    assert(store.lastTxn.contains(7L), "txn must ride the header TSV")
+    assert(store.schemaOf(1L).exists(_.fieldNames.sameElements(Array("k", "a"))))
+    // replaying the same txn id is a no-op (the guard reads the
+    // header, not the parquet body)
+    val v = store.mergeWith(delta, identity[DataFrame], lastWriteWins, txn = Some(7L))
+    assert(v == 1L && store.currentVersion.contains(1L))
+  }
+
+  test("bloom index stays exact across 20 CoW merge generations") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("grp"), keepVersions = 3)
+    val lww = (b: DataFrame, d: DataFrame) => d.unionByName(
+      b.join(d.select(col("k").as("dk")), col("k") === col("dk"), "left_anti")
+        .drop("dk"))
+    store.commit((0L until 1000L).map(k => (k, s"g${k / 250}", k)).toDF("k", "grp", "payload"))
+    (1 to 20).foreach { i =>
+      // a moving delta window: every generation rewrites the files
+      // covering ~40 keys and carries the rest by reference
+      val lo = (i * 37L) % 900L
+      val delta = (lo until lo + 40L)
+        .map(k => (k, s"g${k / 250}", k + i * 1000L)).toDF("k", "grp", "payload")
+      store.mergeWith(delta, identity[DataFrame], lww)
+    }
+    assert(store.currentVersion.contains(20L))
+    val m = store.manifest(20L)
+    // every file — freshly rewritten or carried through up to 20
+    // generations — still carries its blob
+    assert(m.forall(_.bloom.isDefined))
+    (0 to 3).foreach { g =>
+      // exactness after deep churn: pruned point read == full filter
+      assertSameRows(store.readPoint(s"g$g"),
+        store.read().get.filter(col("grp") === s"g$g"))
+    }
+    // pruning still effective (strict subset for an endpoint group)
+    assert(store.plannedFilesPoint("g0").size < m.size)
+    // absent value reads empty THROUGH the index path (false
+    // positives may plan files; the row filter keeps it exact)
+    assert(store.readPoint("absent").count() == 0L)
+  }
 }
