@@ -12,9 +12,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
   * a SparkListener counts scheduled jobs, completed stages and
   * tasks of the MEASURED run, then emits one JSON object per query:
   * {"query":…, "sec":…, "jobs":…, "stages":…, "tasks":…,
-  *  "floor_sec_at_0.25":…} — floor = jobs x 0.25s, the lower bound
-  * a multi-job shape cannot beat at local[32] regardless of
-  * per-stage compute. Not part of the driver contract.
+  *  "sec_per_job":…} — sec_per_job ≈ the per-scheduled-job overhead
+  * the shape pays at local[32] (observed 0.03-0.15s depending on
+  * stage size); a query whose wall is dominated by jobs × that
+  * overhead is scheduling-bound, not compute-bound, and amortizes
+  * at cluster scale where per-stage work is seconds, not
+  * milliseconds. Not part of the driver contract.
   */
 object JobProbe {
   def main(args: Array[String]): Unit = {
@@ -55,9 +58,9 @@ object JobProbe {
         val nj = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
         if (sec < best) { best = sec; bj = nj; bs = stages.get(); bt = tasks.get() }
       }
-      out.append(f"""  {"query":"$n","sec":$best%.3f,"jobs":$bj,"stages":$bs,"tasks":$bt,"floor_sec_at_0.25":${bj * 0.25}%.2f}""")
+      out.append(f"""  {"query":"$n","sec":$best%.3f,"jobs":$bj,"stages":$bs,"tasks":$bt,"sec_per_job":${best / math.max(1, bj)}%.3f}""")
       out.append(if (i == names.length - 1) "\n" else ",\n")
-      println(f"[jobprobe] $n%-26s ${best}%6.2f s  jobs=$bj%3d stages=$bs%3d tasks=$bt%5d  floor=${bj * 0.25}%5.2f s")
+      println(f"[jobprobe] $n%-26s ${best}%6.2f s  jobs=$bj%3d stages=$bs%3d tasks=$bt%5d  sec/job=${best / math.max(1, bj)}%6.3f")
     }
     out.append("]\n")
     val target = sys.env.getOrElse("GRAFT_JOBPROFILE_OUT", "/root/repo/JOBPROFILE.json")
