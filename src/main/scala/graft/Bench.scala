@@ -182,10 +182,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.mkString("[", ",", "]")
     val outJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // guard-fired queries commit BOTH readings (ADVICE r10): the
+    // re-triaged standalone number is what "queries" carries, the
+    // in-suite one stays visible here for context-effect triage
+    val retrJson = retriaged.toSeq.sortBy(_._1).map { case (k, (ins, st)) =>
+      "\"" + k + "\":{\"insuite\":" + ms(ins) + ",\"standalone\":" + ms(st) + "}"
+    }.mkString("{", ",", "}")
     def mkJson(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_full":"bench.json","errors":$errJson,"outliers":$outJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_full":"bench.json","errors":$errJson,"outliers":$outJson,"retriaged":$retrJson,"n_queries":${results.size},"sf":"$sfDir"}"""
     }
     val fullJson = mkJson(results.toSeq)
     // filtered triage runs (dev-only) print the full per-query map —
