@@ -511,11 +511,17 @@ object AnalyticsQueries {
     * rules by confidence, total tiebreak.
     */
   def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nBaskets = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemSup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+    // all three inputs come off the LANDED basket/pair artifacts:
+    // basket count = one row count, item support = one explode over
+    // the per-order distinct sets (set membership already dedupes
+    // (order, part)), rules = the persisted pair table — the rule
+    // report never rescans or re-distincts the fact table (the
+    // former inline shape paid a one-split lineitem scan + two
+    // distinct shuffles before rule math started)
+    val baskets = basketsTable(spark, dir)
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemSup = baskets.select(explode(col("s")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
     val pairs = copurchasePairs(spark, dir).filter(col("support") >= 3)
     val rules = pairs.select(col("p1").as("a"), col("p2").as("b"), col("support"))
       .unionAll(pairs.select(col("p2").as("a"), col("p1").as("b"), col("support")))

@@ -313,7 +313,12 @@ object CorpusQueries {
     * row loss.
     */
   def qSegClean(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir).documents
+    // spread the one-split scan BEFORE segmenting: the whole
+    // clean-and-rejoin pipeline otherwise runs one task per stage
+    // (8 jobs x 1 task measured) because the doc frame's tiny
+    // shuffles AQE-coalesce back to one partition
+    val toks = spreadIfOneSplit(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val segs = toks.select(col("doc_id"), posexplode(expr(SegExpr)))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")

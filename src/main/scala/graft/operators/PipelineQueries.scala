@@ -660,18 +660,22 @@ object PipelineQueries {
     * with the real scoring function).
     */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("t"))
-    val tf = terms.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // every input derives from the LANDED (doc, term, tf) artifact
+    // (CorpusQueries.docTermFreq): doc length = sum(tf), document
+    // frequency = row count per term, query terms = the artifact's
+    // rows for the query docs (already distinct per (doc, term)).
+    // The former inline corpus explode ran every stage on the ONE
+    // split of the documents file (16 jobs x 1 task measured); the
+    // landed artifact scans 32-way and never re-derives the corpus.
+    val tf = CorpusQueries.docTermFreq(spark, dir).withColumnRenamed("w", "t")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // "tok_total" not "T": the term column is `t`, and Spark resolves
     // column names case-insensitively — `T` would be ambiguous
     val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
       count(lit(1)).as("n_docs")))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val qterms = terms.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val qterms = tf.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("t"))
     val scored = qterms.join(tf, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfreq), "t")
