@@ -76,6 +76,9 @@ object SparkEntry {
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
     "q_zipf_octaves",
+    // eager-checkpoints its result to release the barrier caches
+    // it pins during the build (ADVICE r10 release-path fix)
+    "q_bloom_contamination",
     // DerivedTable generations land eagerly at construction
     "q_schema_evolution",
     // iterative TextRank fixpoint (per-round materialization)

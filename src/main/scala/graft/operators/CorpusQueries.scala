@@ -432,6 +432,101 @@ object CorpusQueries {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScoreFrame(spark, dir).orderBy(col("doc_id"))
 
+  /** C78: stupid-backoff LM scoring (Brants et al. 2007) — C69's
+    * bigram deficit, but an UNSEEN bigram backs off to w2's unigram
+    * probability with a fixed alpha = 0.5 penalty, i.e. exactly +8
+    * eighth-bits, so the whole score stays integer (a float alpha
+    * would break engine-exactness). Per bigram instance:
+    *   seen:   deficit = elog(n1)  - elog(n12)
+    *   unseen: deficit = 8 + elog(T) - elog(nu(w2))   (T = corpus tokens)
+    * Unlike C69's skip-on-unknown, EVERY bigram instance scores
+    * (when the scored corpus is the model corpus, w2 always has a
+    * unigram count), so documents made of novel word SEQUENCES over
+    * known vocabulary — the repetition-vs-novelty axis a curation
+    * stack wants next to C74 — separate from documents the bigram
+    * table already covers. Scale shape: both model tables derive
+    * from LANDED artifacts (word-pairs, doc-term-freq) and broadcast
+    * (vocab²- and vocab-bounded); the corpus-sized work is one
+    * bigram explode + map-side joins + one per-doc aggregate.
+    */
+  def qLmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = wordPairCounts(spark, dir)
+    val heads = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val d12 = pairs.join(heads, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr(s"${sparkElog("n1")} - ${sparkElog("n12")}").as("d12"))
+    val uni = docTermFreq(spark, dir)
+      .groupBy(col("w").as("w2")).agg(sum(col("tf")).as("nu"))
+    val tot = uni.agg(sum(col("nu")).as("tt"))
+    lmBigrams(Tables(spark, dir).documents)
+      .join(broadcast(d12), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("d12"),
+          expr(s"8 + ${sparkElog("tt")} - ${sparkElog("nu")}")).as("deficit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("deficit")).as("sum_deficit_ebits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_deficit_ebits"),
+        expr("sum_deficit_ebits * 1000 div n_bigrams").as("ppl_milli_ebits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C79: span-corruption masking plan (the T5 denoising objective's
+    * preprocessing, Raffel et al. 2020): ~15% of tokens selected as
+    * 3-token mask spans, placed by a seeded md5 draw INSIDE each
+    * 20-token block — block-local placement (start offset <= 17)
+    * makes spans non-overlapping BY CONSTRUCTION, with no RNG state,
+    * so re-materializing a 100 TB training set reproduces the same
+    * masking plan bit-identically (the resumable-preprocessing
+    * property; T5's own spans are iid draws that need overlap
+    * repair). Map-only: one per-doc block explode, no shuffle
+    * before the sink. Docs under one full block emit no spans.
+    */
+  def qSpanMask(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 20)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) div 20 - 1)")).as("blk"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("graft-span:"), col("doc_id"), lit(":"), col("blk"))), 1, 14), 16, 10)
+          .cast("long"))
+      .withColumn("start_tok", col("blk") * 20 + pmod(col("h"), lit(18L)) + 1)
+      .select(col("doc_id"), col("blk").cast("long").as("span_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        lit(3L).as("span_len"),
+        array_join(slice(col("w"), col("start_tok").cast("int"), lit(3)), " ")
+          .as("masked_text"))
+      .orderBy(col("doc_id"), col("span_idx"))
+
+  /** C80: eval-set n-gram coverage — the decontamination REPORT next
+    * to C16/C25's match detectors: for every held-out document, what
+    * fraction of its distinct 5-grams the training split already
+    * contains (coverage 1e6 ppm = the eval doc is entirely
+    * reconstructible from training n-grams; ~0 = genuinely novel
+    * text). The exact counterpart of the Bloom screen: one
+    * distinct-gram semi-join on 8-byte hashes (strings never
+    * shuffle), per-doc totals from the already-distinct shingle set.
+    */
+  def qNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
+    val eval = grams.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("gh"))
+    val train = grams.filter(col("source") =!= "src0").select(col("gh"))
+    val tot = eval.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+    val cov = eval.join(train, Seq("gh"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_covered"))
+    tot.join(cov, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_covered, 0) * 1000000 div n_grams").as("coverage_ppm"))
+      .orderBy(col("eval_id"))
+  }
+
   /** The unsorted C69 score frame, shared by q_lm_score and the C72
     * bucketing pass so the two cannot drift.
     */
@@ -1171,6 +1266,9 @@ object CorpusQueries {
     "q_profile"             -> (qProfile _),
     "q_pii_redact"          -> (qPiiRedact _),
     "q_lm_score"            -> (qLmScore _),
+    "q_lm_backoff"          -> (qLmBackoff _),
+    "q_span_mask"           -> (qSpanMask _),
+    "q_ngram_coverage"      -> (qNgramCoverage _),
     "q_lm_buckets"          -> (qLmBuckets _),
     "q_bloom_contamination" -> (qBloomContamination _),
     "q_incremental_dedup"   -> (qIncrementalDedup _),
@@ -1378,6 +1476,60 @@ object CorpusQueries {
          | CAST(sum(deficit) AS BIGINT) AS sum_deficit_ebits,
          | CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C78: reuses the C69 CTE chain for the seen-bigram deficit;
+    // the backoff branch replays 8 + elog(T) - elog(nu) with the
+    // same eighth-bit log, all operands positive so // == div
+    "q_lm_backoff" ->
+      s"""WITH $lmScoreCtes,
+         |d12 AS (SELECT w1, w2, ${duckElog("n1")} - ${duckElog("n12")} AS d12
+         |        FROM pc JOIN uc USING (w1)),
+         |alltok AS (SELECT unnest(w) AS t FROM toks),
+         |nu AS (SELECT t AS w2, CAST(count(*) AS BIGINT) AS nu
+         |       FROM alltok GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM alltok),
+         |sc AS (SELECT pi.doc_id,
+         |   coalesce(d.d12, 8 + ${duckElog("t.tt")} - ${duckElog("u.nu")}) AS deficit
+         | FROM pi LEFT JOIN d12 d ON pi.w1 = d.w1 AND pi.w2 = d.w2
+         | JOIN nu u ON pi.w2 = u.w2 CROSS JOIN tt t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | CAST(sum(deficit) AS BIGINT) AS sum_deficit_ebits,
+         | CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C79: md5 slot replay as in C61/C63; block-local starts keep
+    // spans in-bounds so list_slice never clips
+    "q_span_mask" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w,
+        |   unnest(generate_series(0, len(w) // 20 - 1)) AS blk
+        | FROM toks WHERE len(w) >= 20),
+        |s AS (SELECT doc_id, w, blk,
+        |   blk * 20 + (CAST(('0x' || substr(md5('graft-span:'
+        |     || CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)), 1, 14))
+        |     AS BIGINT) % 18) + 1 AS start_tok
+        | FROM b)
+        |SELECT doc_id, CAST(blk AS BIGINT) AS span_idx,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(3 AS BIGINT) AS span_len,
+        | array_to_string(list_slice(w, start_tok, start_tok + 2), ' ') AS masked_text
+        |FROM s ORDER BY doc_id, span_idx""".stripMargin,
+
+    // C80: same distinct-5-gram derivation as the C16 oracle
+    "q_ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        for i in generate_series(1, len(w)-4)])) AS g FROM toks),
+        |ev AS (SELECT doc_id, g FROM grams WHERE source = 'src0'),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE source != 'src0'),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1),
+        |cov AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        |        FROM ev e JOIN tr USING (g) GROUP BY 1)
+        |SELECT t.doc_id AS eval_id, t.n_grams,
+        | CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+        | CAST(coalesce(c.n_covered, 0) * 1000000 // t.n_grams AS BIGINT) AS coverage_ppm
+        |FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY 1""".stripMargin,
 
     // same CTE chain as q_lm_score; the bucket split is pure integer
     // rank arithmetic (3r<=n / 3r<=2n) so the tercile boundaries are
