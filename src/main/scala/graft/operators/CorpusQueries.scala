@@ -66,6 +66,23 @@ object CorpusQueries {
     * corpus-sized join shuffle is gone (only near-certain hits move).
     */
   def qBloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val (out, eval, prefiltered) = bloomContaminationFrames(spark, dir)
+    // eager-checkpoint the (tiny) contaminated-id result, then
+    // RELEASE both barrier caches (ADVICE r10): they are optimizer
+    // barriers, not artifacts, and must not outlive the query call
+    val checkpointed = out.localCheckpoint(true)
+    eval.unpersist(blocking = false)
+    prefiltered.unpersist(blocking = false)
+    checkpointed
+  }
+
+  /** The C25 frames BEFORE the release-path checkpoint — the
+    * optimizer-plan surface PlanShapeSpec asserts on (the contract
+    * query's returned plan is a checkpoint scan): (result, eval
+    * cache, prefilter cache).
+    */
+  private[graft] def bloomContaminationFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // (no one-split spread here: shingle_hashes is a cheap codegen
     // kernel, not string-concat gram work — the exchange measured as
     // a net loss, 1.01 -> 1.12s at sf0.1)
@@ -101,13 +118,7 @@ object CorpusQueries {
     val out = prefiltered.join(eval, Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))
-      // eager-checkpoint the (tiny) contaminated-id result, then
-      // RELEASE both barrier caches (ADVICE r10): they are optimizer
-      // barriers, not artifacts, and must not outlive the query call
-      .localCheckpoint(true)
-    eval.unpersist(blocking = false)
-    prefiltered.unpersist(blocking = false)
-    out
+    (out, eval, prefiltered)
   }
 
   /** C26: incremental dedup — the ingest-time form of exact dedup: a

@@ -275,7 +275,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // semi-join (PushDownLeftSemiAntiJoin would sink the semi under
     // the probe; the cache barrier pins prefilter-then-confirm)
     try {
-      val q = graft.operators.CorpusQueries.qBloomContamination(spark, sf)
+      // inspect the PRE-checkpoint frames: the contract query now
+      // eager-checkpoints its result to release the barrier caches
+      // (ADVICE r10), so its returned plan is a checkpoint scan
+      val (q, _, _) =
+        graft.operators.CorpusQueries.bloomContaminationFrames(spark, sf)
       val cp = q.queryExecution.optimizedPlan.toString
       val semiAt = cp.indexOf("LeftSemi")
       val memAt = cp.indexOf("InMemoryRelation")
