@@ -463,7 +463,9 @@ object CorpusQueries {
   def qLmBackoff(spark: SparkSession, dir: String): DataFrame = {
     val pairs = wordPairCounts(spark, dir)
     val heads = pairs.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val d12 = pairs.join(heads, Seq("w1"))
+    // heads is vocab-bounded — broadcast it so the deficit table
+    // derives map-side over the landed pairs (no vocab² shuffle)
+    val d12 = pairs.join(broadcast(heads), Seq("w1"))
       .select(col("w1"), col("w2"),
         expr(s"${sparkElog("n1")} - ${sparkElog("n12")}").as("d12"))
     val uni = docTermFreq(spark, dir)
