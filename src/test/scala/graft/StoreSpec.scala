@@ -539,6 +539,40 @@ class StoreSpec extends AnyFunSuite {
     assert(v == 1L && store.currentVersion.contains(1L))
   }
 
+  test("parquet manifest publish is crash-safe at both commit points") {
+    import spark.implicits._
+    val store = syntheticManifestStore(10000)
+    val delta = (0L until 50L).map(k => (k, k * 7)).toDF("k", "a")
+    store.mergeWith(delta, identity[DataFrame], lastWriteWins)
+    assert(store.currentVersion.contains(1L))
+    val mdir = java.nio.file.Paths.get(s"${store.root}/_manifests")
+    // CRASH POINT A: m1.parquet landed, but neither the header TSV
+    // nor the pointer — the store must still serve v0, and a
+    // re-publish of v1 must succeed over the stale parquet dir
+    java.nio.file.Files.delete(mdir.resolve("m1.tsv"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${store.root}/LATEST"), "0")
+    assert(store.currentVersion.contains(0L))
+    assert(store.readRange(0L, 999L).count() == 1000L)
+    store.mergeWith(delta, identity[DataFrame], lastWriteWins)
+    assert(store.currentVersion.contains(1L))
+    assert(store.readRange(0L, 999L)
+      .filter(col("k") === 5L).select(col("a")).as[Long].head() == 35L)
+    // CRASH POINT B: manifest (both forms) landed, pointer not
+    // flipped — v0 serves; the completed v1 manifest is intact
+    // (entries parse; a real-file fixture could time-travel read
+    // it); a re-merge converges to the same v1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${store.root}/LATEST"), "0")
+    assert(store.currentVersion.contains(0L))
+    assert(store.manifest(1L).size > 10000)
+    assert(store.schemaOf(1L).isDefined)
+    store.mergeWith(delta, identity[DataFrame], lastWriteWins)
+    assert(store.currentVersion.contains(1L))
+    assert(store.manifestFrame(1L)
+      .filter(col("path").contains("synthetic-")).count() == 10000L)
+  }
+
   test("bloom index stays exact across 20 CoW merge generations") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k",
