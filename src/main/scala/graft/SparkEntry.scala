@@ -76,6 +76,8 @@ object SparkEntry {
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
     "q_zipf_octaves",
+    // composes q_lm_buckets, inheriting its eager rank pass
+    "q_quality_confusion",
     // eager-checkpoints its result to release the barrier caches
     // it pins during the build (ADVICE r10 release-path fix)
     "q_bloom_contamination",

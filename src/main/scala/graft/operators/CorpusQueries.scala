@@ -661,6 +661,31 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C81: quality-signal calibration — the CCNet-style cross-check
+    * between the HEURISTIC quality gate (C18: length / word-shape /
+    * stopword rules) and the MODEL-BASED perplexity terciles (C72):
+    * a (bucket × keep) contingency table with exact ppm shares. Two
+    * quality signals that agree validate each other; a systematic
+    * disagreement (heuristic-kept docs piling into the tail bucket)
+    * is the first sign a filter is miscalibrated for a corpus —
+    * the report a curation stack runs before trusting either signal
+    * alone. Docs with no scorable bigram (no LM score) are outside
+    * the comparison, like C72 itself. Both inputs are per-doc
+    * frames; the table is one doc-keyed join + a 6-row aggregate.
+    */
+  def qQualityConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val keep = graft.operators.CurationQueries.qQualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep").cast("long").as("keep"))
+    val buckets = qLmBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+    val cells = buckets.join(keep, Seq("doc_id"))
+      .groupBy(col("bucket"), col("keep")).agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("keep"), col("n_docs"),
+        expr("n_docs * 1000000 div t").as("share_ppm"))
+      .orderBy(col("bucket"), col("keep"))
+  }
+
   /** C50: BPE merge training — the tokenizer-training loop at corpus
     * scale: 5 rounds of (count adjacent pairs → take the most
     * frequent → merge every leftmost non-overlapping occurrence),
@@ -1280,6 +1305,7 @@ object CorpusQueries {
     "q_pii_redact"          -> (qPiiRedact _),
     "q_lm_score"            -> (qLmScore _),
     "q_lm_backoff"          -> (qLmBackoff _),
+    "q_quality_confusion"   -> (qQualityConfusion _),
     "q_span_mask"           -> (qSpanMask _),
     "q_ngram_coverage"      -> (qNgramCoverage _),
     "q_lm_buckets"          -> (qLmBuckets _),
@@ -1509,6 +1535,41 @@ object CorpusQueries {
          | CAST(sum(deficit) AS BIGINT) AS sum_deficit_ebits,
          | CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C81: C72's bucket chain x C18's heuristic predicate, joined on
+    // doc_id into the 6-cell contingency with exact ppm shares
+    "q_quality_confusion" ->
+      s"""WITH $lmScoreCtes,
+         |sdoc AS (SELECT doc_id,
+         |   CAST((sum(deficit) * 1000) // count(*) AS BIGINT) AS ppl_milli_ebits
+         | FROM scored GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, d.lang, s.ppl_milli_ebits
+         |      FROM sdoc s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT doc_id, ppl_milli_ebits,
+         |   CAST(row_number() OVER (
+         |     PARTITION BY lang ORDER BY ppl_milli_ebits, doc_id) AS BIGINT)
+         |     AS lang_rank,
+         |   count(*) OVER (PARTITION BY lang) AS n FROM j),
+         |bk AS (SELECT doc_id,
+         |   CASE WHEN lang_rank*3 <= n THEN 'head'
+         |        WHEN lang_rank*3 <= n*2 THEN 'middle'
+         |        ELSE 'tail' END AS bucket FROM rk),
+         |q AS (SELECT doc_id,
+         |   CAST(n_words BETWEEN 20 AND 100000
+         |     AND mean_word_len BETWEEN 2.0 AND 10.0
+         |     AND n_stopwords >= 1 AS BIGINT) AS keep
+         | FROM (SELECT doc_id, len(string_split(text,' ')) AS n_words,
+         |    len(list_filter(string_split(text,' '),
+         |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+         |    list_sum(list_transform(string_split(text,' '), t -> length(t))) * 1.0
+         |      / len(string_split(text,' ')) AS mean_word_len
+         |   FROM documents)),
+         |cell AS (SELECT b.bucket, q.keep, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM bk b JOIN q USING (doc_id) GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM cell)
+         |SELECT c.bucket, c.keep, c.n_docs,
+         | CAST(c.n_docs * 1000000 // t.t AS BIGINT) AS share_ppm
+         |FROM cell c CROSS JOIN t ORDER BY bucket, keep""".stripMargin,
 
     // C79: md5 slot replay as in C61/C63; block-local starts keep
     // spans in-bounds so list_slice never clips

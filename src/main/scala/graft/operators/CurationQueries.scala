@@ -179,6 +179,40 @@ object CurationQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** C82: packing-efficiency audit — the padding/overflow cost
+    * report on top of C20's greedy shard packing: per shard, how
+    * many tokens a ctx=2048 trainer pays as PADDING (under-full
+    * bins) and how many SPILL past the boundary (bins a whole doc
+    * pushed over) — the two numbers that decide whether to re-pack
+    * with document splitting or a smarter bin heuristic (padding is
+    * pure wasted FLOPs at training time; at 100 TB a few percent of
+    * pad is a material GPU bill). Same single shard-partitioned
+    * window as C20 plus two bounded aggregates; integer ppm.
+    */
+  def qPackEval(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = 2048L
+    val d = Tables(spark, dir).documents
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("shard", ((col("doc_id") % 97L) * 13L + 5L) % 8L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = d.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(ctx.toDouble)).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tok")).cast("long").as("bin_tokens"))
+    bins.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        sum(when(col("bin_tokens") < ctx, lit(ctx) - col("bin_tokens"))
+          .otherwise(0L)).as("pad_tokens"),
+        sum(when(col("bin_tokens") > ctx, col("bin_tokens") - lit(ctx))
+          .otherwise(0L)).as("overflow_tokens"))
+      .select(col("shard"), col("n_bins"), col("total_tokens"),
+        col("pad_tokens"), col("overflow_tokens"),
+        expr(s"pad_tokens * 1000000 div (n_bins * $ctx)").as("pad_ppm"))
+      .orderBy(col("shard"))
+  }
+
   /** C22b: APPLY the mixture plan — join each doc to its language's
     * computed sampling rate (broadcast: the plan is nLangs rows) and
     * keep by the same deterministic percent-hash as C21; reports the
@@ -562,6 +596,7 @@ object CurationQueries {
     "q_mixture_apply"   -> (qMixtureApply _),
     "q_curriculum_order" -> (qCurriculumOrder _),
     "q_pack_sequences"  -> (qPackSequences _),
+    "q_pack_eval"       -> (qPackEval _),
     "q_sample_split"    -> (qSampleSplit _),
     "q_dedup_keepbest"  -> (qDedupKeepBest _),
     "q_corpus_stats"    -> (qCorpusStats _),
@@ -748,6 +783,30 @@ object CurationQueries {
         | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // C82: same window CTEs as the C20 oracle, then the per-shard
+    // pad/overflow aggregates (all operands positive, // == div)
+    "q_pack_eval" ->
+      """WITH d AS (
+        | SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+        |  ((doc_id % 97) * 13 + 5) % 8 AS shard
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tok, shard,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM d),
+        |bins AS (
+        | SELECT shard, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        | FROM c GROUP BY 1, 2)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+        | CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(CASE WHEN bin_tokens < 2048 THEN 2048 - bin_tokens ELSE 0 END) AS BIGINT) AS pad_tokens,
+        | CAST(sum(CASE WHEN bin_tokens > 2048 THEN bin_tokens - 2048 ELSE 0 END) AS BIGINT) AS overflow_tokens,
+        | CAST(sum(CASE WHEN bin_tokens < 2048 THEN 2048 - bin_tokens ELSE 0 END) * 1000000
+        |      // (count(*) * 2048) AS BIGINT) AS pad_ppm
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_sample_split" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
