@@ -230,8 +230,25 @@ final class SnapshotStore(
     val probe = if (lit0.dataType == colType) lit0
                 else Cast(lit0, colType, Some("UTC"))
     val h = XxHash64(Seq(probe), 42L).eval(null).asInstanceOf[Long]
-    currentVersion.toSeq.flatMap(manifest).filter(f =>
-      f.bloom.forall(b => graft.functions.BloomAlgos.mightContain(b, h)))
+    currentVersion.toSeq.flatMap { v =>
+      if (Files.exists(manifestParquet(v))) {
+        // parquet-backed manifest: probe the blobs IN SPARK with the
+        // same codegen'd membership kernel the query path uses — at
+        // 10⁵-10⁶ files the manifest's Bloom column is the bulk of
+        // its bytes, and it never reaches the driver; only surviving
+        // entries (bounded by the value's file locality + fpp) do
+        import org.apache.spark.sql.functions.{col, lit => flit}
+        manifestFrame(v)
+          .filter(col("bloom").isNull ||
+            graft.functions.bloom_might_contain(col("bloom"), flit(h)))
+          .orderBy(col("minKey"), col("path")).collect().toSeq
+          .map(r => DataFileEntry(resolvePath(r.getAs[String]("path")),
+            r.getAs[Long]("rows"), r.getAs[Long]("minKey"),
+            r.getAs[Long]("maxKey"), Option(r.getAs[Array[Byte]]("bloom"))))
+      } else
+        manifest(v).filter(f =>
+          f.bloom.forall(b => graft.functions.BloomAlgos.mightContain(b, h)))
+    }
   }
 
   /** Point read on the SECONDARY column: Bloom-skip data files, then

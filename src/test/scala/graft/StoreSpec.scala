@@ -573,6 +573,25 @@ class StoreSpec extends AnyFunSuite {
       .filter(col("path").contains("synthetic-")).count() == 10000L)
   }
 
+  test("parquet manifest: secondary-index point planning probes blobs in Spark") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("grp"), parquetManifestFrom = 2)
+    store.commit((0L until 1000L).map(k => (k, s"g${k / 250}", k))
+      .toDF("k", "grp", "payload"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${store.root}/_manifests/m0.parquet")))
+    val all = store.manifest(0L)
+    assert(all.size == 4 && all.forall(_.bloom.isDefined))
+    // the distributed probe path prunes like the driver path: a
+    // clustered group plans a strict subset, exactness holds, and an
+    // absent value reads empty
+    assert(store.plannedFilesPoint("g0").size < all.size)
+    assertSameRows(store.readPoint("g2"),
+      store.read().get.filter(col("grp") === "g2"))
+    assert(store.readPoint("absent").count() == 0L)
+  }
+
   test("bloom index stays exact across 20 CoW merge generations") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k",
