@@ -64,7 +64,7 @@ object SparkEntry {
     "q_stream_session", "q_stream_window", "q_stream_ingest",
     "q_stream_sketch", "q_stream_join", "q_stream_hll",
     "q_stream_session_tws", "q_stream_rate_limit", "q_stream_decontaminate",
-    "q_stream_sync_log",
+    "q_stream_sync_log", "q_stream_coverage",
     "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
     // two-pass prefix-scan (per-partition min job at construction, r9)

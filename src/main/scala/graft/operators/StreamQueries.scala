@@ -560,6 +560,62 @@ object StreamQueries {
     spark.read.parquet(outDir).distinct().orderBy(col("doc_id"))
   }
 
+  /** A33 under the gate: incremental decontamination-coverage
+    * maintenance — the C80 coverage report kept CURRENT as training
+    * batches arrive. Each micro-batch's distinct 5-gram hashes fold
+    * into a gram store through the table-format seam (a keyed set
+    * union, so checkpoint-replayed batches are idempotent and the
+    * txn watermark absorbs re-delivery), and the FINAL coverage of
+    * the frozen eval set must equal the batch C80 oracle for any
+    * arrival split — the convergence property that lets a live
+    * ingest answer "how reconstructible is our eval set from what
+    * we have ingested SO FAR" without ever re-scanning the
+    * accumulated corpus [ref: KuduManager.scala:108-120 — the
+    * continuously-upserted store role].
+    */
+  def qStreamCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-cov-in")
+    val storeDir = tmp("gq-cov-store")
+    val ckpt = tmp("gq-cov-ckpt")
+    val train = docs.filter(col("source") =!= "src0")
+    train.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val setUnion: (DataFrame, DataFrame) => DataFrame =
+      (base, delta) => delta.select(col("gh"))
+        .unionByName(base.select(col("gh"))).distinct()
+    val q = spark.readStream.schema(train.schema).parquet(inDir + "/*/")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grams = batch.select(explode(graft.functions.shingle_hashes(
+            split(col("text"), " "), 5)).as("gh")).distinct()
+        new graft.store.SnapshotStore(batch.sparkSession, storeDir, "gh")
+          .mergeWith(grams, init = identity[DataFrame], fold = setUnion,
+            txn = Some(batchId))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    train.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    val trainGh = new graft.store.SnapshotStore(spark, storeDir, "gh")
+      .read().get.select(col("gh"))
+    val eval = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.functions.shingle_hashes(split(col("text"), " "), 5)).as("gh"))
+    val tot = eval.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+    val cov = eval.join(trainGh, Seq("gh"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_covered"))
+    tot.join(cov, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_covered, 0) * 1000000 div n_grams").as("coverage_ppm"))
+      .orderBy(col("eval_id"))
+  }
+
   /** A12/A19 under the gate: the batch-throughput sync log. A
     * two-arrival stream (even event ids, then odd) runs with a
     * [[graft.streaming.RateListener]] whose file sink appends the
@@ -825,6 +881,7 @@ object StreamQueries {
     "q_stream_sync_log"     -> (qStreamSyncLog _),
     "q_stream_rate_limit"   -> (qStreamRateLimit _),
     "q_stream_decontaminate" -> (qStreamDecontaminate _),
+    "q_stream_coverage"     -> (qStreamCoverage _),
     "q_stream_join"        -> (qStreamJoin _),
     "q_stream_hll"         -> (qStreamHll _),
     "q_stream_session_tws" -> (qStreamSessionTws _),
@@ -902,6 +959,23 @@ object StreamQueries {
         |FROM g5 t SEMI JOIN (SELECT g FROM g5 WHERE source = 'src0') e ON t.g = e.g
         |WHERE t.source != 'src0'
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the drive-to-completion gram store must yield EXACTLY the
+    // batch C80 coverage for this arrival split (same oracle text)
+    "q_stream_coverage" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |  unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        for i in generate_series(1, len(w)-4)])) AS g FROM toks),
+        |ev AS (SELECT doc_id, g FROM grams WHERE source = 'src0'),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE source != 'src0'),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1),
+        |cov AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        |        FROM ev e JOIN tr USING (g) GROUP BY 1)
+        |SELECT t.doc_id AS eval_id, t.n_grams,
+        | CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+        | CAST(coalesce(c.n_covered, 0) * 1000000 // t.n_grams AS BIGINT) AS coverage_ppm
+        |FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY 1""".stripMargin,
 
     // the streamed join == the batch range join (purchase joined to
     // same-user clicks in the preceding hour)
