@@ -679,7 +679,11 @@ object PipelineQueries {
     val scored = qterms.join(tf, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfreq), "t")
-      .join(dl, "doc_id")
+      // explicit broadcast: dl is doc-count-bounded (tiny next to
+      // the candidate frame) but its landed-artifact lineage hides
+      // that from the size estimator, which otherwise plans a
+      // sort-merge join on doc_id (the lmScoreAgainst lesson)
+      .join(broadcast(dl), "doc_id")
       .crossJoin(stats)
       .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
       .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
