@@ -67,6 +67,7 @@ object SparkEntry {
     "q_stream_sync_log", "q_stream_coverage",
     "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
+    "q_tokenizer_fertility",
     // two-pass prefix-scan (per-partition min job at construction, r9)
     "q_pareto_front",
     "q_ngram_adaptive", "q_containment_pairs",

@@ -821,6 +821,34 @@ object CorpusQueries {
       .limit(20)
   }
 
+  /** C84: tokenizer fertility/compression QA — tokens-per-word by
+    * language under the C50-trained BPE vocab, in integer ppm: the
+    * tokenizer-equity report run before committing a vocabulary
+    * (a language whose fertility stays near 1e6 ppm — no merges
+    * firing — is under-allocated in the vocab and will pay more
+    * sequence length per sentence at training time). This word-merge
+    * BPE compresses (tokens <= words), so lower ppm = better vocab
+    * coverage; the cross-language DELTA is the signal. One map pass
+    * with the merges inlined in the codegen'd bpe_apply kernel +
+    * a lang-bounded aggregate — no shuffle before the 4-row report.
+    */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesTable(spark, dir)
+      .orderBy(col("merge_rank")).collect() // 5-row vocab artifact
+      .map(m => (m.getString(1), m.getString(2))).toSeq
+    Tables(spark, dir).documents
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), size(col("w")).cast("long").as("nw"),
+        size(graft.functions.bpe_apply(col("w"), merges)).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** C38: repeated-substring span detection — the distributed shape
     * of suffix-array exact-substring dedup (find every W-token span
     * that appears in more than one document, then score each doc by
@@ -1306,6 +1334,7 @@ object CorpusQueries {
     "q_lm_score"            -> (qLmScore _),
     "q_lm_backoff"          -> (qLmBackoff _),
     "q_quality_confusion"   -> (qQualityConfusion _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_span_mask"           -> (qSpanMask _),
     "q_ngram_coverage"      -> (qNgramCoverage _),
     "q_lm_buckets"          -> (qLmBuckets _),
@@ -1816,6 +1845,18 @@ object CorpusQueries {
          |SELECT t AS token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest(w) AS t FROM c5)
          |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // C84: the C50 tokenize chain per doc, word counts from the raw
+    // text, lang-grouped ppm ratio (positive operands, // == div)
+    "q_tokenizer_fertility" ->
+      s"""$bpeOracleCtes
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+         | CAST(sum(len(c.w)) AS BIGINT) AS n_tokens,
+         | CAST(sum(len(c.w)) * 1000000
+         |      // sum(len(string_split(d.text, ' '))) AS BIGINT) AS fertility_ppm
+         |FROM c5 c JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_word_pairs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
         |pairs AS (SELECT unnest([struct_pack(a := w[i], b := w[i+1])
