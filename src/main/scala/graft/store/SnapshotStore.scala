@@ -88,13 +88,28 @@ final class SnapshotStore(
     * paths here, the single parse point every consumer reads through.
     * Absolute paths from pre-relative manifests still resolve.
     */
-  def manifest(v: Long): Seq[DataFileEntry] =
-    if (Files.exists(manifestParquet(v)))
+  def manifest(v: Long): Seq[DataFileEntry] = manifestEntries(v, withBlooms = true)
+
+  /** The blobless twin of [[manifest]] for consumers that never probe
+    * Bloom blobs on the driver (plain reads, range planning, change
+    * feeds, vacuum): on a parquet-backed manifest the blob column is
+    * the bulk of the manifest's bytes at the 10⁵-10⁶-file scale this
+    * path targets, so it is column-pruned out of the collect entirely
+    * (bloom = None); the TSV branch skips the Base64 decode.
+    */
+  private def manifestLite(v: Long): Seq[DataFileEntry] =
+    manifestEntries(v, withBlooms = false)
+
+  private def manifestEntries(v: Long, withBlooms: Boolean): Seq[DataFileEntry] =
+    if (entriesParquet(v))
       // parquet-backed manifest (large stores): the driver needs the
       // file list to construct scans — same as Spark's own source
       // planning — but PLANNING against the manifest (mergeWith)
       // reads the frame distributed and column-pruned instead
-      manifestFrame(v).orderBy(col("minKey"), col("path")).collect().toSeq
+      (if (withBlooms) manifestFrame(v)
+       else manifestFrame(v).select(col("path"), col("rows"),
+         col("minKey"), col("maxKey"), lit(null).cast("binary").as("bloom")))
+        .orderBy(col("minKey"), col("path")).collect().toSeq
         .map(r => DataFileEntry(resolvePath(r.getAs[String]("path")),
           r.getAs[Long]("rows"), r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"),
           Option(r.getAs[Array[Byte]]("bloom"))))
@@ -107,7 +122,8 @@ final class SnapshotStore(
               DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong)
             case Array(p, r, mn, mx, b64) =>
               DataFileEntry(resolvePath(p), r.toLong, mn.toLong, mx.toLong,
-                Some(java.util.Base64.getDecoder.decode(b64)))
+                if (withBlooms) Some(java.util.Base64.getDecoder.decode(b64))
+                else None)
             case _ => throw new IllegalStateException(
               s"corrupt manifest ${manifestDir.resolve(s"m$v.tsv")}: " +
                 s"expected 4 or 5 tab-separated fields, got line: $l")
@@ -116,6 +132,20 @@ final class SnapshotStore(
 
   private def manifestParquet(v: Long): java.nio.file.Path =
     manifestDir.resolve(s"m$v.parquet")
+
+  /** Is version v's entry list parquet-backed? Dispatched on the
+    * COMMITTED header's `entries=parquet` tag, never on
+    * m{v}.parquet existence: a crash in [[publishParquet]] between
+    * the parquet-dir move and the header-TSV write leaves a stale
+    * directory with no committed header, and that stale entry list
+    * must never shadow a subsequently committed TSV entry list at
+    * the same version.
+    */
+  private def entriesParquet(v: Long): Boolean = {
+    val tsv = manifestDir.resolve(s"m$v.tsv")
+    Files.exists(tsv) && Files.readAllLines(tsv).asScala.headOption
+      .exists(_.contains(" entries=parquet"))
+  }
 
   /** Version v's manifest as a Spark frame — (path root-relative,
     * rows, minKey, maxKey, bloom|null). The 100-TB planning surface
@@ -127,7 +157,7 @@ final class SnapshotStore(
     */
   def manifestFrame(v: Long): DataFrame = {
     val pq = manifestParquet(v)
-    if (Files.exists(pq)) Tables.loadCached(spark, pq.toString)
+    if (entriesParquet(v)) Tables.loadCached(spark, pq.toString)
     else spark.createDataFrame(manifest(v).map(e =>
       ManifestRow(relativizePath(e.path), e.rows, e.minKey, e.maxKey,
         e.bloom.orNull)))
@@ -166,7 +196,7 @@ final class SnapshotStore(
   def read(): Option[DataFrame] = currentVersion.map(readVersion)
 
   def readVersion(v: Long): DataFrame = {
-    val files = manifest(v).map(_.path)
+    val files = manifestLite(v).map(_.path)
     require(files.nonEmpty, s"version $v has no data files")
     readFiles(v, files)
   }
@@ -190,7 +220,8 @@ final class SnapshotStore(
     * is spec-assertable.
     */
   def plannedFiles(lo: Long, hi: Long): Seq[DataFileEntry] =
-    currentVersion.toSeq.flatMap(manifest).filter(f => f.maxKey >= lo && f.minKey <= hi)
+    currentVersion.toSeq.flatMap(manifestLite)
+      .filter(f => f.maxKey >= lo && f.minKey <= hi)
 
   /** Key-range read: file-skip via the manifest index (files are
     * range-clustered at commit, so a point/range lookup touches a
@@ -200,7 +231,7 @@ final class SnapshotStore(
   def readRange(lo: Long, hi: Long): DataFrame = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed version in $root"))
-    val all = manifest(v)
+    val all = manifestLite(v)
     val hit = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val base =
       if (hit.isEmpty) readFiles(v, Seq(all.head.path)).limit(0)
@@ -231,7 +262,7 @@ final class SnapshotStore(
                 else Cast(lit0, colType, Some("UTC"))
     val h = XxHash64(Seq(probe), 42L).eval(null).asInstanceOf[Long]
     currentVersion.toSeq.flatMap { v =>
-      if (Files.exists(manifestParquet(v))) {
+      if (entriesParquet(v)) {
         // parquet-backed manifest: probe the blobs IN SPARK with the
         // same codegen'd membership kernel the query path uses — at
         // 10⁵-10⁶ files the manifest's Bloom column is the bulk of
@@ -266,7 +297,7 @@ final class SnapshotStore(
     val base =
       // empty plan (every file pruned — the index's best case): build
       // the zero-row frame from ONE file, not all N footers
-      if (hit.isEmpty) readFiles(v, Seq(manifest(v).head.path)).limit(0)
+      if (hit.isEmpty) readFiles(v, Seq(manifestLite(v).head.path)).limit(0)
       else readFiles(v, hit.map(_.path))
     base.filter(col(indexCol.get) === lit(value))
   }
@@ -282,8 +313,12 @@ final class SnapshotStore(
       .write.mode("overwrite").parquet(dataDir.toString)
     // the per-file stats job also builds the secondary Bloom when an
     // index column is declared (what real formats collect at write
-    // time: key range + column-level skipping metadata per file)
-    val base = spark.read.parquet(dataDir.toString)
+    // time: key range + column-level skipping metadata per file).
+    // Read back through df's OWN schema: exact by construction (no
+    // footer-inference job), and an EMPTY fold (delete-heavy merge
+    // that empties the affected slice — a carried-only commit) writes
+    // no part files, which a schema-less read would refuse to infer
+    val base = spark.read.schema(df.schema).parquet(dataDir.toString)
       .groupBy(input_file_name().as("path"))
     val aggs = Seq(count(lit(1)).as("rows"),
       min(col(keyCol)).cast("long").as("mn"),
@@ -340,7 +375,7 @@ final class SnapshotStore(
     // driver-text: land it as the parquet manifest instead (a
     // growing TSV store auto-migrates at its next publish)
     if (entries.size > parquetManifestFrom)
-      return publishParquet(v, manifestRowsDf(entries), anyNew = true, txn, schema)
+      return publishParquet(v, manifestRowsDf(entries), nonEmpty = true, txn, schema)
     val body = (headerLine(txn, schema, parquetEntries = false) +:
       entries.sortBy(e => (e.minKey, e.path))
         // runtime entries carry absolute paths; the manifest ROW is
@@ -351,6 +386,12 @@ final class SnapshotStore(
       .mkString("\n")
     val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
     Files.writeString(tmpM, body)
+    // a crashed publishParquet at this same version may have left a
+    // stale m{v}.parquet with no committed header; remove it before
+    // committing the TSV entry list so nothing can ever shadow it
+    // (manifest dispatch reads the header tag, this keeps disk clean)
+    if (Files.exists(manifestParquet(v)))
+      org.apache.commons.io.FileUtils.deleteDirectory(manifestParquet(v).toFile)
     Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     flipPointer(v)
@@ -370,10 +411,13 @@ final class SnapshotStore(
     * protocol is unchanged, and the commit order (data files →
     * manifest → header → pointer) keeps every crash point safe.
     */
-  private def publishParquet(v: Long, allEntries: DataFrame, anyNew: Boolean,
+  private def publishParquet(v: Long, allEntries: DataFrame, nonEmpty: Boolean,
                              txn: Option[Long],
                              schema: Option[org.apache.spark.sql.types.StructType]): Long = {
-    require(anyNew, "commit of an empty snapshot is not supported")
+    // same invariant as the TSV path: new ∪ carried must be nonEmpty —
+    // a carried-only commit (delete-heavy fold that empties the
+    // affected slice but leaves untouched files) is a legal version
+    require(nonEmpty, "commit of an empty snapshot is not supported")
     val target = manifestParquet(v)
     val tmp = manifestDir.resolve(s".m$v.parquet.tmp")
     allEntries.select(col("path"), col("rows"), col("minKey"), col("maxKey"),
@@ -469,7 +513,7 @@ final class SnapshotStore(
         // would trip publish's non-empty invariant); report no-version
         if (keyed.isEmpty) -1L
         else commit(init(keyed), txn)
-      case Some(cur) if Files.exists(manifestParquet(cur)) =>
+      case Some(cur) if entriesParquet(cur) =>
         mergeLarge(cur, keyed, fold, txn)
       case Some(cur) =>
         val v = cur + 1L
@@ -603,7 +647,9 @@ final class SnapshotStore(
     val newEntries = writeDataFiles(folded, v)
     publishParquet(v,
       carried.unionByName(manifestRowsDf(newEntries)),
-      anyNew = newEntries.nonEmpty, txn, Some(folded.schema))
+      // carried is nonEmpty iff some manifest file was NOT affected
+      nonEmpty = newEntries.nonEmpty || affectedPaths.length < ranges.length,
+      txn, Some(folded.schema))
   }
 
   /** Committed versions still readable (oldest first) — time travel
@@ -635,8 +681,8 @@ final class SnapshotStore(
     */
   def changes(vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"changes($vFrom, $vTo): vFrom must be <= vTo")
-    val fromM = manifest(vFrom)
-    val toM = manifest(vTo)
+    val fromM = manifestLite(vFrom)
+    val toM = manifestLite(vTo)
     val fromPaths = fromM.map(_.path).toSet
     val toPaths = toM.map(_.path).toSet
     val added = toM.filterNot(f => fromPaths(f.path)).map(_.path)
@@ -702,7 +748,7 @@ final class SnapshotStore(
               name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit))
             versions += name.stripPrefix("m").stripSuffix(".tsv").toLong
         }
-        versions.flatMap(manifest(_).map(e => normalizePath(e.path))).toSet
+        versions.flatMap(manifestLite(_).map(e => normalizePath(e.path))).toSet
       } finally ml.close()
     }
     val dataRoot = Paths.get(root, "data")

@@ -592,6 +592,67 @@ class StoreSpec extends AnyFunSuite {
     assert(store.readPoint("absent").count() == 0L)
   }
 
+  test("a crashed parquet publish never shadows a TSV commit at the same version") {
+    import spark.implicits._
+    // TSV-regime store (default threshold). Simulate a publishParquet
+    // that crashed between the parquet-dir move and the header write:
+    // a stale m1.parquet exists with a BOGUS entry list and no header.
+    val store = new SnapshotStore(spark, newRoot(), "k")
+    store.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
+    val stale = java.nio.file.Paths.get(s"${store.root}/_manifests/m1.parquet")
+    Seq(("data/v0/bogus.parquet", 1L, 0L, 999L, null: Array[Byte]))
+      .toDF("path", "rows", "minKey", "maxKey", "bloom")
+      .write.parquet(stale.toString)
+    // next commit lands v1 via the TSV path — the committed header
+    // (no entries=parquet tag) must win over the stale directory
+    store.mergeWith((0L until 10L).map(k => (k, k * 7)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    assert(store.currentVersion.contains(1L))
+    val m1 = store.manifest(1L)
+    assert(!m1.exists(_.path.contains("bogus")),
+      "stale crashed parquet entry list shadowed the committed TSV manifest")
+    assert(!java.nio.file.Files.exists(stale),
+      "TSV publish must clear the stale crashed m1.parquet")
+    assert(store.readVersion(1L).count() == 1000L)
+    assert(store.readRange(5L, 5L).select(col("a")).as[Long].head() == 35L)
+  }
+
+  test("delete-heavy fold commits a carried-only version on the parquet path") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", parquetManifestFrom = 2)
+    store.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
+    val before = store.manifest(0L)
+    val affected = store.plannedFiles(0L, 10L)
+    assert(affected.nonEmpty && affected.size < before.size)
+    // fold empties the affected slice entirely (a delete-heavy merge):
+    // the commit is CARRIED-ONLY and must still publish
+    val v = store.mergeWith((0L until 10L).map(k => (k, k * 7)).toDF("k", "a"),
+      identity[DataFrame], (b: DataFrame, _: DataFrame) => b.limit(0))
+    assert(v == 1L && store.currentVersion.contains(1L))
+    val after = store.manifest(1L)
+    assert(after.size == before.size - affected.size)
+    val beforePaths = before.map(_.path).toSet
+    assert(after.forall(e => beforePaths(e.path)), "carried-only version must reference v0 files")
+    assert(store.readVersion(1L).count() == 1000L - affected.map(_.rows).sum)
+  }
+
+  test("plain reads plan blobless: range planning never pulls Bloom blobs to the driver") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("grp"), parquetManifestFrom = 2)
+    store.commit((0L until 1000L).map(k => (k, s"g${k / 250}", k))
+      .toDF("k", "grp", "payload"))
+    // the blob-ful surface keeps its blobs (point planning needs them)
+    assert(store.manifest(0L).forall(_.bloom.isDefined))
+    // the plain-read planning surface is blobless by construction
+    assert(store.plannedFiles(0L, 999L).forall(_.bloom.isEmpty),
+      "range planning must use the blobless manifest variant")
+    // and reads through it stay exact
+    assert(store.readRange(0L, 249L).count() == 250L)
+    assertSameRows(store.readPoint("g1"),
+      store.read().get.filter(col("grp") === "g1"))
+  }
+
   test("bloom index stays exact across 20 CoW merge generations") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k",
