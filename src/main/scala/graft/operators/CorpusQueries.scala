@@ -1324,7 +1324,40 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C88: per-document unigram-entropy quality signal — the
+    * "gibberish / templated-text" detector corpus-filtering pipelines
+    * run next to C9's surface ratios: a document whose token
+    * distribution has abnormally LOW entropy is repeated boilerplate
+    * (one token dominates), abnormally HIGH entropy at short length
+    * is hash-like noise. Entropy in fixed-point eighth-bits via the
+    * C69 elog kernel: H8 = elog(T) − (Σ c_w·elog(c_w)) div T (exact
+    * integer identity of H = log2 T − (1/T)Σc·log2 c under the
+    * piecewise-linear log; truncating div, identical both engines).
+    * Output: docs histogrammed per (lang, whole-bit bucket) — the
+    * per-language entropy profile a threshold is calibrated on.
+    * Shape: explode → (doc, token) count → per-doc fold → bounded
+    * histogram; both shuffles carry 8-byte keys + counts, map-side
+    * combined, linear at any corpus size.
+    */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("t"),
+        sum(col("c") * expr(sparkElog("c"))).as("sl"))
+      .select(col("lang"),
+        (expr(sparkElog("t")) - expr("sl div t")).as("h8"))
+      .groupBy(col("lang"), expr("h8 div 8").as("h_bits"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("h_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_entropy"   -> (qTokenEntropy _),
     "q_feature_hash"    -> (qFeatureHash _),
     "q_dsir_weights"    -> (qDsirWeights _),
     "q_oov_rate"        -> (qOovRate _),
@@ -1406,7 +1439,7 @@ object CorpusQueries {
        |    ELSE shiftleft($c, 4 - length(bin($c))) END) - 8)""".stripMargin
 
   /** DuckDB twin of [[sparkElog]] (>>/<< instead of shiftright/left). */
-  private def duckElog(c: String): String =
+  private[graft] def duckElog(c: String): String =
     s"""(8 * (length(bin($c)) - 1)
        | + (CASE WHEN length(bin($c)) - 1 >= 3
        |    THEN $c >> (length(bin($c)) - 4)
@@ -1430,6 +1463,19 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_token_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tc AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM toks GROUP BY 1, 2, 3),
+         |d AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS t,
+         |        CAST(sum(c * ${duckElog("c")}) AS BIGINT) AS sl
+         |      FROM tc GROUP BY 1, 2),
+         |h AS (SELECT lang, ${duckElog("t")} - sl // t AS h8 FROM d)
+         |SELECT lang, CAST(h8 // 8 AS BIGINT) AS h_bits,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM h GROUP BY 1, 2 ORDER BY lang, h_bits""".stripMargin,
+
     "q_feature_hash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents)

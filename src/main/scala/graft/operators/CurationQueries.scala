@@ -585,7 +585,62 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** C86: l-diversity audit — the privacy check BEYOND C59's
+    * k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    * yet expose its members if the SENSITIVE attribute is uniform
+    * within it (homogeneity attack). Per QI group
+    * (nation, mktsegment): group size, count of DISTINCT sensitive
+    * values (account balance in $1000 buckets — integer truncating
+    * division, identical on both engines), and the violation flag
+    * against l = 5. One aggregate over the dimension-sized table;
+    * at 100 TB the QI-group count is bounded by the attribute
+    * domain, so the audit is one shuffle of group-sized partials.
+    */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("sb"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("grp_n"),
+        countDistinct(col("sb")).as("l_distinct"))
+      .withColumn("violates_l5",
+        when(col("l_distinct") < 5, 1L).otherwise(0L))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** C87: temporal split with an EMBARGO gap — the time-series ML
+    * split hygiene step: train is everything before the boundary,
+    * test starts only after a purge window (3 days) so that
+    * look-ahead leakage through windowed features (a trailing-3-day
+    * rolling feature computed at the first test day would read train
+    * rows) is structurally impossible. The boundary is data-derived
+    * (70% of the observed day span — exact integer arithmetic on
+    * day counts). Output: per-split row/user counts and date range.
+    * One pass + a broadcast two-value bound frame — linear at any
+    * scale.
+    */
+  def qEmbargoSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val bounds = broadcast(ev.agg(
+      min(col("d")).as("d_lo"), max(col("d")).as("d_hi")))
+    ev.crossJoin(bounds)
+      .withColumn("cut", expr(
+        "date_add(d_lo, cast((datediff(d_hi, d_lo) + 1) * 7 div 10 as int))"))
+      .withColumn("split",
+        when(col("d") < col("cut"), "train")
+          .when(col("d") < expr("date_add(cut, 3)"), "embargo")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        date_format(min(col("d")), "yyyy-MM-dd").as("min_d"),
+        date_format(max(col("d")), "yyyy-MM-dd").as("max_d"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_diversity"   -> (qLDiversity _),
+    "q_embargo_split" -> (qEmbargoSplit _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_split_drift"     -> (qSplitDrift _),
     "q_split_leakage"   -> (qSplitLeakage _),
@@ -609,6 +664,34 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS grp_n,
+        | CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+        |   AS BIGINT) AS l_distinct,
+        | CAST(CASE WHEN count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) < 5
+        |   THEN 1 ELSE 0 END AS BIGINT) AS violates_l5
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_embargo_split" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT min(d) AS d_lo, max(d) AS d_hi FROM ev),
+        |lab AS (SELECT user_id, d,
+        |    d_lo + CAST((date_diff('day', d_lo, d_hi) + 1) * 7 // 10 AS INTEGER) AS cut
+        |  FROM ev, b),
+        |s AS (SELECT user_id, d,
+        |        CASE WHEN d < cut THEN 'train'
+        |             WHEN d < cut + 3 THEN 'embargo'
+        |             ELSE 'test' END AS split
+        |      FROM lab)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  strftime(min(d), '%Y-%m-%d') AS min_d,
+        |  strftime(max(d), '%Y-%m-%d') AS max_d
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
     // md5 slot hash replayed exactly: 14 hex chars -> 56-bit int via
     // the '0x' cast; % on non-negative operands matches Spark pmod
     "q_negative_sample" ->

@@ -270,7 +270,82 @@ object DiagnosticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** G9: two-sample Kolmogorov–Smirnov drift per source — the
+    * distribution-shape complement of G8's moment drift: each
+    * document source's length (n_chars) ECDF is compared against the
+    * REST of the corpus, D = max_v |F_s(v) − F_rest(v)|, reported in
+    * exact ppm via integer cross-multiplication
+    * (|cum_s·n_rest − cum_rest·n_s| needs no division until the final
+    * scaled one). The evaluation grid is distinct-values × sources —
+    * bounded by the value DOMAIN (doc-length range) times the source
+    * count, never by corpus size — so the only fact-sized work is the
+    * (source, value) count aggregate; everything after runs on the
+    * grid. The ingest-governance use: a source whose length
+    * distribution drifts from the corpus (truncation bug, boilerplate
+    * injection) fires here even when its mean stays flat.
+    */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("source"), col("n_chars"))
+    val cnts = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val vals = docs.select(col("n_chars")).distinct()
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = broadcast(docs.agg(count(lit(1)).as("n_tot")))
+    val gcum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per-value global counts, cumulated over the bounded value grid
+    val globalCum = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(gcum)).drop("g")
+    val scum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vals.crossJoin(broadcast(bySrc))
+      .join(cnts, Seq("source", "n_chars"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(scum))
+      .join(broadcast(globalCum), Seq("n_chars"))
+      .crossJoin(tot)
+      .select(col("source"), col("n_s"), (col("n_tot") - col("n_s")).as("n_rest"),
+        abs(col("cum_s") * (col("n_tot") - col("n_s")) -
+          (col("cum_g") - col("cum_s")) * col("n_s")).as("d_num"))
+      .groupBy(col("source"), col("n_s"), col("n_rest"))
+      .agg(max(col("d_num")).as("d_max"))
+      .select(col("source"), col("n_s"), col("n_rest"),
+        expr("d_max * 1000000 div (n_s * n_rest)").as("ks_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** G10: mutual information between a categorical and a bucketed
+    * numeric column (event_type × $25 value bucket) — the feature-
+    * relevance statistic a feature-selection pass computes per
+    * candidate column pair. Per-cell pointwise contribution in
+    * fixed-point eighth-bits: lift_e8 = elog(n_xy·N) − elog(n_x·n_y)
+    * ≈ 8·log2(P(x,y)/(P(x)P(y))) — pure integer arithmetic (the C69
+    * elog kernel), so both engines agree bit-exactly; MI itself is
+    * Σ n_xy·lift_e8 / (8N) bits, recoverable from the emitted cells.
+    * Shape: one fact-sized (x, bucket) count, two grid-sized marginal
+    * aggregates joined back broadcast — cells are bounded by
+    * |types| × |buckets|, never corpus size.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusQueries.sparkElog
+    val ev = Tables(spark, dir).events.select(col("event_type"),
+      expr("cast(round(value * 100) as bigint) div 2500").as("vbucket"))
+    val cells = ev.groupBy(col("event_type"), col("vbucket"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("vbucket")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = broadcast(cells.agg(sum(col("n_xy")).as("n_tot")))
+    cells.join(broadcast(mx), Seq("event_type"))
+      .join(broadcast(my), Seq("vbucket"))
+      .crossJoin(tot)
+      .withColumn("pnum", col("n_xy") * col("n_tot"))
+      .withColumn("pden", col("n_x") * col("n_y"))
+      .select(col("event_type"), col("vbucket"), col("n_xy"),
+        (expr(sparkElog("pnum")) - expr(sparkElog("pden"))).as("lift_e8"))
+      .orderBy(col("event_type"), col("vbucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift"       -> (qKsDrift _),
+    "q_mutual_info"    -> (qMutualInfo _),
     "q_stats_drift"    -> (qStatsDrift _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_key_skew"       -> (qKeySkew _),
@@ -281,6 +356,46 @@ object DiagnosticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |cnts AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT n_chars FROM d),
+        |bysrc AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM d),
+        |gcum AS (SELECT n_chars, CAST(sum(count(*)) OVER (ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+        |         FROM d GROUP BY n_chars),
+        |grid AS (SELECT b.source, b.n_s, v.n_chars,
+        |           CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY b.source
+        |             ORDER BY v.n_chars
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+        |         FROM vals v CROSS JOIN bysrc b
+        |           LEFT JOIN cnts c ON c.source = b.source AND c.n_chars = v.n_chars)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+        |  CAST(n_tot - n_s AS BIGINT) AS n_rest,
+        |  CAST(max(abs(cum_s * (n_tot - n_s) - (cum_g - cum_s) * n_s))
+        |    * 1000000 // (n_s * (n_tot - n_s)) AS BIGINT) AS ks_ppm
+        |FROM grid JOIN gcum USING (n_chars), tot
+        |GROUP BY source, n_s, n_tot
+        |ORDER BY source""".stripMargin,
+
+    "q_mutual_info" -> {
+      import graft.operators.CorpusQueries.duckElog
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) // 2500 AS vbucket FROM events),
+         |cells AS (SELECT event_type, vbucket, CAST(count(*) AS BIGINT) AS n_xy
+         |          FROM ev GROUP BY 1, 2),
+         |mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+         |my AS (SELECT vbucket, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_tot FROM cells),
+         |j AS (SELECT event_type, vbucket, n_xy,
+         |        n_xy * n_tot AS pnum, n_x * n_y AS pden
+         |      FROM cells JOIN mx USING (event_type) JOIN my USING (vbucket), tot)
+         |SELECT event_type, vbucket, n_xy,
+         |  CAST(${duckElog("pnum")} - ${duckElog("pden")} AS BIGINT) AS lift_e8
+         |FROM j ORDER BY event_type, vbucket""".stripMargin
+    },
+
     "q_stats_drift" ->
       """WITH ev AS (SELECT event_type, user_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us

@@ -596,7 +596,40 @@ object TimeSeriesQueries {
       .orderBy(col("k"))
   }
 
+  /** F18: Theil–Sen robust trend — per event_type, the MEDIAN of all
+    * pairwise day-slopes of the daily value series (the
+    * outlier-immune alternative to an OLS slope: one corrupted day
+    * moves OLS arbitrarily, but shifts the pairwise-slope median by
+    * at most one rank). Slopes are fixed-point cents-per-day ×10⁴
+    * (integer div, truncation identical on both engines — the C73
+    * rule), and the median is the LOWER median picked by rank so no
+    * fractional midpoint appears. The pair self-join runs WITHIN each
+    * group over the daily aggregate — a calendar-bounded frame
+    * (≤ days² pairs per type, independent of fact cardinality), so
+    * the only fact-sized work is the first day groupBy; the rank
+    * window partitions by event_type over those bounded pair sets.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("v").as("v1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"), col("v").as("v2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        expr("(v2 - v1) * 10000 div datediff(d2, d1)").as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s"))
+    val wn = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("event_type"), col("n").as("n_pairs"), col("s").as("slope_fp"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen"          -> (qTheilSen _),
     "q_acf"                -> (qAcf _),
     "q_survival"           -> (qSurvival _),
     "q_burst_detect"       -> (qBurstDetect _),
@@ -619,6 +652,22 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        (b.v - a.v) * 10000 // date_diff('day', a.d, b.d) AS s
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, s,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM p)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS slope_fp
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
     // positional lags replay as a rank self-join (lead(expr, k) needs
     // a constant k in SQL); HUGEINT carries the dev products
     "q_acf" ->

@@ -42,6 +42,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_burst_detect"   -> Set("", "cnt,d", "d"), // day-count frames (F15)
       "q_survival"       -> Set("t"),           // <=31-row lifetime frame (F16)
       "q_acf"            -> Set("d"),           // day calendar (F17)
+      // global-ECDF cumsum over the DISTINCT doc-length grid —
+      // bounded by the value domain (~hundreds of lengths), never
+      // corpus size (G9)
+      "q_ks_drift"       -> Set("n_chars"),
       "q_revenue_share"  -> Set(""))            // 25-row nation frame
     val found = scala.collection.mutable.Map
       .empty[String, Set[String]].withDefaultValue(Set.empty)
