@@ -64,7 +64,7 @@ object SparkEntry {
     "q_stream_session", "q_stream_window", "q_stream_ingest",
     "q_stream_sketch", "q_stream_join", "q_stream_hll",
     "q_stream_session_tws", "q_stream_rate_limit", "q_stream_decontaminate",
-    "q_stream_sync_log", "q_stream_coverage",
+    "q_stream_sync_log", "q_stream_coverage", "q_stream_drift",
     "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
     "q_tokenizer_fertility",
@@ -85,7 +85,9 @@ object SparkEntry {
     // DerivedTable generations land eagerly at construction
     "q_schema_evolution",
     // iterative TextRank fixpoint (per-round materialization)
-    "q_textrank")
+    "q_textrank",
+    // iterative BFS rounds (seed scalar + per-round checkpoints)
+    "q_bfs_levels")
 
   // ---------------------------------------------------------------- B block
 

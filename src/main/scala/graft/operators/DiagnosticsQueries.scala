@@ -312,6 +312,30 @@ object DiagnosticsQueries {
       .orderBy(col("source"))
   }
 
+  /** The reusable two-sample KS kernel behind G9 and the A34
+    * streaming drift monitor: `a` and `b` are per-value count frames
+    * (v: long, c: long); returns ONE row (n_a, n_b, ks_ppm) with
+    * D in exact ppm by the same integer cross-multiplication as
+    * [[qKsDrift]]. The grid is the union of both samples' distinct
+    * values — bounded by the value domain; the cumsum window runs
+    * over that bounded grid.
+    */
+  def ksStat(a: DataFrame, b: DataFrame): DataFrame = {
+    val g = a.select(col("v"), col("c").as("ca"))
+      .join(b.select(col("v"), col("c").as("cb")), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = broadcast(g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(tot)
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("dn"))
+      .groupBy(col("n_a"), col("n_b")).agg(max(col("dn")).as("d"))
+      .select(col("n_a"), col("n_b"),
+        expr("d * 1000000 div (n_a * n_b)").as("ks_ppm"))
+  }
+
   /** G10: mutual information between a categorical and a bucketed
     * numeric column (event_type × $25 value bucket) — the feature-
     * relevance statistic a feature-selection pass computes per
@@ -356,6 +380,40 @@ object DiagnosticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the A34 streamed drift monitor (DriftMonitorStream, query
+    // registered in StreamQueries) must equal the batch KS of each
+    // cumulative arrival prefix vs the frozen src0-4 reference —
+    // batch 0 = odd doc_ids, batch 1 = everything
+    "q_stream_drift" ->
+      """WITH ref AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+        |  GROUP BY 1),
+        |bids AS (SELECT * FROM (VALUES (0), (1)) t(batch_id)),
+        |cum AS (SELECT batch_id, n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+        |        FROM bids, documents WHERE batch_id = 1 OR doc_id % 2 = 1
+        |        GROUP BY 1, 2),
+        |vals AS (SELECT v FROM cum UNION SELECT v FROM ref),
+        |grid AS (SELECT b.batch_id, va.v,
+        |           coalesce(c.ca, 0) AS ca, coalesce(r.c, 0) AS cb
+        |         FROM bids b CROSS JOIN (SELECT DISTINCT v FROM vals) va
+        |           LEFT JOIN cum c ON c.batch_id = b.batch_id AND c.v = va.v
+        |           LEFT JOIN ref r ON r.v = va.v),
+        |cs AS (SELECT batch_id, v, ca, cb,
+        |         CAST(sum(ca) OVER (PARTITION BY batch_id ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |         CAST(sum(cb) OVER (PARTITION BY batch_id ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |       FROM grid),
+        |tot AS (SELECT batch_id, max(cum_a) AS n_a, max(cum_b) AS n_b
+        |        FROM cs GROUP BY 1)
+        |SELECT CAST(t.batch_id AS BIGINT) AS batch_id,
+        |  CAST(n_a AS BIGINT) AS n_cum, CAST(n_b AS BIGINT) AS n_ref,
+        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+        |    // (n_a * n_b) AS BIGINT) AS ks_ppm
+        |FROM cs JOIN tot t USING (batch_id)
+        |GROUP BY t.batch_id, n_a, n_b
+        |ORDER BY batch_id""".stripMargin,
+
     "q_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         |cnts AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),

@@ -871,7 +871,42 @@ object StreamQueries {
       .orderBy(col("d"), col("event_type"))
   }
 
+  /** A34 DriftMonitorStream under the gate: documents arrive in two
+    * batches (doc_id parity split); the frozen reference is the
+    * length distribution of sources src0–src4. After each batch the
+    * monitor logs the two-sample KS of the CUMULATIVE arrived
+    * distribution vs the reference — the gate frame is that drift
+    * log, and the oracle replays both cumulative prefixes (batch 0 =
+    * odd doc_ids, batch 1 = all) through the same
+    * integer-cross-multiplied D. Checks end-to-end: the additive
+    * count fold, the replay-deterministic log upsert, and the KS
+    * kernel's exactness on the streamed path.
+    */
+  def qStreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val inDir = tmp("gq-drift-in")
+    val storeDir = tmp("gq-drift-store")
+    val ckpt = tmp("gq-drift-ckpt")
+    val ref = docs
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("n_chars").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = graft.streaming.DriftMonitorStream.start(
+      spark, inDir + "/*/", inDir + "/batch0", ref, storeDir, ckpt)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.DriftMonitorStream.readLog(spark, storeDir).get
+      .select(col("batch_id"), col("n_cum"), col("n_ref"), col("ks_ppm"))
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_drift"        -> (qStreamDrift _),
     "q_stream_late"         -> (qStreamLate _),
     "q_stream_backfill"     -> (qStreamBackfill _),
     "q_stream_quality_gate" -> (qStreamQualityGate _),

@@ -131,6 +131,25 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("E22: BFS levels alternate bipartite sides and never exceed the node universe") {
+    val lv = AnalyticsQueries.qBfsLevels(spark, sf).collect()
+    assert(lv.nonEmpty && lv.head.getAs[Long]("lvl") === 0L)
+    lv.foreach { r =>
+      val (l, p, s) = (r.getAs[Long]("lvl"), r.getAs[Long]("n_parts"),
+        r.getAs[Long]("n_supps"))
+      // bipartite: even levels are parts only, odd levels suppliers only
+      if (l % 2 == 0) assert(s === 0L, s"level $l has suppliers")
+      else assert(p === 0L, s"level $l has parts")
+    }
+    // seed level is exactly one part; discovered set bounded by universe
+    assert(lv.head.getAs[Long]("n_parts") === 1L)
+    val li = graft.sources.Tables(spark, sf).lineitem
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    val nSupps = li.select(col("l_suppkey")).distinct().count()
+    assert(lv.map(_.getAs[Long]("n_parts")).sum <= nParts)
+    assert(lv.map(_.getAs[Long]("n_supps")).sum <= nSupps)
+  }
+
   test("C88: entropy histogram tiles the corpus; a one-token doc reads 0 bits") {
     val hist = CorpusQueries.qTokenEntropy(spark, sf).collect()
     val nDocs = graft.sources.Tables(spark, sf).documents.count()
