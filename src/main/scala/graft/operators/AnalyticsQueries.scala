@@ -874,7 +874,45 @@ object AnalyticsQueries {
     }.toDF("lvl", "n_parts", "n_supps")
   }
 
+  /** E23: degree assortativity of the co-purchase graph — do hub
+    * products co-occur with other hubs (assortative, num > 0) or
+    * with the long tail (disassortative, num < 0)? The Pearson
+    * moments of (deg(u), deg(v)) over both edge orientations,
+    * reported as EXACT integers (decimal(38,0)/HUGEINT — a float
+    * corr would hash-drift) plus the signed squared correlation in
+    * ppm: sign(num)·num²·10⁶ div (den_x·den_y), which carries the
+    * correlation's full information without an irrational sqrt.
+    * Shape: one degree aggregate over the landed pair table + two
+    * broadcast degree joins + a single one-row moment aggregate —
+    * pair-table-sized, map-side combined.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val both = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    both
+      .join(broadcast(deg.select(col("w").as("u"), col("deg").as("dx"))), Seq("u"))
+      .join(broadcast(deg.select(col("w").as("v"), col("deg").as("dy"))), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+      .select(col("m"),
+        (dec(col("m")) * col("sxy") - dec(col("sx")) * dec(col("sy"))).as("num"),
+        (dec(col("m")) * col("sxx") - dec(col("sx")) * dec(col("sx"))).as("den_x"),
+        (dec(col("m")) * col("syy") - dec(col("sy")) * dec(col("sy"))).as("den_y"))
+      .select(col("m"), col("num"), col("den_x"), col("den_y"),
+        expr("cast(sign(num) as bigint) * " +
+          "cast((num * num * 1000000) div (den_x * den_y) as bigint)")
+          .as("corr2_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity"   -> (qAssortativity _),
     "q_bfs_levels"      -> (qBfsLevels _),
     "q_bootstrap_ci"     -> (qBootstrapCi _),
     "q_communities"      -> (qCommunities _),
@@ -915,6 +953,34 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |e AS (SELECT p1 AS u, p2 AS v FROM p WHERE support >= 2),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS w FROM e UNION ALL SELECT v FROM e) GROUP BY w),
+        |x AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |j AS (SELECT du.deg AS dx, dv.deg AS dy
+        |      FROM x JOIN deg du ON du.w = x.u JOIN deg dv ON dv.w = x.v),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |        sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+        |        sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+        |        sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+        |      FROM j),
+        |mo AS (SELECT m,
+        |        CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+        |        CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den_x,
+        |        CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS den_y
+        |      FROM s)
+        |SELECT m, num, den_x, den_y,
+        |  CAST(sign(num) AS BIGINT)
+        |    * CAST((num * num * 1000000) // (den_x * den_y) AS BIGINT) AS corr2_ppm
+        |FROM mo""".stripMargin,
+
     "q_bfs_levels" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),

@@ -628,7 +628,44 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** F20: robust STL-style decomposition of daily revenue into
+    * trend + seasonal + residual — the series triage step before any
+    * anomaly rule (F2/G6 flag deviations; this explains WHAT they
+    * deviate from). Robust and integer-exact throughout: trend is
+    * the centered 7-day windowed MEDIAN (lower median of the sorted
+    * window list — medians, not means, so one spiked day never leaks
+    * into its neighbours' trend), seasonal is the per-day-of-week
+    * lower median of the detrended series (rank-picked, the G4
+    * discipline; epoch-anchored dow — no engine dow() numbering),
+    * residual the exact difference. Every window runs over the
+    * calendar-bounded day frame; the only fact-sized work is the
+    * day groupBy.
+    */
+  def qStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val wt = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("tl", collect_list(col("r")).over(wt))
+      .withColumn("trend",
+        expr("element_at(array_sort(tl), cast((size(tl) + 1) div 2 as int))"))
+      .withColumn("detr", col("r") - col("trend"))
+      .withColumn("dow",
+        pmod(datediff(col("d"), to_date(lit("1970-01-05"))), lit(7)).cast("long"))
+    val wd = Window.partitionBy(col("dow")).orderBy(col("detr"))
+    val wdn = Window.partitionBy(col("dow"))
+    val seas = trended
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wdn))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("dow"), col("detr").as("seasonal"))
+    trended.join(broadcast(seas), Seq("dow"))
+      .select(col("d"), col("r").as("revenue_cents"), col("trend"),
+        col("seasonal"), (col("detr") - col("seasonal")).as("residual"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_decompose"      -> (qStlDecompose _),
     "q_theil_sen"          -> (qTheilSen _),
     "q_acf"                -> (qAcf _),
     "q_survival"           -> (qSurvival _),
@@ -652,6 +689,25 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT d, r, list_sort(list(r) OVER (ORDER BY d
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS tl FROM daily),
+        |tr AS (SELECT d, r, tl[(len(tl) + 1) // 2] AS trend FROM t),
+        |de AS (SELECT d, r, trend, r - trend AS detr,
+        |        ((date_diff('day', DATE '1970-01-05', d) % 7) + 7) % 7 AS dow
+        |       FROM tr),
+        |rk AS (SELECT dow, detr,
+        |        row_number() OVER (PARTITION BY dow ORDER BY detr) AS rn,
+        |        count(*) OVER (PARTITION BY dow) AS n FROM de),
+        |se AS (SELECT dow, detr AS seasonal FROM rk WHERE rn = (n + 1) // 2)
+        |SELECT d, de.r AS revenue_cents, CAST(trend AS BIGINT) AS trend,
+        |  CAST(seasonal AS BIGINT) AS seasonal,
+        |  CAST(detr - seasonal AS BIGINT) AS residual
+        |FROM de JOIN se USING (dow) ORDER BY d""".stripMargin,
+
     "q_theil_sen" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v

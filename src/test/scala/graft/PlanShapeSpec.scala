@@ -42,6 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_burst_detect"   -> Set("", "cnt,d", "d"), // day-count frames (F15)
       "q_survival"       -> Set("t"),           // <=31-row lifetime frame (F16)
       "q_acf"            -> Set("d"),           // day calendar (F17)
+      "q_stl_decompose"  -> Set("d"),           // day calendar (F20)
       // global-ECDF cumsum over the DISTINCT doc-length grid —
       // bounded by the value domain (~hundreds of lengths), never
       // corpus size (G9)

@@ -150,6 +150,39 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(lv.map(_.getAs[Long]("n_supps")).sum <= nSupps)
   }
 
+  test("F20: STL components reconstruct the series exactly; trend is spike-immune") {
+    val stl = TimeSeriesQueries.qStlDecompose(spark, sf).collect()
+    assert(stl.nonEmpty)
+    // exact reconstruction: r = trend + seasonal + residual, per row
+    stl.foreach { r =>
+      assert(r.getAs[Long]("revenue_cents") ===
+        r.getAs[Long]("trend") + r.getAs[Long]("seasonal") +
+          r.getAs[Long]("residual"))
+    }
+    // robustness: the windowed MEDIAN trend of a locally-spiked
+    // series equals the unspiked trend away from the spike's window
+    val vals = stl.map(_.getAs[Long]("revenue_cents"))
+    def trendOf(v: Array[Long]): Array[Long] = v.indices.map { i =>
+      val w = v.slice(math.max(0, i - 3), math.min(v.length, i + 4)).sorted
+      w((w.length + 1) / 2 - 1)
+    }.toArray
+    val spiked = vals.updated(vals.length / 2, vals(vals.length / 2) * 1000L)
+    val (t0, t1) = (trendOf(vals), trendOf(spiked))
+    val changed = t0.indices.count(i => t0(i) != t1(i))
+    assert(changed <= 7, s"a single spike moved $changed trend points (window is 7)")
+  }
+
+  test("E23: assortativity moments are symmetric and corr2 is a valid ppm") {
+    val r = AnalyticsQueries.qAssortativity(spark, sf).collect()(0)
+    val m = r.getAs[Long]("m")
+    assert(m > 0L && m % 2 == 0L, "both orientations of every edge")
+    // symmetry of the doubled edge list: den_x == den_y
+    assert(r.getAs[java.math.BigDecimal]("den_x") ===
+      r.getAs[java.math.BigDecimal]("den_y"))
+    val c2 = r.getAs[Long]("corr2_ppm")
+    assert(c2 >= -1000000L && c2 <= 1000000L, s"corr2_ppm $c2 out of range")
+  }
+
   test("C88: entropy histogram tiles the corpus; a one-token doc reads 0 bits") {
     val hist = CorpusQueries.qTokenEntropy(spark, sf).collect()
     val nDocs = graft.sources.Tables(spark, sf).documents.count()
