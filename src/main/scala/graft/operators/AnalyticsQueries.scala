@@ -911,7 +911,43 @@ object AnalyticsQueries {
           .as("corr2_ppm"))
   }
 
+  /** E24: local clustering coefficient on the co-purchase graph —
+    * per-node "are my neighbours each other's neighbours",
+    * cc_ppm = 2·tri(v)·10⁶ div (deg(v)·(deg(v)−1)): the community-
+    * cohesion score next to E4's global triangle count and E18's
+    * label propagation. Triangles enumerate once through the ordered
+    * (a<b<c) two-join wedge close over the landed pair table (each
+    * triangle found exactly once, then credited to all three
+    * corners) — the join keys are node ids, the wedge mass is
+    * degree-bounded, nothing is corpus-sized. Reported for nodes
+    * with deg ≥ 10, top-30 by (deg, node) — a bounded, fully
+    * deterministic report.
+    */
+  def qClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // ordered triangle enumeration: edges already satisfy u < v, so
+    // (a,b) ⋈ (b,c) ⋈ (a,c) finds each triangle once with a < b < c
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a"), col("v").as("c"))
+    val tris = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .filter(col("deg") >= 10)
+      .withColumn("cc_ppm", expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clustering_coef" -> (qClusteringCoef _),
     "q_assortativity"   -> (qAssortativity _),
     "q_bfs_levels"      -> (qBfsLevels _),
     "q_bootstrap_ci"     -> (qBootstrapCi _),
@@ -953,6 +989,28 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_clustering_coef" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |e AS (SELECT p1 AS u, p2 AS v FROM p WHERE support >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM
+        |       (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |        UNION ALL SELECT c FROM t) GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(tn.tri, 0) AS tri,
+        |  CAST((2 * coalesce(tn.tri, 0) * 1000000)
+        |    // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN tn USING (node)
+        |WHERE d.deg >= 10
+        |ORDER BY d.deg DESC, d.node LIMIT 30""".stripMargin,
+
     "q_assortativity" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support

@@ -664,7 +664,41 @@ object TimeSeriesQueries {
       .orderBy(col("d"))
   }
 
+  /** F21: time-weighted average value (TWAP) per (event_type, day) —
+    * the duration-weighted mean a plain AVG misstates whenever
+    * observation density correlates with level (bursts of cheap
+    * events drag a row-mean down; TWAP weights each value by how
+    * long it REMAINED current). Weight = µs until the next same-day
+    * event of the type (the day's last observation carries no
+    * within-day duration and is excluded); twap_milli =
+    * (Σ cents·dur)·1000 div Σ dur, products in decimal(38,0) —
+    * exact. The lead() window partitions by (event_type, day):
+    * calendar-bounded partitions, so the sort parallelizes across
+    * type×day slices at any scale (never one partition per type).
+    */
+  def qTwap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ev.withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur", col("next_us") - col("us"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_weighted"),
+        sum(col("dur")).as("sum_dur_us"),
+        sum(dec(col("cents")) * dec(col("dur"))).as("swv"))
+      .filter(col("sum_dur_us") > 0)
+      .select(col("event_type"), col("d"), col("n_weighted"), col("sum_dur_us"),
+        expr("cast((swv * 1000) div sum_dur_us as bigint)").as("twap_milli"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap"               -> (qTwap _),
     "q_stl_decompose"      -> (qStlDecompose _),
     "q_theil_sen"          -> (qTheilSen _),
     "q_acf"                -> (qAcf _),
@@ -689,6 +723,24 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    epoch_us(cast(ts AS timestamp)) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |ld AS (SELECT event_type, d, cents,
+        |        lead(us) OVER (PARTITION BY event_type, d
+        |          ORDER BY us, event_id) - us AS dur
+        |       FROM ev)
+        |SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_weighted,
+        |  CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+        |  CAST((sum(CAST(cents AS HUGEINT) * CAST(dur AS HUGEINT)) * 1000)
+        |    // sum(dur) AS BIGINT) AS twap_milli
+        |FROM ld WHERE dur IS NOT NULL
+        |GROUP BY event_type, d
+        |HAVING sum(dur) > 0
+        |ORDER BY event_type, d""".stripMargin,
+
     "q_stl_decompose" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r

@@ -183,6 +183,44 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(c2 >= -1000000L && c2 <= 1000000L, s"corr2_ppm $c2 out of range")
   }
 
+  test("F21: TWAP is bounded by the day's value range and weights durations") {
+    import org.apache.spark.sql.expressions.Window
+    val tw = TimeSeriesQueries.qTwap(spark, sf).collect()
+    assert(tw.nonEmpty)
+    // twap lies within [min, max] cents of the contributing rows
+    val ev = graft.sources.Tables(spark, sf).events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    val rng = ev.withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col("event_type"), col("d"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    tw.foreach { r =>
+      val (lo, hi) = rng((r.getString(0), r.getDate(1).toString))
+      val t = r.getAs[Long]("twap_milli")
+      assert(t >= lo * 1000 - 1000 && t <= hi * 1000 + 1000,
+        s"twap $t outside day range [$lo, $hi] cents")
+    }
+  }
+
+  test("E24: clustering coefficient is a valid ppm and zero-triangle nodes read 0") {
+    val cc = AnalyticsQueries.qClusteringCoef(spark, sf).collect()
+    cc.foreach { r =>
+      val (d, t, c) = (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+        r.getAs[Long]("cc_ppm"))
+      assert(d >= 10L)
+      assert(c >= 0L && c <= 1000000L, s"cc_ppm $c out of [0, 1e6]")
+      assert(2 * t <= d * (d - 1), "more triangles than neighbour pairs")
+      if (t == 0L) assert(c === 0L)
+    }
+  }
+
   test("C88: entropy histogram tiles the corpus; a one-token doc reads 0 bits") {
     val hist = CorpusQueries.qTokenEntropy(spark, sf).collect()
     val nDocs = graft.sources.Tables(spark, sf).documents.count()
