@@ -68,6 +68,21 @@ object InterchangeQueries {
   /** D7: ORC round-trip — native columnar interchange; types
     * (timestamp micros, doubles, strings) survive in-format, the
     * pinned read schema rejects drift at plan time. */
+  /** D9: Avro round-trip — the row-oriented interchange format of
+    * the Kafka world (the reference's change records are the classic
+    * Avro payload [ref: KafkaManager.scala:39-77]); timestamps ride
+    * the timestamp-micros logical type so the trip is µs-exact, and
+    * the same checksum audit as D6/D7 gates it.
+    */
+  def qAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val back = DerivedTable.readOrBuildAs(spark, "rt-avro", dir,
+      Seq("events"), "v1")(
+      tmp => Writers.writeAvro(ev, tmp))(
+      root => Writers.readAvro(spark, ev.schema, root))
+    auditAgg(back)
+  }
+
   def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val back = DerivedTable.readOrBuildAs(spark, "rt-orc", dir,
@@ -248,6 +263,7 @@ object InterchangeQueries {
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
+    "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_partitioned_scan" -> (qPartitionedScan _),
     "q_bucketed_join"  -> (qBucketedJoin _),
     "q_csv_quarantine" -> (qCsvQuarantine _),
@@ -281,6 +297,7 @@ object InterchangeQueries {
     "q_csv_roundtrip"  -> auditSql,
     "q_json_roundtrip" -> auditSql,
     "q_orc_roundtrip"  -> auditSql,
+    "q_avro_roundtrip" -> auditSql,
 
     "q_partitioned_scan" ->
       """SELECT strftime(cast(ts as timestamp), '%Y-%m-%d') AS event_date,

@@ -82,6 +82,27 @@ object Writers {
               path: String): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Avro interchange — the row-oriented exchange format of the
+    * streaming world (the reference's Kafka payloads are the classic
+    * Avro habitat). Spark's built-in `avro` source maps TimestampType
+    * to the timestamp-micros logical type, so the round-trip is
+    * µs-exact. Schema pinned on read for the same plan-time-rejection
+    * property as ORC/CSV/JSON. */
+  // the short name "avro" resolves through the jar's
+  // META-INF/services registration, which the unmanaged-classpath
+  // build does not surface to the ServiceLoader — the fully-qualified
+  // provider class is the documented fallback and hits the exact
+  // same FileFormat
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroProvider).save(path)
+
+  def readAvro(spark: org.apache.spark.sql.SparkSession,
+               schema: org.apache.spark.sql.types.StructType,
+               path: String): DataFrame =
+    spark.read.schema(schema).format(AvroProvider).load(path)
+
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", TsFmt)
