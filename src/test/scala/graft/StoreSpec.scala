@@ -653,6 +653,39 @@ class StoreSpec extends AnyFunSuite {
       store.read().get.filter(col("grp") === "g1"))
   }
 
+  test("a store shrinking below the parquet threshold transitions back to TSV manifests") {
+    import spark.implicits._
+    // filesPerCommit 8 > threshold 6 => v0 lands parquet; optimize()
+    // would still publish 8 files, so shrink via a full commit at a
+    // 4-file clustering: 4 <= 6 => v1 lands TSV while m0.parquet
+    // exists — the cross-format version chain the header-tag
+    // dispatch (r11 ADVICE) must serve correctly on BOTH sides
+    val root = newRoot()
+    val big = new SnapshotStore(spark, root, "k",
+      filesPerCommit = 8, parquetManifestFrom = 6)
+    big.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifests/m0.parquet")),
+      "v0 must land as a parquet manifest (8 files > threshold 6)")
+    val small = new SnapshotStore(spark, root, "k",
+      filesPerCommit = 4, parquetManifestFrom = 6)
+    small.commit(small.readVersion(0L))
+    assert(small.currentVersion.contains(1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifests/m1.parquet")),
+      "v1 (4 files <= threshold) must land as a TSV manifest")
+    assert(small.manifest(1L).size == 4)
+    // both formats readable in the same retained chain
+    assert(small.readVersion(0L).count() == 1000L)
+    assert(small.readVersion(1L).count() == 1000L)
+    assertSameRows(small.readVersion(0L), small.readVersion(1L))
+    // and a merge against the TSV head keeps working
+    small.mergeWith((0L until 10L).map(k => (k, k * 9)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    assert(small.readRange(5L, 5L).select(col("a")).as[Long].head() == 45L)
+    assert(small.read().get.count() == 1000L)
+  }
+
   test("bloom index stays exact across 20 CoW merge generations") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k",
