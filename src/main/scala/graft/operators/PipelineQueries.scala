@@ -407,6 +407,27 @@ object PipelineQueries {
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
+  /** C8b: language-ID confusion matrix — the classifier-calibration
+    * report a curation pipeline publishes next to the C8 predictions:
+    * cross-tab of the heuristic's prediction vs the corpus's declared
+    * label, with each cell's share of its labeled row in exact ppm
+    * (the per-language recall diagonal and the specific
+    * confusion/und-fallback mass off it — what decides whether the
+    * marker lexicon needs widening before the filter is trusted).
+    * One fact-sized aggregate over the C8 kernel + a label-bounded
+    * row-total broadcast.
+    */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = TextAnalysis.langId(Tables(spark, dir).documents)
+      .groupBy(col("lang_labeled"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rows = cells.groupBy(col("lang_labeled")).agg(sum(col("n_docs")).as("n_label"))
+    cells.join(broadcast(rows), Seq("lang_labeled"))
+      .select(col("lang_labeled"), col("lang_pred"), col("n_docs"), col("n_label"),
+        expr("n_docs * 1000000 div n_label").as("share_ppm"))
+      .orderBy(col("lang_labeled"), col("lang_pred"))
+  }
+
   /** C9 */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(Tables(spark, dir).documents).orderBy(col("doc_id"))
@@ -728,6 +749,7 @@ object PipelineQueries {
     "q_semantic_dedup"  -> (qSemanticDedup _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_text_langid"     -> (qTextLangid _),
+    "q_lang_confusion"  -> (qLangConfusion _),
     "q_text_quality"    -> (qTextQuality _),
     "q_text_tokens"     -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -1469,6 +1491,28 @@ object PipelineQueries {
         |  len(list_filter(string_split(text,' '), t -> t IN ('le','les','est','une','et'))) AS s_fr
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH pred AS (SELECT doc_id, lang AS lang_labeled,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_pred
+        |FROM (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','a'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('der','und','die','ist','das'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','es','una','y'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('le','les','est','une','et'))) AS s_fr
+        | FROM documents)),
+        |cells AS (SELECT lang_labeled, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT lang_labeled, CAST(sum(n_docs) AS BIGINT) AS n_label
+        |       FROM cells GROUP BY 1)
+        |SELECT lang_labeled, lang_pred, n_docs, n_label,
+        |  CAST(n_docs * 1000000 // n_label AS BIGINT) AS share_ppm
+        |FROM cells JOIN rt USING (lang_labeled)
+        |ORDER BY lang_labeled, lang_pred""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
