@@ -920,8 +920,9 @@ object AnalyticsQueries {
     * triangle found exactly once, then credited to all three
     * corners) — the join keys are node ids, the wedge mass is
     * degree-bounded, nothing is corpus-sized. Reported for nodes
-    * with deg ≥ 10, top-30 by (deg, node) — a bounded, fully
-    * deterministic report.
+    * with deg ≥ 3 (non-trivial at every test SF — the support≥2
+    * graph gets relatively sparser as the corpus grows), top-30 by
+    * (deg, node) — a bounded, fully deterministic report.
     */
   def qClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
     val e = copurchasePairs(spark, dir).filter(col("support") >= 2)
@@ -940,7 +941,7 @@ object AnalyticsQueries {
     deg.join(triPerNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
-      .filter(col("deg") >= 10)
+      .filter(col("deg") >= 3)
       .withColumn("cc_ppm", expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
       .orderBy(col("deg").desc, col("node"))
       .limit(30)
@@ -1008,7 +1009,7 @@ object AnalyticsQueries {
         |  CAST((2 * coalesce(tn.tri, 0) * 1000000)
         |    // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
         |FROM deg d LEFT JOIN tn USING (node)
-        |WHERE d.deg >= 10
+        |WHERE d.deg >= 3
         |ORDER BY d.deg DESC, d.node LIMIT 30""".stripMargin,
 
     "q_assortativity" ->

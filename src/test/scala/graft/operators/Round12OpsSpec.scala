@@ -214,7 +214,7 @@ class Round12OpsSpec extends AnyFunSuite {
     cc.foreach { r =>
       val (d, t, c) = (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
         r.getAs[Long]("cc_ppm"))
-      assert(d >= 10L)
+      assert(d >= 3L)
       assert(c >= 0L && c <= 1000000L, s"cc_ppm $c out of [0, 1e6]")
       assert(2 * t <= d * (d - 1), "more triangles than neighbour pairs")
       if (t == 0L) assert(c === 0L)
