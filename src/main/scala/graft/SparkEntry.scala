@@ -87,7 +87,10 @@ object SparkEntry {
     // iterative TextRank fixpoint (per-round materialization)
     "q_textrank",
     // iterative BFS rounds (seed scalar + per-round checkpoints)
-    "q_bfs_levels")
+    "q_bfs_levels",
+    // 1-row moment collect: the corr2_ppm ratio runs in unbounded
+    // BigInteger on the driver (decimal-38 headroom, r12 verdict)
+    "q_assortativity")
 
   // ---------------------------------------------------------------- B block
 

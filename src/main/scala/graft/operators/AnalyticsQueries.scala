@@ -833,45 +833,98 @@ object AnalyticsQueries {
     * the binding constraint on this graph — the frontier empties
     * first).
     */
-  def qBfsLevels(spark: SparkSession, dir: String): DataFrame = {
+  def qBfsLevels(spark: SparkSession, dir: String): DataFrame =
+    bfsLevels(spark, dir, joinFormAt = 1 << 16)
+
+  /** The BFS search with an explicit driver→join-form switch bound.
+    * The frontier/visited sets on THIS graph are NODE-bounded
+    * (parts + suppliers — dimension-sized, never fact rows), so they
+    * ride the driver as the per-round summary (the SnapshotStore
+    * hitSegments discipline: distributed pass, bounded collect) and
+    * probe the distributed edge table through codegen'd InSet
+    * filters — ONE scheduled job per round, vs ~5 (two broadcast
+    * builds + a materialization + an emptiness test) for the
+    * equivalent broadcast-join round, which at local[32]'s per-job
+    * floor was measured 2.3s vs 0.9s for the same search.
+    *
+    * The moment a round's frontier exceeds `joinFormAt`, the loop
+    * PERMANENTLY switches to the join form: frontier and visited
+    * become distributed frames, each round is edges ⋈ frontier →
+    * distinct → anti-join visited, and only the two per-level counts
+    * (one aggregate row) ever reach the driver — the shape that
+    * holds when the node universe is itself fact-sized (a 100 TB
+    * graph with a fact-sized frontier would OOM the driver under
+    * InSet probing). BfsLevelsSpec pins both paths to identical
+    * levels by forcing `joinFormAt = 0`.
+    */
+  private[graft] def bfsLevels(spark: SparkSession, dir: String,
+                               joinFormAt: Int): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).lineitem
       .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    // The frontier/visited sets are NODE-bounded (parts + suppliers —
-    // dimension-sized, never fact rows), so they ride the driver as
-    // the per-round summary (the SnapshotStore hitSegments
-    // discipline: distributed pass, bounded collect) and probe the
-    // distributed edge table through codegen'd InSet filters — ONE
-    // scheduled job per round, vs ~5 (two broadcast builds + a
-    // materialization + an emptiness test) for the equivalent
-    // broadcast-join round, which at local[32]'s per-job floor was
-    // measured 2.3s vs 0.9s for the same search. For a graph whose
-    // node universe is itself fact-sized, the same loop holds with
-    // the frontier as a broadcast-joined frame and the visited set
-    // as an anti-join — the collect is the only thing that changes.
-    val seed = edges.agg(min(col("a"))).first().getLong(0)
-    val visited = scala.collection.mutable.HashSet(seed)
-    var frontier = Array(seed)
-    var levels = List((0L, Array(seed)))
+    // seed = the smallest PART node, computed from the un-reversed
+    // edge frame's part column — the same frame the oracle's `seed`
+    // CTE reads (min over both orientations would pick a supplier
+    // node whenever min(l_suppkey)*2+1 < min(l_partkey)*2, e.g. a
+    // tiny SF where partkey 1 never ships)
+    val seed = e.agg(min(col("a"))).first().getLong(0)
+    var levels = List((0L, 1L - seed % 2, seed % 2)) // (lvl, parts, supps)
     var lvl = 0L
-    while (lvl < 8 && frontier.nonEmpty) {
+    // driver-form state (active while the frontier stays small)
+    var visited = scala.collection.mutable.HashSet(seed)
+    var frontier = Array(seed)
+    // join-form state (null until the switch fires)
+    var frontierDf: DataFrame = null
+    var visitedDf: DataFrame = null
+    var exhausted = false
+    while (lvl < 8 && !exhausted) {
       lvl += 1
-      val cand = edges
-        .filter(col("a").isInCollection(frontier))
-        .select(col("b")).distinct().as[Long].collect()
-      val next = cand.filterNot(visited)
-      if (next.nonEmpty) {
-        visited ++= next
-        levels ::= (lvl, next)
+      if (frontierDf == null && frontier.length > joinFormAt) {
+        frontierDf = frontier.toSeq.toDF("node").repartition(4)
+          .localCheckpoint(true)
+        visitedDf = visited.toSeq.toDF("node").repartition(4)
+          .localCheckpoint(true)
+        visited = null; frontier = null
       }
-      frontier = next
+      if (frontierDf == null) {
+        val cand = edges
+          .filter(col("a").isInCollection(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(frontier)))
+          .select(col("b")).distinct().as[Long].collect()
+        val next = cand.filterNot(visited)
+        if (next.nonEmpty) {
+          visited ++= next
+          levels ::= ((lvl, next.count(_ % 2 == 0).toLong,
+            next.count(_ % 2 == 1).toLong))
+        }
+        frontier = next
+        exhausted = next.isEmpty
+      } else {
+        // frontier-sized build side: broadcast while it fits, let
+        // AQE fall back to a shuffled hash join when it doesn't —
+        // on a real cluster the hint is advisory, not an OOM
+        val next = edges.join(broadcast(frontierDf.select(col("node").as("a"))),
+            Seq("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visitedDf, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        val cnt = next.agg(
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("p"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("s")).first()
+        val (p, s) =
+          if (cnt.isNullAt(0)) (0L, 0L) else (cnt.getLong(0), cnt.getLong(1))
+        if (p + s > 0) {
+          levels ::= ((lvl, p, s))
+          visitedDf = visitedDf.unionAll(next).localCheckpoint(true)
+        }
+        frontierDf = next
+        exhausted = p + s == 0
+      }
     }
-    levels.reverse.map { case (l, nodes) =>
-      (l, nodes.count(_ % 2 == 0).toLong, nodes.count(_ % 2 == 1).toLong)
-    }.toDF("lvl", "n_parts", "n_supps")
+    levels.reverse.toDF("lvl", "n_parts", "n_supps")
   }
 
   /** E23: degree assortativity of the co-purchase graph — do hub
@@ -885,7 +938,33 @@ object AnalyticsQueries {
     * Shape: one degree aggregate over the landed pair table + two
     * broadcast degree joins + a single one-row moment aggregate —
     * pair-table-sized, map-side combined.
+    *
+    * The final ratio is computed in UNBOUNDED BigInteger arithmetic
+    * on the driver (the moments frame is exactly one row): num²·10⁶
+    * exhausts decimal(38,0) headroom superlinearly with graph size
+    * (num ~ m·E[d²] grows as pairs·deg²), and Spark's non-ANSI
+    * decimal multiply would silently null/wrap long before the
+    * inputs themselves overflow — the r12 verdict's latent-defect
+    * finding. The distributed part of the query (everything up to
+    * the four moments) stays decimal(38,0), which holds to ~1e38 —
+    * beyond any physical corpus.
     */
+  private[graft] def corr2Ppm(num: java.math.BigDecimal,
+                              denX: java.math.BigDecimal,
+                              denY: java.math.BigDecimal): java.lang.Long = {
+    val n = num.toBigIntegerExact
+    val den = denX.toBigIntegerExact.multiply(denY.toBigIntegerExact)
+    if (den.signum == 0) null
+    else {
+      // |num| <= sqrt(den_x*den_y) (Cauchy-Schwarz) so the quotient
+      // is <= 1e6 and always fits a Long; both operands nonnegative,
+      // so BigInteger truncation == the SQL div/`//` floor.
+      val q = n.multiply(n)
+        .multiply(java.math.BigInteger.valueOf(1000000L)).divide(den)
+      java.lang.Long.valueOf(n.signum.toLong * q.longValueExact())
+    }
+  }
+
   def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = copurchasePairs(spark, dir).filter(col("support") >= 2)
       .select(col("p1").as("u"), col("p2").as("v"))
@@ -893,7 +972,7 @@ object AnalyticsQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("deg"))
     val both = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    both
+    val moments = both
       .join(broadcast(deg.select(col("w").as("u"), col("deg").as("dx"))), Seq("u"))
       .join(broadcast(deg.select(col("w").as("v"), col("deg").as("dy"))), Seq("v"))
       .agg(count(lit(1)).as("m"),
@@ -905,10 +984,15 @@ object AnalyticsQueries {
         (dec(col("m")) * col("sxy") - dec(col("sx")) * dec(col("sy"))).as("num"),
         (dec(col("m")) * col("sxx") - dec(col("sx")) * dec(col("sx"))).as("den_x"),
         (dec(col("m")) * col("syy") - dec(col("sy")) * dec(col("sy"))).as("den_y"))
-      .select(col("m"), col("num"), col("den_x"), col("den_y"),
-        expr("cast(sign(num) as bigint) * " +
-          "cast((num * num * 1000000) div (den_x * den_y) as bigint)")
-          .as("corr2_ppm"))
+    val r = moments.first()
+    val ppm = corr2Ppm(r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
+    val out = org.apache.spark.sql.Row(
+      r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), ppm)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(out),
+      org.apache.spark.sql.types.StructType(moments.schema.fields :+
+        org.apache.spark.sql.types.StructField("corr2_ppm",
+          org.apache.spark.sql.types.LongType)))
   }
 
   /** E24: local clustering coefficient on the co-purchase graph —

@@ -303,12 +303,20 @@ object DiagnosticsQueries {
       .join(broadcast(globalCum), Seq("n_chars"))
       .crossJoin(tot)
       .select(col("source"), col("n_s"), (col("n_tot") - col("n_s")).as("n_rest"),
-        abs(col("cum_s") * (col("n_tot") - col("n_s")) -
-          (col("cum_g") - col("cum_s")) * col("n_s")).as("d_num"))
+        // decimal(38,0) headroom: cum·n cross-products overflow Long
+        // past ~10^6-10^7 rows per side (the qAssortativity lesson) —
+        // Spark (non-ANSI) would wrap silently while the DuckDB
+        // oracle raises, so the claim of exactness at scale needs the
+        // wide type on BOTH sides of the parity gate.
+        abs(col("cum_s").cast("decimal(38,0)")
+            * (col("n_tot") - col("n_s")).cast("decimal(38,0)") -
+          (col("cum_g") - col("cum_s")).cast("decimal(38,0)")
+            * col("n_s").cast("decimal(38,0)")).as("d_num"))
       .groupBy(col("source"), col("n_s"), col("n_rest"))
       .agg(max(col("d_num")).as("d_max"))
       .select(col("source"), col("n_s"), col("n_rest"),
-        expr("d_max * 1000000 div (n_s * n_rest)").as("ks_ppm"))
+        expr("cast(d_max * 1000000 div (cast(n_s as decimal(38,0)) " +
+          "* cast(n_rest as decimal(38,0))) as bigint)").as("ks_ppm"))
       .orderBy(col("source"))
   }
 
@@ -330,10 +338,14 @@ object DiagnosticsQueries {
       .withColumn("cum_b", sum(col("cb")).over(w))
       .crossJoin(tot)
       .select(col("n_a"), col("n_b"),
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("dn"))
+        // same decimal(38,0) headroom as qKsDrift: exact at any scale
+        abs(col("cum_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)")
+          - col("cum_b").cast("decimal(38,0)") * col("n_a").cast("decimal(38,0)"))
+          .as("dn"))
       .groupBy(col("n_a"), col("n_b")).agg(max(col("dn")).as("d"))
       .select(col("n_a"), col("n_b"),
-        expr("d * 1000000 div (n_a * n_b)").as("ks_ppm"))
+        expr("cast(d * 1000000 div (cast(n_a as decimal(38,0)) " +
+          "* cast(n_b as decimal(38,0))) as bigint)").as("ks_ppm"))
   }
 
   /** G10: mutual information between a categorical and a bucketed
@@ -408,8 +420,8 @@ object DiagnosticsQueries {
         |        FROM cs GROUP BY 1)
         |SELECT CAST(t.batch_id AS BIGINT) AS batch_id,
         |  CAST(n_a AS BIGINT) AS n_cum, CAST(n_b AS BIGINT) AS n_ref,
-        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
-        |    // (n_a * n_b) AS BIGINT) AS ks_ppm
+        |  CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) * 1000000
+        |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
         |FROM cs JOIN tot t USING (batch_id)
         |GROUP BY t.batch_id, n_a, n_b
         |ORDER BY batch_id""".stripMargin,
@@ -431,8 +443,9 @@ object DiagnosticsQueries {
         |           LEFT JOIN cnts c ON c.source = b.source AND c.n_chars = v.n_chars)
         |SELECT source, CAST(n_s AS BIGINT) AS n_s,
         |  CAST(n_tot - n_s AS BIGINT) AS n_rest,
-        |  CAST(max(abs(cum_s * (n_tot - n_s) - (cum_g - cum_s) * n_s))
-        |    * 1000000 // (n_s * (n_tot - n_s)) AS BIGINT) AS ks_ppm
+        |  CAST(max(abs(CAST(cum_s AS HUGEINT) * (n_tot - n_s)
+        |      - CAST(cum_g - cum_s AS HUGEINT) * n_s))
+        |    * 1000000 // (CAST(n_s AS HUGEINT) * (n_tot - n_s)) AS BIGINT) AS ks_ppm
         |FROM grid JOIN gcum USING (n_chars), tot
         |GROUP BY source, n_s, n_tot
         |ORDER BY source""".stripMargin,

@@ -30,9 +30,12 @@ final case class ManifestRow(path: String, rows: Long, minKey: Long,
   * [ref: KuduManager.scala:108-120].
   *
   * Layout under `root/`:
-  *   - `data/v<N>/part-*.parquet` — version N's data files,
-  *     range-clustered on the key so each file covers a tight key
-  *     span (what makes the manifest index prune).
+  *   - `data/v<N>-<attempt>/part-*.parquet` — version N's data
+  *     files, range-clustered on the key so each file covers a tight
+  *     key span (what makes the manifest index prune); the attempt
+  *     token keeps concurrent optimistic writers out of each other's
+  *     output directories (the manifest records exact paths, so
+  *     readers never depend on directory naming).
   *   - `_manifests/m<N>.tsv` — version N's manifest: the explicit
   *     data-file list plus a per-file key-range index
   *     (path, rows, minKey, maxKey).
@@ -47,10 +50,14 @@ final case class ManifestRow(path: String, rows: Long, minKey: Long,
   * versions for readers to finish; see `keepVersions`).
   *
   * This is deliberately the smallest honest subset of a
-  * Delta/Iceberg-style format: single writer (the streaming sink),
-  * manifest-level file skipping, no schema evolution. On a real
-  * cluster the same seam is where a full table format slots in — the
-  * merge fold (CdcOps.compactSnapshot) is unchanged.
+  * Delta/Iceberg-style format: manifest-level file skipping,
+  * add-only schema evolution, and OPTIMISTIC writer concurrency —
+  * every publish states the version its content was folded from and
+  * the commit point aborts with [[ConcurrentCommitException]] if
+  * another writer advanced the pointer first (re-read, re-fold,
+  * retry — the Delta/Iceberg protocol). On a real cluster the same
+  * seam is where a full table format slots in — the merge fold
+  * (CdcOps.compactSnapshot) is unchanged.
   */
 final class SnapshotStore(
     val spark: SparkSession,
@@ -143,8 +150,14 @@ final class SnapshotStore(
     */
   private def entriesParquet(v: Long): Boolean = {
     val tsv = manifestDir.resolve(s"m$v.tsv")
-    Files.exists(tsv) && Files.readAllLines(tsv).asScala.headOption
-      .exists(_.contains(" entries=parquet"))
+    // header-tag check reads ONE line, not the whole manifest — a
+    // TSV-backed manifest can carry thousands of entries with
+    // multi-KB bloom blobs, and this runs before every parse
+    Files.exists(tsv) && {
+      val r = Files.newBufferedReader(tsv)
+      try Option(r.readLine()).exists(_.contains(" entries=parquet"))
+      finally r.close()
+    }
   }
 
   /** Version v's manifest as a Spark frame — (path root-relative,
@@ -307,8 +320,18 @@ final class SnapshotStore(
     * over the just-written files collects the key-range index (what
     * real formats do at write time).
     */
+  private def attemptToken(): String =
+    java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+
   private def writeDataFiles(df: DataFrame, v: Long): Seq[DataFileEntry] = {
-    val dataDir = Paths.get(root, "data", s"v$v")
+    // attempt-unique directory: two optimistic writers racing to the
+    // same version number must never interleave parquet output in
+    // one directory (mode=overwrite would eat the winner's files).
+    // The manifest records exact file paths, so readers never care
+    // about directory naming; a losing attempt's orphans are
+    // reference-count-collected by the next successful vacuum.
+    val dataDir = Paths.get(root, "data", s"v$v-${attemptToken()}")
     df.repartitionByRange(filesPerCommit, col(keyCol))
       .write.mode("overwrite").parquet(dataDir.toString)
     // the per-file stats job also builds the secondary Bloom when an
@@ -360,6 +383,38 @@ final class SnapshotStore(
       (if (parquetEntries) " entries=parquet" else "")
   }
 
+  /** Optimistic-concurrency commit point (r12 verdict task 5). The
+    * writer states the version its content was BUILT FROM
+    * (`expectedParent`); under the commit lock the store re-reads
+    * the pointer and aborts with [[ConcurrentCommitException]] if
+    * another writer advanced it — the lost-update window between
+    * read-basis and pointer-flip is closed, Delta/Iceberg-style, and
+    * the loser re-reads + re-folds + retries. Locking is two-level:
+    * a JVM-wide monitor per store root (FileChannel throws
+    * OverlappingFileLockException on same-JVM contention) plus an OS
+    * file lock for cross-process writers on one host. On a DFS the
+    * same seam maps to the filesystem's atomic create/rename claim.
+    */
+  private def withCommitLock[T](body: => T): T =
+    SnapshotStore.rootMonitor(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, ".COMMIT.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val lk = ch.lock(); try body finally lk.release() }
+      finally ch.close()
+    }
+
+  private def casCheck(v: Long, expectedParent: Option[Long]): Unit = {
+    val cur = currentVersion
+    if (cur != expectedParent)
+      throw new ConcurrentCommitException(
+        s"commit of v$v in $root expected parent " +
+          s"${expectedParent.fold("<none>")(p => s"v$p")} but found " +
+          s"${cur.fold("<none>")(c => s"v$c")} — a concurrent writer " +
+          "committed first; re-read the snapshot, re-fold, retry")
+  }
+
   private def flipPointer(v: Long): Unit = {
     val tmpP = Paths.get(root, s".LATEST.tmp")
     Files.writeString(tmpP, v.toString)
@@ -369,13 +424,15 @@ final class SnapshotStore(
 
   private def publish(v: Long, entries: Seq[DataFileEntry],
                       txn: Option[Long] = None,
-                      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+                      schema: Option[org.apache.spark.sql.types.StructType] = None,
+                      expectedParent: Option[Long] = None): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
     // past the parquet threshold the entry list stops being
     // driver-text: land it as the parquet manifest instead (a
     // growing TSV store auto-migrates at its next publish)
     if (entries.size > parquetManifestFrom)
-      return publishParquet(v, manifestRowsDf(entries), nonEmpty = true, txn, schema)
+      return publishParquet(v, manifestRowsDf(entries), nonEmpty = true, txn,
+        schema, expectedParent)
     val body = (headerLine(txn, schema, parquetEntries = false) +:
       entries.sortBy(e => (e.minKey, e.path))
         // runtime entries carry absolute paths; the manifest ROW is
@@ -384,17 +441,28 @@ final class SnapshotStore(
           e.bloom.map(b => "\t" + java.util.Base64.getEncoder.encodeToString(b))
             .getOrElse("")))
       .mkString("\n")
-    val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
+    // attempt-unique tmp name: two optimistic writers racing to the
+    // same version must not clobber each other's staging file
+    val tmpM = manifestDir.resolve(s".m$v.${attemptToken()}.tsv.tmp")
     Files.writeString(tmpM, body)
-    // a crashed publishParquet at this same version may have left a
-    // stale m{v}.parquet with no committed header; remove it before
-    // committing the TSV entry list so nothing can ever shadow it
-    // (manifest dispatch reads the header tag, this keeps disk clean)
-    if (Files.exists(manifestParquet(v)))
-      org.apache.commons.io.FileUtils.deleteDirectory(manifestParquet(v).toFile)
-    Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    flipPointer(v)
+    try withCommitLock {
+      casCheck(v, expectedParent)
+      // a crashed publishParquet at this same version may have left a
+      // stale m{v}.parquet with no committed header; remove it before
+      // committing the TSV entry list so nothing can ever shadow it
+      // (manifest dispatch reads the header tag, this keeps disk clean)
+      if (Files.exists(manifestParquet(v)))
+        org.apache.commons.io.FileUtils.deleteDirectory(manifestParquet(v).toFile)
+      Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      flipPointer(v)
+    } catch {
+      case e: ConcurrentCommitException =>
+        // loser cleanup: the staged manifest goes now; the attempt's
+        // orphaned data files are reference-count-collected by the
+        // next successful publish's vacuum
+        Files.deleteIfExists(tmpM); throw e
+    }
     vacuum(v)
     v
   }
@@ -413,26 +481,35 @@ final class SnapshotStore(
     */
   private def publishParquet(v: Long, allEntries: DataFrame, nonEmpty: Boolean,
                              txn: Option[Long],
-                             schema: Option[org.apache.spark.sql.types.StructType]): Long = {
+                             schema: Option[org.apache.spark.sql.types.StructType],
+                             expectedParent: Option[Long] = None): Long = {
     // same invariant as the TSV path: new ∪ carried must be nonEmpty —
     // a carried-only commit (delete-heavy fold that empties the
     // affected slice but leaves untouched files) is a legal version
     require(nonEmpty, "commit of an empty snapshot is not supported")
     val target = manifestParquet(v)
-    val tmp = manifestDir.resolve(s".m$v.parquet.tmp")
+    val tmp = manifestDir.resolve(s".m$v.${attemptToken()}.parquet.tmp")
     allEntries.select(col("path"), col("rows"), col("minKey"), col("maxKey"),
         col("bloom"))
       .write.mode("overwrite").parquet(tmp.toString)
     // re-publish after a crash: clear the stale target before the
     // atomic move (a directory move cannot REPLACE_EXISTING)
-    if (Files.exists(target))
-      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
-    Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true))
-    Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    flipPointer(v)
+    try withCommitLock {
+      casCheck(v, expectedParent)
+      if (Files.exists(target))
+        org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
+      Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true))
+      Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      flipPointer(v)
+    } catch {
+      case e: ConcurrentCommitException =>
+        if (Files.exists(tmp))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        throw e
+    }
     vacuum(v)
     v
   }
@@ -442,8 +519,19 @@ final class SnapshotStore(
     * rewrites only delta-affected files.
     */
   def commit(next: DataFrame, txn: Option[Long] = None): Long = {
-    val v = currentVersion.map(_ + 1L).getOrElse(0L)
-    publish(v, writeDataFiles(next, v), txn, Some(next.schema))
+    val basis = currentVersion
+    commitAs(next, txn, basis)
+  }
+
+  /** [[commit]] with an explicit basis version for the CAS check —
+    * what mergeWith/optimize use so the version they FOLDED FROM
+    * (not whatever is current at publish time) is the one the
+    * commit point verifies.
+    */
+  private def commitAs(next: DataFrame, txn: Option[Long],
+                       basis: Option[Long]): Long = {
+    val v = basis.map(_ + 1L).getOrElse(0L)
+    publish(v, writeDataFiles(next, v), txn, Some(next.schema), basis)
   }
 
   /** The Kudu-role MERGE, file-level copy-on-write: fold a batch of
@@ -512,7 +600,7 @@ final class SnapshotStore(
         // first batch all-poison: nothing to commit (an empty v0
         // would trip publish's non-empty invariant); report no-version
         if (keyed.isEmpty) -1L
-        else commit(init(keyed), txn)
+        else commitAs(init(keyed), txn, basis = None)
       case Some(cur) if entriesParquet(cur) =>
         mergeLarge(cur, keyed, fold, txn)
       case Some(cur) =>
@@ -567,7 +655,8 @@ final class SnapshotStore(
         val folded = fold(baseAffected, keyed)
         // the fold's schema becomes the TABLE schema (add-only
         // evolution: carried files null-fill new columns on read)
-        publish(v, writeDataFiles(folded, v) ++ carried, txn, Some(folded.schema))
+        publish(v, writeDataFiles(folded, v) ++ carried, txn,
+          Some(folded.schema), expectedParent = Some(cur))
     }
   }
 
@@ -649,7 +738,7 @@ final class SnapshotStore(
       carried.unionByName(manifestRowsDf(newEntries)),
       // carried is nonEmpty iff some manifest file was NOT affected
       nonEmpty = newEntries.nonEmpty || affectedPaths.length < ranges.length,
-      txn, Some(folded.schema))
+      txn, Some(folded.schema), expectedParent = Some(cur))
   }
 
   /** Committed versions still readable (oldest first) — time travel
@@ -711,7 +800,10 @@ final class SnapshotStore(
   def optimize(): Long = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed version in $root"))
-    commit(readVersion(v))
+    // basis pinned to the version actually rewritten: a merge landing
+    // between the read and the publish must abort this rewrite (it
+    // would silently resurrect pre-merge rows), not be overwritten
+    commitAs(readVersion(v), txn = None, basis = Some(v))
   }
 
   /** Reference-counting vacuum: drop manifests older than the
@@ -815,4 +907,25 @@ final class SnapshotStore(
     val abs = normalizePath(p)
     if (abs.startsWith(absRoot + "/")) abs.substring(absRoot.length + 1) else abs
   }
+}
+
+/** Thrown by the optimistic-concurrency commit point when another
+  * writer advanced the pointer past the version this commit was
+  * built from — the caller's move is re-read + re-fold + retry (the
+  * content is stale, not just the version number).
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+object SnapshotStore {
+  // one intrinsic lock per canonical store root: FileChannel file
+  // locks guard cross-PROCESS writers but throw
+  // OverlappingFileLockException on same-JVM contention, so the
+  // in-process level is a plain monitor
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def rootMonitor(root: String): Object =
+    monitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize().toString,
+      _ => new Object)
 }

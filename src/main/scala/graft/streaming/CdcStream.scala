@@ -39,13 +39,26 @@ object CdcStream {
     * micro-batch that overwhelms the sink.
     */
   def start(spark: SparkSession, linesDir: String, snapshotDir: String,
-            checkpointDir: String, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+            checkpointDir: String, maxFilesPerTrigger: Int = 0,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val lines = reader.text(linesDir).withColumnRenamed("value", "line")
-    startFromLines(lines, snapshotDir, checkpointDir)
+    startFromLines(lines, snapshotDir, checkpointDir, trigger = trigger)
   }
+
+  /** Deploy-config form: snapshot under `<storeRoot>/<name>`,
+    * checkpoint under `<checkpointRoot>/<name>`, cadence and
+    * admission rate from the properties file — the reference's
+    * config.properties-driven ConsumerMain startup
+    * [ref: ConsumerMain.scala:41-45] for this engine's knobs.
+    */
+  def startFromConfig(spark: SparkSession, cfg: graft.GraftConfig,
+                      linesDir: String, name: String): StreamingQuery =
+    start(spark, linesDir,
+      s"${cfg.storeRoot}/$name", s"${cfg.checkpointRoot}/$name",
+      cfg.maxFilesPerTrigger, cfg.trigger)
 
   /** The same ingest over an ALREADY-BUILT streaming `line` frame —
     * the seam where the source format swaps (file, graftlines, or
@@ -56,7 +69,8 @@ object CdcStream {
     */
   def startFromLines(lines: DataFrame, snapshotDir: String,
                      checkpointDir: String,
-                     consumedDir: Option[String] = None): StreamingQuery = {
+                     consumedDir: Option[String] = None,
+                     trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     Files.createDirectories(Paths.get(snapshotDir))
     // the consumption record lands under rec=<ckpt-hash>_b<batchId>
     // (ADVICE r10): a failed-and-retried micro-batch — within one
@@ -76,7 +90,7 @@ object CdcStream {
       scala.util.hashing.MurmurHash3.stringHash(checkpointDir))
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Incremental compaction (A16) through the table-format seam:
         // only the DELTA is snapshotted (a window over the batch),

@@ -62,7 +62,13 @@ object DriftMonitorStream {
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
     countStore(spark, storeDir).mergeWith(cnts,
       init = identity[DataFrame], fold = addCounts, txn = Some(batchId))
-    val cum = countStore(spark, storeDir).read().get.select(col("v"), col("c"))
+    // A first batch that is empty (or all-null-key) makes mergeWith
+    // a no-op with no committed version: read() is None, and there
+    // is nothing to score yet — skip the KS/log step instead of
+    // wedging checkpoint replay on a .get of None.
+    val stored = countStore(spark, storeDir).read()
+    if (stored.isEmpty) return
+    val cum = stored.get.select(col("v"), col("c"))
     val row = DiagnosticsQueries.ksStat(cum, refCounts)
       .select(lit(batchId).as("batch_id"), col("n_a").as("n_cum"),
         col("n_b").as("n_ref"), col("ks_ppm"))

@@ -42,17 +42,32 @@ object KafkaCdcSource {
 
   /** Build the Kafka line stream (one `line` column, like the file
     * source) from either the latest offsets or a stored offset log.
+    * `clientOptions` are forwarded verbatim — they arrive already in
+    * the `kafka.*` form the source expects, so the reference's
+    * SSL/auth surface (keystore/truststore [ref: README.md]) is a
+    * pass-through from [[graft.GraftConfig.kafkaOptions]].
     */
   def readChangeLines(spark: SparkSession, brokers: String, topics: Seq[String],
-                      offsetLog: Option[Seq[String]] = None): DataFrame = {
+                      offsetLog: Option[Seq[String]] = None,
+                      clientOptions: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topics.mkString(","))
       .option("failOnDataLoss", "false")
+      .options(clientOptions)
     val withOffsets = offsetLog match {
       case Some(lines) => base.option("startingOffsets", offsetLogToStartingOffsets(lines))
       case None        => base.option("startingOffsets", "latest")
     }
     withOffsets.load().select(col("value").cast("string").as("line"))
   }
+
+  /** Config-driven form: brokers/topics/client options from the
+    * deploy properties file (the reference's ConsumerMain wiring
+    * [ref: ConsumerMain.scala:41-45]).
+    */
+  def fromConfig(spark: SparkSession, cfg: graft.GraftConfig,
+                 offsetLog: Option[Seq[String]] = None): DataFrame =
+    readChangeLines(spark, cfg.kafkaBrokers, cfg.kafkaTopics, offsetLog,
+      cfg.kafkaOptions)
 }

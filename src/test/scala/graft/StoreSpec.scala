@@ -718,4 +718,75 @@ class StoreSpec extends AnyFunSuite {
     // positives may plan files; the row filter keeps it exact)
     assert(store.readPoint("absent").count() == 0L)
   }
+
+  test("two-writer race: CAS publish admits exactly one; the loser retries clean") {
+    import graft.store.ConcurrentCommitException
+    import spark.implicits._
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k")
+    store.commit(Seq((1L, "base")).toDF("k", "payload"))
+    // both writers fold from v0, then race the commit point
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def writer(tag: String): Thread = new Thread(() => {
+      try {
+        val s = new SnapshotStore(spark, root, "k")
+        val basis = s.read().get
+        val next = basis.unionByName(
+          Seq((if (tag == "A") 2L else 3L, tag)).toDF("k", "payload"))
+        barrier.await()
+        s.commit(next)
+        outcomes.add(s"$tag:committed")
+      } catch {
+        case _: ConcurrentCommitException => outcomes.add(s"$tag:aborted")
+        case e: Throwable => outcomes.add(s"$tag:unexpected:${e.getClass.getSimpleName}")
+      }
+    })
+    val (ta, tb) = (writer("A"), writer("B"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    val res = outcomes.toArray.map(_.toString).sorted.toSeq
+    assert(res.count(_.endsWith(":committed")) === 1, s"outcomes: $res")
+    assert(res.count(_.endsWith(":aborted")) === 1, s"outcomes: $res")
+    assert(store.currentVersion.contains(1L), "exactly one version advanced")
+    // the loser's mandated move: re-read (sees the winner's row),
+    // re-fold, retry — and the retried commit lands as v2 with BOTH
+    // writers' rows (no lost update anywhere)
+    val winnerRows = store.read().get.collect().map(_.getString(1)).toSet
+    val loserTag = if (winnerRows("A")) "B" else "A"
+    val retry = store.read().get.unionByName(
+      Seq((9L, loserTag)).toDF("k", "payload"))
+    store.commit(retry)
+    assert(store.currentVersion.contains(2L))
+    val finalRows = store.read().get.collect().map(_.getString(1)).toSet
+    assert(finalRows === Set("base", "A", "B"), s"final: $finalRows")
+  }
+
+  test("optimize aborts instead of resurrecting rows when a merge lands mid-rewrite") {
+    import spark.implicits._
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "user_id")
+    val log = parsedLog
+    store.merge(log.filter(pmod(col("id"), lit(2)) === 0L))
+    // simulate the race deterministically: capture optimize's basis,
+    // land a merge, then run the rewrite commit with the stale basis
+    val basis = store.currentVersion.get
+    val frozen = store.readVersion(basis).localCheckpoint(true)
+    store.merge(log.filter(pmod(col("id"), lit(2)) === 1L))
+    intercept[graft.store.ConcurrentCommitException] {
+      // what optimize() would publish had it read before the merge:
+      // same CAS path (commit with explicit stale basis via reflection
+      // is private — drive it through a second store whose pointer we
+      // rewind is overkill; optimize on a fresh handle reproduces the
+      // guard because its basis re-check happens inside publish)
+      val m = store.getClass.getDeclaredMethod("commitAs",
+        classOf[org.apache.spark.sql.DataFrame], classOf[Option[Long]],
+        classOf[Option[Long]])
+      m.setAccessible(true)
+      try m.invoke(store, frozen, None, Some(basis))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    // the merge's rows are intact — nothing was resurrected
+    val expected = CdcOps.softDeleteSnapshot(log, col("user_id"))
+    assertSameRows(store.read().get, expected)
+  }
 }

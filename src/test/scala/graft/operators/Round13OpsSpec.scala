@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 hardening — the r12 verdict's scale items: the BFS
+  * join-form fallback equals the driver-form search level-for-level,
+  * the assortativity corr2_ppm kernel survives moments that exhaust
+  * decimal(38,0) headroom, and the KS cross-multiplication stays
+  * exact past Long range.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession =
+    graft.GraftSession.local(cores = 4, appName = "round13-ops-spec")
+
+  test("E22: join-form BFS fallback equals the driver-form search exactly") {
+    val driverForm = AnalyticsQueries.bfsLevels(spark, sf, joinFormAt = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // joinFormAt = 0 forces the distributed frontier/visited frames
+    // from round 1 — the 100 TB shape where nothing node-sized ever
+    // reaches the driver
+    val joinForm = AnalyticsQueries.bfsLevels(spark, sf, joinFormAt = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(driverForm.nonEmpty)
+    assert(joinForm === driverForm)
+  }
+
+  test("E22: BFS seeds from the smallest part node, not the edge-list min") {
+    // the un-reversed edge frame's part column is the oracle's seed
+    // domain; level 0 must therefore be exactly (1 part, 0 suppliers)
+    val lv0 = AnalyticsQueries.qBfsLevels(spark, sf)
+      .orderBy(col("lvl")).collect().head
+    assert(lv0.getLong(0) === 0L)
+    assert((lv0.getLong(1), lv0.getLong(2)) === ((1L, 0L)))
+  }
+
+  test("E23: corr2Ppm is exact where decimal(38,0) squaring would overflow") {
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // num ~ 1e36: num^2 * 1e6 ~ 1e78, double the decimal-38 budget.
+    // Truth computed independently with Scala BigInt.
+    val num = bd("999999999999999999999999999999999999") // 36 nines
+    val dx = bd("1" + "0" * 36)
+    val dy = bd("2" + "0" * 36)
+    val want = {
+      val n = BigInt(num.toBigInteger)
+      (n * n * 1000000 / (BigInt(dx.toBigInteger) * BigInt(dy.toBigInteger)))
+        .toLong
+    }
+    assert(AnalyticsQueries.corr2Ppm(num, dx, dy) === want)
+    assert(want === 499999L) // n^2/(2e72) * 1e6, floored
+    // sign carries through; Cauchy-Schwarz bound respected
+    assert(AnalyticsQueries.corr2Ppm(num.negate, dx, dy) === -want)
+    // perfect correlation: num^2 == dx*dy -> exactly 1e6 ppm
+    assert(AnalyticsQueries.corr2Ppm(bd("2" + "0" * 35), dx, bd("4" + "0" * 34))
+      === 1000000L)
+    // degenerate graph (zero variance on one axis) -> null, the
+    // non-ANSI div-by-zero semantics the frame previously had
+    assert(AnalyticsQueries.corr2Ppm(num, java.math.BigDecimal.ZERO, dy) === null)
+  }
+
+  test("E23: the one-row frame carries the BigInteger ppm with intact schema") {
+    val df = AnalyticsQueries.qAssortativity(spark, sf)
+    val f = df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toMap
+    assert(f("m") === "bigint" && f("corr2_ppm") === "bigint")
+    assert(f("num") === "decimal(38,0)")
+    assert(f("den_x") === "decimal(38,0)" && f("den_y") === "decimal(38,0)")
+    val r = df.collect()(0)
+    // the frame's ppm replays through the kernel on its own moments
+    assert(r.getAs[java.lang.Long]("corr2_ppm") ===
+      AnalyticsQueries.corr2Ppm(r.getDecimal(1), r.getDecimal(2),
+        r.getDecimal(3)))
+  }
+
+  test("G9 kernel: ksStat cross-products stay exact past Long range") {
+    import spark.implicits._
+    // two 3-value distributions with ~1e9-scale counts: cum*n hits
+    // ~4e18 > Long.MaxValue/2 per product and the difference of
+    // products would wrap in silent non-ANSI long arithmetic
+    val a = Seq((1L, 2000000000L), (2L, 1500000000L), (3L, 900000000L))
+      .toDF("v", "c")
+    val b = Seq((1L, 1000000000L), (2L, 2500000000L), (3L, 800000000L))
+      .toDF("v", "c")
+    val r = DiagnosticsQueries.ksStat(a, b).collect()(0)
+    val (na, nb) = (4400000000L, 4300000000L)
+    assert((r.getLong(0), r.getLong(1)) === ((na, nb)))
+    // truth via BigInt over the 3-point grid
+    val cumA = Seq(2000000000L, 3500000000L, 4400000000L)
+    val cumB = Seq(1000000000L, 3500000000L, 4300000000L)
+    val d = cumA.zip(cumB)
+      .map { case (ca, cb) => (BigInt(ca) * nb - BigInt(cb) * na).abs }.max
+    assert(r.getLong(2) === (d * 1000000 / (BigInt(na) * nb)).toLong)
+  }
+
+  test("A34: an empty or all-null first batch skips the KS step instead of wedging") {
+    val store = java.nio.file.Files.createTempDirectory("drift-empty").toString
+    val empty = graft.sources.Tables(spark, sf).documents
+      .filter(col("doc_id") < 0)
+    graft.streaming.DriftMonitorStream.foldBatch(empty,
+      empty.select(col("n_chars").as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("c")), store, batchId = 0L)
+    assert(graft.streaming.DriftMonitorStream.readLog(spark, store).isEmpty)
+    // and the monitor recovers on the first real batch
+    val docs = graft.sources.Tables(spark, sf).documents
+    val ref = docs.select(col("n_chars").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    graft.streaming.DriftMonitorStream.foldBatch(docs, ref, store, batchId = 1L)
+    val log = graft.streaming.DriftMonitorStream.readLog(spark, store).get.collect()
+    assert(log.length === 1 && log(0).getAs[Long]("ks_ppm") === 0L)
+  }
+}
