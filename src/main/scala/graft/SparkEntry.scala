@@ -87,10 +87,14 @@ object SparkEntry {
     // iterative TextRank fixpoint (per-round materialization)
     "q_textrank",
     // iterative BFS rounds (seed scalar + per-round checkpoints)
-    "q_bfs_levels",
+    "q_bfs_levels", "q_bfs_levels_join",
     // 1-row moment collect: the corr2_ppm ratio runs in unbounded
     // BigInteger on the driver (decimal-38 headroom, r12 verdict)
-    "q_assortativity")
+    "q_assortativity",
+    // two-thread CAS-retry store build at construction (A36)
+    "q_store_concurrent",
+    // streaming drive + per-arrival optimize policy (A35)
+    "q_stream_auto_optimize")
 
   // ---------------------------------------------------------------- B block
 

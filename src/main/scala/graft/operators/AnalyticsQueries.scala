@@ -836,6 +836,15 @@ object AnalyticsQueries {
   def qBfsLevels(spark: SparkSession, dir: String): DataFrame =
     bfsLevels(spark, dir, joinFormAt = 1 << 16)
 
+  /** E22b: the SAME search with the join-form fallback FORCED from
+    * round 1 — the 100 TB shape (distributed frontier/visited frames,
+    * one aggregate row per round to the driver) held to the identical
+    * oracle as the driver-form twin. Driver-gating both forms keeps
+    * the fallback from bit-rotting into prose.
+    */
+  def qBfsLevelsJoin(spark: SparkSession, dir: String): DataFrame =
+    bfsLevels(spark, dir, joinFormAt = 0)
+
   /** The BFS search with an explicit driver→join-form switch bound.
     * The frontier/visited sets on THIS graph are NODE-bounded
     * (parts + suppliers — dimension-sized, never fact rows), so they
@@ -1035,6 +1044,7 @@ object AnalyticsQueries {
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_assortativity"   -> (qAssortativity _),
     "q_bfs_levels"      -> (qBfsLevels _),
+    "q_bfs_levels_join" -> (qBfsLevelsJoin _),
     "q_bootstrap_ci"     -> (qBootstrapCi _),
     "q_communities"      -> (qCommunities _),
     "q_session_features" -> (qSessionFeatures _),
@@ -1125,6 +1135,24 @@ object AnalyticsQueries {
         |FROM mo""".stripMargin,
 
     "q_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+        |ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |seed AS (SELECT min(a) AS s FROM e),
+        |bfs(node, l) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT ed.b, bfs.l + 1 FROM bfs JOIN ed ON ed.a = bfs.node
+        |  WHERE bfs.l < 8),
+        |lv AS (SELECT node, min(l) AS l FROM bfs GROUP BY node)
+        |SELECT CAST(l AS BIGINT) AS lvl,
+        |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
+        |FROM lv GROUP BY l ORDER BY lvl""".stripMargin,
+
+    // the join-form twin replays the SAME recursive search — the
+    // execution strategy must be invisible to the result
+    "q_bfs_levels_join" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
         |ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),

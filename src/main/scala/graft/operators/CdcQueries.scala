@@ -301,7 +301,56 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A36: optimistic multi-writer ingest — TWO writers fold disjoint
+    * halves of the change log into ONE store CONCURRENTLY, each
+    * retrying on [[graft.store.ConcurrentCommitException]] (the CAS
+    * commit point's mandated loser move: re-read, re-fold, retry).
+    * The gate: the final snapshot must equal the one-shot soft-delete
+    * fold of the whole log — no lost update under any interleaving.
+    * This is the reference's many-executor Kudu-client reality
+    * [ref: KuduManager.scala:72-114 — concurrent per-record upserts]
+    * re-expressed at the table-format layer. Landed once per corpus
+    * (fingerprint-keyed root, atomic-rename publish).
+    */
+  def qStoreConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeLock.synchronized {
+      val root = graft.sources.DerivedTable.rootFor(
+        "ccstore", dir, Seq("events"), "cas-two-writer-v1")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root))) {
+        val tmp = root + ".build-" + ProcessHandle.current().pid()
+        val b = new graft.store.SnapshotStore(spark, tmp, "user_id")
+        val p = parsed(spark, dir).localCheckpoint(true)
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        def writer(side: Long): Thread = new Thread(() => {
+          val half = p.filter(pmod(col("id"), lit(2)) === side)
+          barrier.await()
+          var done = false
+          while (!done) {
+            try { b.merge(half); done = true }
+            catch { case _: graft.store.ConcurrentCommitException => () }
+          }
+        })
+        val (t0, t1) = (writer(0L), writer(1L))
+        t0.start(); t1.start(); t0.join(); t1.join()
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException
+                     | _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+      }
+      new graft.store.SnapshotStore(spark, root, "user_id")
+    }
+    store.read().get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .withColumn("writers", lit(2L))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_concurrent" -> (qStoreConcurrent _),
     "q_cdc_route"      -> (qCdcRoute _),
     "q_cdc_quarantine" -> (qCdcQuarantine _),
     "q_store_changes"  -> (qStoreChanges _),
@@ -461,6 +510,17 @@ object CdcQueries {
          |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // the concurrent two-writer fold must land exactly the soft-
+    // delete snapshot of the WHOLE log — CAS admits no lost update
+    "q_store_concurrent" ->
+      s"""SELECT user_id, event_id AS last_id,
+         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+         | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         | CAST(2 AS BIGINT) AS writers
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_cdc_softdelete" ->
       s"""SELECT user_id, event_id AS last_id,
          | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,

@@ -1356,7 +1356,92 @@ object CorpusQueries {
       .orderBy(col("lang"), col("h_bits"))
   }
 
+  /** C91: ROUGE-2 overlap between adjacent documents of a source —
+    * the summarization-eval statistic repurposed as a corpus
+    * diagnostic: how much distinct-bigram recall does each doc share
+    * with its source-successor (high = templated/boilerplate feed,
+    * near-zero = independent docs). Pairing is deterministic
+    * (doc_id → next doc_id within source). Shape: one distinct
+    * bigram posting table, re-joined to itself THROUGH the pair list
+    * on (cand doc, bigram) — candidate mass is pair-local, the join
+    * keys are (doc, bigram), nothing is corpus². Recall in exact ppm.
+    */
+  def qRougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val big = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("source"), col("doc_id"),
+        explode(expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', " +
+          "element_at(split(text, ' '), i + 1)))")).as("bg"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("ref"))
+    val pairs = docs.select(col("source"), col("doc_id").as("ref"))
+      .withColumn("cand", lead(col("ref"), 1).over(w))
+      .filter(col("cand").isNotNull)
+    val refN = big.groupBy(col("doc_id").as("ref"))
+      .agg(count(lit(1)).as("n_ref"))
+    val inter = pairs
+      .join(big.select(col("doc_id").as("ref"), col("bg")), Seq("ref"))
+      .join(big.select(col("doc_id").as("cand"), col("bg")), Seq("cand", "bg"))
+      .groupBy(col("source"), col("ref")).agg(count(lit(1)).as("n_inter"))
+    pairs.join(refN, Seq("ref"))
+      .join(inter, Seq("source", "ref"), "left")
+      .select(col("source"),
+        (coalesce(col("n_inter"), lit(0L)) * 1000000L).as("num"), col("n_ref"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("num div n_ref")).as("sum_rouge_ppm"))
+      .select(col("source"), col("n_pairs"),
+        expr("sum_rouge_ppm div n_pairs").as("mean_rouge_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** C92: hapax-legomena rate per source — the vocabulary-health
+    * diagnostic (a source whose hapax share collapses is templated
+    * or deduplicated into boilerplate; one whose share explodes is
+    * OCR noise or encoding damage). One (source, token) count — the
+    * corpus-linear pass — then a source-grid rollup.
+    */
+  def qHapaxRate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+        expr("hapax * 1000000 div vocab").as("hapax_ppm"))
+      .orderBy(col("source"))
+
+  /** C95: canonicalization + canonical-form dedup accounting — the
+    * normalize step every text pipeline runs before exact dedup
+    * (lowercase, strip non-alphanumerics, collapse whitespace), with
+    * per-source counts of how many docs survive as distinct
+    * canonical forms. Pure character-class regexes (identical under
+    * Java regex and RE2); the dup accounting groups on md5 of the
+    * canonical form, never shuffling the text itself.
+    */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val perForm = Tables(spark, dir).documents
+      .select(col("source"), md5(canon).as("ch"))
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("n"))
+    perForm.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_canon"),
+        sum(when(col("n") > 1L, col("n")).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_canon"), col("dup_docs"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rouge_overlap"   -> (qRougeOverlap _),
+    "q_hapax_rate"      -> (qHapaxRate _),
+    "q_text_normalize"  -> (qTextNormalize _),
     "q_token_entropy"   -> (qTokenEntropy _),
     "q_feature_hash"    -> (qFeatureHash _),
     "q_dsir_weights"    -> (qDsirWeights _),
@@ -1463,6 +1548,58 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_rouge_overlap" ->
+      """WITH big AS (
+        |  SELECT DISTINCT doc_id, source, bg FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> string_split(text, ' ')[i] || ' '
+        |          || string_split(text, ' ')[i + 1])) AS bg
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+        |pairs AS (SELECT source, doc_id AS ref,
+        |            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS cand
+        |          FROM documents),
+        |p AS (SELECT * FROM pairs WHERE cand IS NOT NULL),
+        |refn AS (SELECT doc_id AS ref, CAST(count(*) AS BIGINT) AS n_ref
+        |         FROM big GROUP BY 1),
+        |inter AS (SELECT p.source, p.ref, CAST(count(*) AS BIGINT) AS n_inter
+        |          FROM p JOIN big r ON r.doc_id = p.ref
+        |                JOIN big c ON c.doc_id = p.cand AND c.bg = r.bg
+        |          GROUP BY 1, 2),
+        |per AS (SELECT p.source,
+        |          coalesce(i.n_inter, 0) * 1000000 // rn.n_ref AS rppm
+        |        FROM p JOIN refn rn USING (ref)
+        |          LEFT JOIN inter i ON i.source = p.source AND i.ref = p.ref)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(rppm) // count(*) AS BIGINT) AS mean_rouge_ppm
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_hapax_rate" ->
+      """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM tc GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS hapax_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH pf AS (
+        |  SELECT source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_canon,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+        |    // sum(n) AS BIGINT) AS dup_ppm
+        |FROM pf GROUP BY source ORDER BY source""".stripMargin,
+
     "q_token_entropy" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),

@@ -638,7 +638,57 @@ object CurationQueries {
       .orderBy(col("split"))
   }
 
+  /** C89: per-domain frequency capping — the pretraining-mix rule
+    * that no single source may contribute more than K documents
+    * (Common-Crawl-style domain caps): rank each source's docs by
+    * quality proxy (longest first, then smallest id — the C14
+    * keep-best key) and keep the top K. One hash exchange on
+    * `source` + a per-source rank; at 100 TB the same shape holds —
+    * the window sorts WITHIN each source's partitions, and a hot
+    * source is exactly the case the cap exists for (its excess is
+    * dropped, not shuffled onward).
+    */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 40
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= k, col("n_chars")).otherwise(0L)).as("kept_chars"),
+        max(when(col("rn") > k, 1L).otherwise(0L)).as("cap_hit"))
+      .orderBy(col("source"))
+  }
+
+  /** C90: seeded per-group reservoir sample — k docs per language,
+    * selected by md5 order over a tagged key, so the "reservoir" is
+    * a pure function of (seed, doc_id): rerunning, backfilling or
+    * resharding the corpus reproduces the identical sample (the
+    * property an actual Vitter reservoir loses the moment partition
+    * order changes). Equivalent to uniform-without-replacement under
+    * the hash's uniformity. One exchange on lang + per-group rank.
+    */
+  def qReservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val h = md5(concat(lit("rsv1:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= k, col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+        min(when(col("rn") === 1, col("doc_id"))).as("first_pick"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap"    -> (qDomainCap _),
+    "q_reservoir_sample" -> (qReservoirSample _),
     "q_l_diversity"   -> (qLDiversity _),
     "q_embargo_split" -> (qEmbargoSplit _),
     "q_negative_sample" -> (qNegativeSample _),
@@ -664,6 +714,29 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """WITH rk AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 40 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(max(CASE WHEN rn > 40 THEN 1 ELSE 0 END) AS BIGINT) AS cap_hit
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_reservoir_sample" ->
+      """WITH rk AS (SELECT lang, doc_id,
+        |  md5('rsv1:' || CAST(doc_id AS VARCHAR)) AS h,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('rsv1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+        |  CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_pick
+        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,
         | CAST(count(*) AS BIGINT) AS grp_n,

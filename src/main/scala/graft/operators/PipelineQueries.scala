@@ -403,6 +403,61 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** C93: fixed-point embedding pooling — the per-class centroid a
+    * pipeline derives for semantic routing / class prototypes, in
+    * EXACT micro-units (each float component rounds once to e6 =
+    * round(x·10⁶); sums and the sign-explicit integer mean are then
+    * engine-exact — a float mean would hash-drift). One posexplode
+    * pass + a (label, dim)-grid aggregate: corpus-linear, output
+    * bounded by classes × dims.
+    */
+  def qEmbedPool(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("e6"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("e6")).as("sum_e6"))
+      .withColumn("mean_e6",
+        expr("cast(sign(sum_e6) as bigint) * (abs(sum_e6) div n_vecs)"))
+      .orderBy(col("label"), col("dim"))
+
+  /** C94: int8 symmetric scalar quantization of the embedding column
+    * — the compression step a 100 TB vector corpus applies before
+    * ANN indexing (4× smaller than float32, orthogonal to the C7c
+    * PQ codebooks), with the reconstruction-error audit that decides
+    * whether int8 is safe for the workload. All-integer pipeline:
+    * per-vector scale s = max|e6|, code q = sign·(|e6|·127 div s),
+    * recon = sign·(|q|·s div 127) — both engines agree exactly
+    * (division staged on nonnegative operands only). Error bound
+    * max_err <= s div 127 + 1 by construction (spec'd); reported per
+    * label with total-variation ppm.
+    */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("e6"))
+    val s = e.groupBy(col("vec_id"), col("label"))
+      .agg(max(abs(col("e6"))).as("s"))
+    val nv = s.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    e.join(s, Seq("vec_id", "label"))
+      .withColumn("qabs",
+        expr("case when s = 0 then 0 else (abs(e6) * 127) div s end"))
+      .withColumn("err",
+        expr("abs(e6 - cast(sign(e6) as bigint) * ((qabs * s) div 127))"))
+      .groupBy(col("label"))
+      .agg(sum(abs(col("e6"))).as("sum_abs_e6"),
+        sum(col("err")).as("sum_err"), max(col("err")).as("max_err"))
+      .join(broadcast(nv), Seq("label"))
+      .select(col("label"), col("n_vecs"), col("sum_abs_e6"),
+        col("sum_err"), col("max_err"),
+        expr("sum_err * 1000000 div sum_abs_e6").as("err_ppm"))
+      .orderBy(col("label"))
+  }
+
   /** C8 */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents).orderBy(col("doc_id"))
@@ -748,6 +803,8 @@ object PipelineQueries {
     "q_ann_ivfpq"       -> (qAnnIvfPq _),
     "q_semantic_dedup"  -> (qSemanticDedup _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
+    "q_embed_pool"      -> (qEmbedPool _),
+    "q_embed_quantize"  -> (qEmbedQuantize _),
     "q_text_langid"     -> (qTextLangid _),
     "q_lang_confusion"  -> (qLangConfusion _),
     "q_text_quality"    -> (qTextQuality _),
@@ -929,6 +986,39 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pool" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+        |  FROM embeddings)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(e6) AS BIGINT) AS sum_e6,
+        |  CAST(CAST(sign(sum(e6)) AS BIGINT)
+        |    * (abs(CAST(sum(e6) AS BIGINT)) // count(*)) AS BIGINT) AS mean_e6
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, label, CAST(max(abs(e6)) AS BIGINT) AS s
+        |      FROM e GROUP BY 1, 2),
+        |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |       FROM s GROUP BY 1),
+        |q AS (SELECT e.label, e.e6, s.s,
+        |        CASE WHEN s.s = 0 THEN 0
+        |             ELSE (abs(e.e6) * 127) // s.s END AS qabs
+        |      FROM e JOIN s USING (vec_id, label)),
+        |er AS (SELECT label, abs(e6) AS a,
+        |         abs(e6 - CAST(sign(e6) AS BIGINT) * ((qabs * s) // 127)) AS err
+        |       FROM q)
+        |SELECT label, n_vecs, CAST(sum(a) AS BIGINT) AS sum_abs_e6,
+        |  CAST(sum(err) AS BIGINT) AS sum_err,
+        |  CAST(max(err) AS BIGINT) AS max_err,
+        |  CAST(sum(err) * 1000000 // sum(a) AS BIGINT) AS err_ppm
+        |FROM er JOIN nv USING (label)
+        |GROUP BY label, n_vecs ORDER BY label""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
         | count(*) OVER (PARTITION BY text) AS group_size,

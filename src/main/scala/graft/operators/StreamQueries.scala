@@ -57,6 +57,65 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A35 under the gate: continuous ingest + AUTO-COMPACTION — the
+    * maintenance policy a long-running CDC table needs at 100 TB:
+    * copy-on-write merges accrete a file set per micro-batch, and
+    * without compaction the manifest (and every scan's file list)
+    * grows without bound. Four arrivals land DISJOINT user-id
+    * quarters (each merge carries the other quarters' files — the
+    * fragmenting workload), and after every drained arrival the
+    * maintenance hook runs `optimize()` whenever the live manifest
+    * exceeds `maxFiles`. The CAS commit point makes the hook safe to
+    * run beside the stream: an optimize racing a merge ABORTS
+    * instead of resurrecting pre-merge rows (StoreSpec pins that).
+    * Gate: final content equals the one-shot fold of the whole log
+    * (compaction changes layout, never content), the table ends
+    * compacted (files back at the commit target), and the policy
+    * actually fired.
+    */
+  def qStreamAutoOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+    // deterministic range quarters of the user-id space
+    val quarters = ev.select(col("user_id")).distinct()
+      .withColumn("q", ntile(4).over(Window.orderBy(col("user_id"))))
+    val lines = ChangeModel.changeLines(ev).select("line")
+      .withColumn("uid",
+        get_json_object(col("line"), "$.after.USER_ID").cast("long"))
+      .join(broadcast(quarters.withColumnRenamed("user_id", "uid")), Seq("uid"))
+      .localCheckpoint(true)
+    val linesDir = tmp("gq-opt-lines")
+    val snapDir = tmp("gq-opt-snap")
+    val ckpt = tmp("gq-opt-ckpt")
+    val maxFiles = 6
+    var nOpt = 0L
+    lines.filter(col("q") === 1).select("line").coalesce(1)
+      .write.mode("overwrite").text(linesDir + "/batch0")
+    val q = CdcStream.start(spark, linesDir + "/*/", snapDir, ckpt)
+    q.processAllAvailable()
+    (2 to 4).foreach { i =>
+      lines.filter(col("q") === i).select("line").coalesce(1)
+        .write.mode("overwrite").text(linesDir + s"/batch${i - 1}")
+      q.processAllAvailable()
+      // the maintenance hook: compact when the live file list
+      // exceeds the policy bound (a daemon beside the stream; CAS
+      // protects it from the stream's own commits)
+      val store = new graft.store.SnapshotStore(spark, snapDir, "user_id")
+      store.currentVersion.foreach { v =>
+        if (store.manifest(v).size > maxFiles) { store.optimize(); nOpt += 1 }
+      }
+    }
+    q.stop()
+    val store = new graft.store.SnapshotStore(spark, snapDir, "user_id")
+    val filesFinal = store.manifest(store.currentVersion.get).size.toLong
+    CdcStream.readSnapshot(spark, snapDir).get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .withColumn("compacted", lit(if (filesFinal <= maxFiles) 1L else 0L))
+      .withColumn("policy_fired", lit(if (nOpt >= 1L) 1L else 0L))
+      .orderBy(col("user_id"))
+  }
+
   /** A13 under the gate (the q_kafka_seam item): the A9 fold driven
     * through the `graftlines` DataSourceV2 streaming source — a
     * Kafka-shaped (topic, partition, offset) line stream served from
@@ -923,6 +982,7 @@ object StreamQueries {
     "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
+    "q_stream_auto_optimize" -> (qStreamAutoOptimize _),
     "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
@@ -1104,6 +1164,20 @@ object StreamQueries {
         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
         | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
         | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // auto-compaction changes LAYOUT, never CONTENT: the four-quarter
+    // arrival fold + optimize cycles must equal the one-shot snapshot,
+    // with the policy flags pinned true (ended compacted, fired >= 1x)
+    "q_stream_auto_optimize" ->
+      """SELECT user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+        | CAST(1 AS BIGINT) AS compacted, CAST(1 AS BIGINT) AS policy_fired
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
         |                 event_id DESC) AS rn FROM events)

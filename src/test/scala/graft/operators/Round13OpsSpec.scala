@@ -94,6 +94,53 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) === (d * 1000000 / (BigInt(na) * nb)).toLong)
   }
 
+  test("C89: domain cap keeps exactly min(K, n) per source and flags capped sources") {
+    val r = CurationQueries.qDomainCap(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, kept, hit) = (row.getAs[Long]("n_docs"),
+        row.getAs[Long]("n_kept"), row.getAs[Long]("cap_hit"))
+      assert(kept === math.min(40L, n))
+      assert(hit === (if (n > 40) 1L else 0L))
+    }
+  }
+
+  test("C90: reservoir sample is a pure function of (seed, doc_id) — rerun-identical") {
+    val a = CurationQueries.qReservoirSample(spark, sf).collect().map(_.toString)
+    val b = CurationQueries.qReservoirSample(spark, sf).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    CurationQueries.qReservoirSample(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") === math.min(25L, r.getAs[Long]("n_docs")))
+    }
+  }
+
+  test("C94: int8 quantization error is bounded by scale div 127 + 1, per label") {
+    import spark.implicits._
+    val res = PipelineQueries.qEmbedQuantize(spark, sf).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Long]("max_err")).toMap
+    // the largest per-vector scale of each label bounds every dim's
+    // reconstruction error: err <= s/127 rounded up
+    val sMax = graft.sources.Tables(spark, sf).embeddings
+      .select(col("label").cast("long").as("label"),
+        explode(col("embedding")).as("x"))
+      .select(col("label"),
+        abs(round(col("x").cast("double") * 1000000d).cast("long")).as("a"))
+      .groupBy(col("label")).agg(max(col("a")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    res.foreach { case (label, err) =>
+      assert(err <= sMax(label) / 127L + 1L,
+        s"label $label: max_err $err > bound ${sMax(label) / 127L + 1L}")
+    }
+  }
+
+  test("C93: pooled means are the sign-explicit integer division of exact sums") {
+    PipelineQueries.qEmbedPool(spark, sf).collect().foreach { r =>
+      val (n, s, m) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_e6"),
+        r.getAs[Long]("mean_e6"))
+      assert(m === math.signum(s) * (math.abs(s) / n))
+    }
+  }
+
   test("A34: an empty or all-null first batch skips the KS step instead of wedging") {
     val store = java.nio.file.Files.createTempDirectory("drift-empty").toString
     val empty = graft.sources.Tables(spark, sf).documents
