@@ -65,6 +65,7 @@ object SparkEntry {
     "q_stream_sketch", "q_stream_join", "q_stream_hll",
     "q_stream_session_tws", "q_stream_rate_limit", "q_stream_decontaminate",
     "q_stream_sync_log", "q_stream_coverage", "q_stream_drift",
+    "q_stream_checksum",
     "q_kcore", "q_pagerank", "q_decile_lift",
     "q_pps_sample", "q_lateness_audit", "q_tokenizer_apply",
     "q_tokenizer_fertility",
@@ -76,7 +77,7 @@ object SparkEntry {
     // partitions with an eager job at construction
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
-    "q_zipf_octaves",
+    "q_zipf_octaves", "q_rank_migration",
     // composes q_lm_buckets, inheriting its eager rank pass
     "q_quality_confusion",
     // eager-checkpoints its result to release the barrier caches
@@ -88,13 +89,17 @@ object SparkEntry {
     "q_textrank",
     // iterative BFS rounds (seed scalar + per-round checkpoints)
     "q_bfs_levels", "q_bfs_levels_join",
+    // min-label fixpoint with a label-sum convergence agg per round
+    "q_connected_components",
     // 1-row moment collect: the corr2_ppm ratio runs in unbounded
     // BigInteger on the driver (decimal-38 headroom, r12 verdict)
     "q_assortativity",
-    // two-thread CAS-retry store build at construction (A36)
-    "q_store_concurrent",
     // streaming drive + per-arrival optimize policy (A35)
     "q_stream_auto_optimize")
+  // NOT in the set: q_store_concurrent — its two-thread CAS-retry
+  // build is a cold-DerivedTable landing (idempotent cache warming,
+  // like the q_cdc_* lines table); once the store directory exists
+  // the builder is a lazy header read, so its steady state is lazy.
 
   // ---------------------------------------------------------------- B block
 

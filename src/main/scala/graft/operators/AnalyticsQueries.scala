@@ -1040,7 +1040,74 @@ object AnalyticsQueries {
       .limit(30)
   }
 
+  /** E25: degree-distribution octave histogram of the supplier→part
+    * bipartite graph — the first thing to read before ANY graph
+    * algorithm runs at 100 TB (a heavy right tail says "salt the
+    * hubs or the triangle/BFS join skews"; the octave form is the
+    * standard power-law summary). Degree = distinct parts per
+    * supplier; octave = floor(log2 deg) via length(bin(deg))-1 — the
+    * C75 bit-arithmetic discipline, no float log. One distinct +
+    * two bounded aggregates; the histogram frame is ≤64 rows at any
+    * scale.
+    */
+  def qDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val deg = Tables(spark, dir).lineitem
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("deg"))
+    val byOct = deg
+      .withColumn("octave", (length(expr("bin(deg)")) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("deg")).as("edge_mass"))
+    val tot = byOct.agg(sum(col("edge_mass")).as("total_mass"))
+    byOct.crossJoin(broadcast(tot))
+      .select(col("octave"),
+        expr("shiftleft(1L, CAST(octave AS INT))").as("lo_deg"),
+        col("n_suppliers"), col("edge_mass"),
+        expr("edge_mass * 1000000 div total_mass").as("mass_ppm"))
+      .orderBy(col("octave"))
+  }
+
+  /** E26: connected components of the co-purchase graph (support ≥ 2)
+    * — THE graph-clustering primitive under dedup-cluster maps,
+    * entity resolution, and community seeds (E18's label propagation
+    * finds dense neighborhoods; this finds exact reachability
+    * classes). Distributed min-label propagation to a true fixpoint:
+    * labels only ever decrease, so convergence is detected by the
+    * label-sum invariant (one cheap global agg per round — no
+    * change-count join), and each round is one hash join + one
+    * aggregate on the edge frame, lineage cut by localCheckpoint —
+    * the 100 TB shape (rounds = component diameter; nothing
+    * node-sized ever reaches the driver). Oracle replays it as a
+    * recursive reachability closure.
+    */
+  def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchasePairs(spark, dir).filter(col("support") >= 2)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val both = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).cache()
+    var lab = both.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    while (prevSum == null || curSum.compareTo(prevSum) != 0) {
+      val nbr = both
+        .join(lab.select(col("node").as("v"), col("lab").as("nl")), "v")
+        .groupBy(col("u")).agg(min(col("nl")).as("nbr"))
+      lab = lab.join(nbr.select(col("u").as("node"), col("nbr")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    }
+    both.unpersist()
+    lab.groupBy(col("lab").as("comp")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("comp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_connected_components" -> (qConnectedComponents _),
+    "q_degree_hist"     -> (qDegreeHist _),
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_assortativity"   -> (qAssortativity _),
     "q_bfs_levels"      -> (qBfsLevels _),
@@ -1084,6 +1151,36 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_connected_components" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |                         FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT u AS node FROM e),
+        |r AS (SELECT node, node AS lab FROM nodes
+        |      UNION
+        |      SELECT e.u AS node, r.lab FROM e JOIN r ON r.node = e.v),
+        |cc AS (SELECT node, min(lab) AS comp FROM r GROUP BY node)
+        |SELECT CAST(comp AS BIGINT) AS comp,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM cc GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q_degree_hist" ->
+      """WITH d AS (SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS deg
+        |           FROM lineitem GROUP BY 1),
+        |byo AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS octave,
+        |          CAST(count(*) AS BIGINT) AS n_suppliers,
+        |          CAST(sum(deg) AS BIGINT) AS edge_mass
+        |        FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(edge_mass) AS BIGINT) AS total_mass FROM byo)
+        |SELECT octave, CAST(1::BIGINT << octave AS BIGINT) AS lo_deg,
+        |  n_suppliers, edge_mass,
+        |  CAST(edge_mass * 1000000 // total_mass AS BIGINT) AS mass_ppm
+        |FROM byo, tot ORDER BY octave""".stripMargin,
+
     "q_clustering_coef" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support

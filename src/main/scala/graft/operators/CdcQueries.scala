@@ -349,7 +349,42 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A38: order-free table checksums for sync validation — the
+    * "did the replica land every row intact" audit a CDC pipeline
+    * runs after a sync window [ref: LoggerManager.scala's per-batch
+    * count log — this is its content-level upgrade]. Each row hashes
+    * a canonical pipe-joined projection (keys + money in EXPLICIT
+    * cents-cast longs + dates as strings, so both engines render
+    * identical bytes) to 56 md5 bits; the table checksum is the SUM
+    * of row hashes mod 2^56 — commutative, so partition order,
+    * shuffle layout, and re-runs cannot move it, and any single
+    * changed/missing/duplicated row does. Sums run in decimal(38,0)
+    * (HUGEINT on the oracle side): 2^56-sized terms overflow BIGINT
+    * at ~128 rows. One map pass + global fold per table.
+    */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def ck(df: org.apache.spark.sql.DataFrame, name: String,
+           canon: org.apache.spark.sql.Column) =
+      df.select(graft.streaming.ChecksumStream.rowHash56(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("s"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          expr("CAST(s % 72057594037927936 AS BIGINT)").as("checksum56"))
+    ck(t.orders, "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      .unionAll(ck(t.lineitem, "lineitem",
+        concat_ws("|", col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long"))))
+      .unionAll(ck(t.events, "events",
+        graft.streaming.ChecksumStream.eventsCanon))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum"   -> (qTableChecksum _),
     "q_store_concurrent" -> (qStoreConcurrent _),
     "q_cdc_route"      -> (qCdcRoute _),
     "q_cdc_quarantine" -> (qCdcQuarantine _),
@@ -374,6 +409,30 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT 'orders' AS table_name,
+        |    CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
+        |      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))), 1, 14))
+        |      AS BIGINT) AS h
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_partkey,
+        |      l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 14))
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events',
+        |    CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id,
+        |      event_type, CAST(round(value * 100) AS BIGINT))), 1, 14))
+        |      AS BIGINT)
+        |  FROM events)
+        |SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(h AS HUGEINT)) % 72057594037927936 AS BIGINT)
+        |    AS checksum56
+        |FROM h GROUP BY table_name ORDER BY table_name""".stripMargin,
     // routing the mixed stream to "orders" == the odd-event_id half
     "q_cdc_route" ->
       s"""SELECT event_id AS id, user_id, $opCase AS op_type,

@@ -1438,7 +1438,149 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** C96: Simpson concentration / diversity index per language —
+    * the "how dominated is this language by a few sources" audit a
+    * mixture designer reads next to the Gini (E8) and HHI views.
+    * Simpson's lambda = P(two random docs share a source) =
+    * sum n_i(n_i-1) / (N(N-1)) — an exact RATIONAL, so the ppm form
+    * is engine-exact with no float ever materializing. Products run
+    * in decimal(38,0) (HUGEINT on the oracle side): at 100 TB a
+    * language can hold 1e12 docs and N(N-1) ~ 1e24 overflows BIGINT
+    * long before the inputs do. One corpus-linear (lang, source)
+    * count, then a lang-grid rollup — no shuffle beyond the count.
+    */
+  def qSimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("n_docs"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("pairs_same"))
+      .filter(col("n_docs") >= 2L)
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        expr("CAST(pairs_same * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
+          .as("simpson_ppm"))
+      .withColumn("diversity_ppm", lit(1000000L) - col("simpson_ppm"))
+      .orderBy(col("lang"))
+
+  // C97 policy lexicon — fixed at build time (a real deployment
+  // broadcasts a curated list; the screen's shape is identical).
+  // "password" is deliberately absent from the synthetic vocabulary
+  // so the zero-hit path is exercised alongside live terms.
+  private val PolicyLexicon = Seq("merge", "password", "stream", "vector")
+
+  /** C97: policy-lexicon screen — per (source, term), how many docs
+    * contain the term as a whole token (the compliance / targeted-
+    * removal precursor: before deleting or reweighting, measure).
+    * Map-only per-doc membership flags (one split, k boolean
+    * columns), one per-source aggregate, then a stack() to the long
+    * (source, term) form — NO join against the lexicon, so the plan
+    * has no build side at all and scales as a single corpus pass
+    * regardless of lexicon size up to the stack-width limit.
+    */
+  def qLexiconFlags(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), split(col("text"), " ").as("w"))
+    val flagged = docs.select(
+      col("source") +:
+        PolicyLexicon.map(t => array_contains(col("w"), t).cast("long").as(s"h_$t")): _*)
+    val agg = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        PolicyLexicon.map(t => sum(col(s"h_$t")).as(s"h_$t")): _*)
+    val stackExpr = PolicyLexicon.map(t => s"'$t', h_$t").mkString(", ")
+    agg.select(col("source"), col("n_docs"),
+      expr(s"stack(${PolicyLexicon.size}, $stackExpr)").as(Seq("term", "n_hit")))
+      .select(col("source"), col("term"), col("n_docs"), col("n_hit"),
+        expr("n_hit * 1000000 div n_docs").as("hit_ppm"))
+      .orderBy(col("source"), col("term"))
+  }
+
+  // C98 truncated-weight RBO: W(m) = sum_{d=m..10} (1e6 * 0.1 *
+  // 0.9^(d-1) / d) with each depth's weight floored to an integer
+  // ppm BEFORE summing — computed once here in exact Long
+  // arithmetic and inlined as the SAME literals into both engines'
+  // expressions, so no division ever runs cross-engine.
+  private val RboDepth = 10
+  private val rboW: IndexedSeq[Long] = {
+    val perDepth = (1 to RboDepth).map { d =>
+      var p9 = 1L; var p10 = 10L
+      (2 to d).foreach { _ => p9 *= 9L; p10 *= 10L }
+      1000000L * p9 / (p10 * d)
+    }
+    (1 to RboDepth).map(m => perDepth.drop(m - 1).sum)
+  }
+
+  /** C98: rank-biased overlap (Webber et al. 2010, truncated at
+    * depth 10, p=0.9) between every source pair's top-term
+    * rankings — the "are these two crawls the same corpus wearing
+    * different labels" fingerprint, robust to tail noise in a way
+    * raw Jaccard is not. A token shared by pair (a,b) at ranks
+    * (r_a, r_b) contributes to every depth d >= max(r_a, r_b), so
+    * its total weight is the precomputed suffix sum W(max) — the
+    * whole metric reduces to ONE equi-join on token over two
+    * 10-row-per-source rank frames plus a pair grid for the
+    * zero-overlap rows. Corpus-linear term counting; everything
+    * after is vocab-top-k-bounded (sources² × 10 rows).
+    */
+  def qRboSources(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val top = freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= RboDepth)
+      .select(col("source"), col("tok"), col("r"))
+    val wCase = (1 to RboDepth)
+      .map(m => s"WHEN m = $m THEN ${rboW(m - 1)}L").mkString(" ")
+    val matched = top.select(col("source").as("src_a"), col("tok"), col("r").as("r_a"))
+      .join(top.select(col("source").as("src_b"), col("tok"), col("r").as("r_b")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("m", greatest(col("r_a"), col("r_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_overlap10"),
+        sum(expr(s"CASE $wCase END")).as("rbo_ppm"))
+    val srcs = Tables(spark, dir).documents.select(col("source")).distinct()
+    val pairGrid = srcs.select(col("source").as("src_a"))
+      .join(broadcast(srcs.select(col("source").as("src_b"))),
+        col("src_a") < col("src_b"))
+    pairGrid.join(matched, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_overlap10"), lit(0L)).as("n_overlap10"),
+        coalesce(col("rbo_ppm"), lit(0L)).as("rbo_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** C102: trailing-boilerplate audit — per source, how many docs
+    * share their LAST five tokens with another doc (the signature /
+    * footer / unsubscribe-tail twin of C33's repeated-line
+    * boilerplate, which looks at bodies, not tails). Grouping runs
+    * on md5 of the tail fingerprint so the text never shuffles; docs
+    * under five tokens are out of scope by construction. One map
+    * pass + two source-grid aggregates.
+    */
+  def qTailBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val perTail = Tables(spark, dir).documents
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"),
+        md5(array_join(slice(col("w"), -5, 5), " ")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("n"))
+    perTail.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_tails"),
+        sum(when(col("n") > 1L, col("n")).otherwise(0L)).as("dup_tail_docs"),
+        max(col("n")).as("max_tail_share"))
+      .select(col("source"), col("n_docs"), col("n_tails"),
+        col("dup_tail_docs"), col("max_tail_share"),
+        expr("dup_tail_docs * 1000000 div n_docs").as("dup_tail_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tail_boilerplate"  -> (qTailBoilerplate _),
+    "q_simpson_diversity" -> (qSimpsonDiversity _),
+    "q_lexicon_flags"     -> (qLexiconFlags _),
+    "q_rbo_sources"       -> (qRboSources _),
     "q_rouge_overlap"   -> (qRougeOverlap _),
     "q_hapax_rate"      -> (qHapaxRate _),
     "q_text_normalize"  -> (qTextNormalize _),
@@ -1547,7 +1689,84 @@ object CorpusQueries {
        | FROM pi JOIN pc USING (w1, w2) JOIN uc USING (w1))""".stripMargin
   }
 
+  // C97/C98 oracle fragments generated from the SAME Scala constants
+  // the Spark side uses (lexicon terms, RBO suffix weights) — no
+  // numeric literal is ever derived twice.
+  private def lexiconOracle: String = {
+    val flags = PolicyLexicon.map(t =>
+      s"""  CAST(sum(CASE WHEN list_contains(w, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS h_$t""")
+      .mkString(",\n")
+    val arms = PolicyLexicon.map(t =>
+      s"""SELECT source, '$t' AS term, n_docs, h_$t AS n_hit FROM a""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |$flags
+       | FROM d GROUP BY source)
+       |SELECT source, term, n_docs, n_hit,
+       |  CAST(n_hit * 1000000 // n_docs AS BIGINT) AS hit_ppm
+       |FROM ($arms)
+       |ORDER BY source, term""".stripMargin
+  }
+
+  private def rboOracle: String = {
+    val wCase = (1 to RboDepth)
+      .map(m => s"WHEN greatest(a.r, b.r) = $m THEN ${rboW(m - 1)}").mkString(" ")
+    s"""WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM f GROUP BY 1, 2),
+       |t AS (SELECT source, tok, r FROM (
+       |  SELECT source, tok,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS r
+       |  FROM c) WHERE r <= $RboDepth),
+       |m AS (SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_overlap10,
+       |  CAST(sum(CASE $wCase END) AS BIGINT) AS rbo_ppm
+       | FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+       | GROUP BY 1, 2),
+       |s AS (SELECT DISTINCT source FROM documents),
+       |grid AS (SELECT a.source AS src_a, b.source AS src_b
+       |         FROM s a JOIN s b ON a.source < b.source)
+       |SELECT grid.src_a, grid.src_b,
+       |  CAST(COALESCE(m.n_overlap10, 0) AS BIGINT) AS n_overlap10,
+       |  CAST(COALESCE(m.rbo_ppm, 0) AS BIGINT) AS rbo_ppm
+       |FROM grid LEFT JOIN m ON m.src_a = grid.src_a AND m.src_b = grid.src_b
+       |ORDER BY grid.src_a, grid.src_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_tail_boilerplate" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |t AS (SELECT source,
+        |        md5(array_to_string(list_slice(w, len(w) - 4, len(w)), ' ')) AS th
+        |      FROM w WHERE len(w) >= 5),
+        |pt AS (SELECT source, th, CAST(count(*) AS BIGINT) AS n
+        |       FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tails,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tail_docs,
+        |  CAST(max(n) AS BIGINT) AS max_tail_share,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+        |    // sum(n) AS BIGINT) AS dup_tail_ppm
+        |FROM pt GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_simpson_diversity" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |        CAST(sum(n) AS BIGINT) AS n_docs,
+        |        sum(CAST(n AS HUGEINT) * (n - 1)) AS pairs_same
+        |      FROM c GROUP BY lang)
+        |SELECT lang, n_sources, n_docs,
+        |  CAST(pairs_same * 1000000
+        |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT) AS simpson_ppm,
+        |  CAST(1000000 - pairs_same * 1000000
+        |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT) AS diversity_ppm
+        |FROM a WHERE n_docs >= 2 ORDER BY lang""".stripMargin,
+    "q_lexicon_flags" -> lexiconOracle,
+    "q_rbo_sources"   -> rboOracle,
     "q_rouge_overlap" ->
       """WITH big AS (
         |  SELECT DISTINCT doc_id, source, bg FROM (

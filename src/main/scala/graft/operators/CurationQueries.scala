@@ -686,7 +686,39 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** C101: differentially-private release counts — per-event-type
+    * counts with seeded two-sided geometric noise (the integer
+    * mechanism of Ghosh et al. 2009; sensitivity-1 counts, tail
+    * P(|noise| = k) ∝ 2^-k). The draw is derived, not sampled: the
+    * md5 of a salted key gives 60 uniform bits, the noise magnitude
+    * is the leading-zero-bit count (= floor(-log2 u), exactly
+    * geometric) and the sign is one further hash bit — so a 100 TB
+    * re-release reproduces the same noise with NO RNG state, and
+    * both engines agree bit-for-bit because the whole mechanism is
+    * hex-string inspection (leading-'0' run + one character class),
+    * never float log. n_dp clamps at 0 (counts are nonnegative in
+    * the release contract). Plan: one corpus-linear count, then
+    * map-only noise columns on the tiny grouped frame.
+    */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .withColumn("hx", md5(concat(lit("graft-dp:"), col("event_type"))))
+      .withColumn("t", substring(col("hx"), 1, 15))
+      .withColumn("z", length(regexp_extract(col("t"), "^0*", 0)).cast("long"))
+      .withColumn("fnz", expr("substring(t, CAST(z + 1 AS INT), 1)"))
+      .withColumn("mag", col("z") * 4L + expr(
+        """CASE WHEN fnz = '1' THEN 3 WHEN fnz IN ('2','3') THEN 2
+          |     WHEN fnz IN ('4','5','6','7') THEN 1 ELSE 0 END""".stripMargin))
+      .withColumn("noise", expr(
+        "CASE WHEN substring(hx, 16, 1) IN ('0','1','2','3','4','5','6','7') " +
+          "THEN mag ELSE -mag END"))
+      .select(col("event_type"), col("n_true"), col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("n_dp"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts"     -> (qDpCounts _),
     "q_domain_cap"    -> (qDomainCap _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_l_diversity"   -> (qLDiversity _),
@@ -714,6 +746,30 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n_true,
+        |        md5('graft-dp:' || event_type) AS hx FROM c),
+        |m AS (SELECT event_type, n_true, hx,
+        |        substring(hx, 1, 15) AS t,
+        |        CAST(length(regexp_extract(substring(hx, 1, 15), '^0*', 0))
+        |          AS BIGINT) AS z
+        |      FROM h),
+        |n AS (SELECT event_type, n_true, hx,
+        |        z * 4 + CASE WHEN substring(t, CAST(z + 1 AS INT), 1) = '1' THEN 3
+        |                     WHEN substring(t, CAST(z + 1 AS INT), 1) IN ('2','3') THEN 2
+        |                     WHEN substring(t, CAST(z + 1 AS INT), 1) IN ('4','5','6','7') THEN 1
+        |                     ELSE 0 END AS mag
+        |      FROM m)
+        |SELECT event_type, n_true,
+        |  CAST(CASE WHEN substring(hx, 16, 1) IN ('0','1','2','3','4','5','6','7')
+        |       THEN mag ELSE -mag END AS BIGINT) AS noise,
+        |  CAST(greatest(0, n_true + CASE WHEN substring(hx, 16, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN mag ELSE -mag END)
+        |    AS BIGINT) AS n_dp
+        |FROM n ORDER BY event_type""".stripMargin,
+
     "q_domain_cap" ->
       """WITH rk AS (SELECT source, n_chars,
         |  row_number() OVER (PARTITION BY source

@@ -379,7 +379,118 @@ object DiagnosticsQueries {
       .orderBy(col("event_type"), col("vbucket"))
   }
 
+  /** G11: Pearson chi-squared contingency audit of the source×lang
+    * table — the categorical-independence sibling of G10's mutual
+    * information (MI measures shared bits; chi² gives the classical
+    * test statistic a drift monitor thresholds against). Zero cells
+    * are REAL cells here (O=0 still contributes E = R·C/N), so the
+    * grid is the full margin cross product, not just observed pairs.
+    * Per-cell term = (O·N − R·C)²·1000 / (R·C·N), an exact rational
+    * whose cross-products run in decimal(38,0)/HUGEINT — at 100 TB
+    * O·N ≈ 1e12·1e12 is far past BIGINT before the cells are. The
+    * corpus pass is one (source, lang) count; everything downstream
+    * is margin-bounded (sources × langs rows).
+    */
+  def qChi2Contingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rmarg = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cmarg = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    rmarg.crossJoin(broadcast(cmarg))
+      .join(cells, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      .withColumn("dev",
+        expr("CAST(o0 AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c"))
+      .withColumn("term_milli",
+        expr("CAST((dev * dev * 1000) div (CAST(r AS DECIMAL(38,0)) * c * nn) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("o0")).as("n_docs"),
+        sum(col("term_milli")).as("chi2_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** G12: hash-partition balance audit — simulate the 32-way hash
+    * exchange each candidate join/agg key would produce and report
+    * its balance (max-bucket share vs the uniform ideal, in ppm of
+    * ideal). G1 ranks hot KEYS; this measures the EXCHANGE those
+    * keys produce — the number that actually predicts a straggler
+    * task. Buckets come from md5 (engine-portable, unlike either
+    * engine's internal hash), so Spark and DuckDB agree exactly and
+    * the audit is reproducible anywhere. One map + 32-row aggregate
+    * per audited key; output is keys × 1 rows.
+    */
+  def qPartitionBalance(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // bucket = first 8 md5 hex chars mod 32 — identical in DuckDB as
+    // (('0x' || substr(md5(k),1,8))::BIGINT % 32)
+    def buckets(df: org.apache.spark.sql.DataFrame, key: String, name: String) =
+      df.select(col(key).cast("string").as("k"))
+        .select(pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+          lit(32L)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_bucket"), min(col("n")).as("min_bucket"))
+        .select(lit(name).as("audit_key"), col("n_buckets"), col("n_rows"),
+          col("max_bucket"), col("min_bucket"),
+          expr("max_bucket * 32 * 1000000 div n_rows").as("max_vs_ideal_ppm"))
+    buckets(t.orders, "o_custkey", "orders.o_custkey")
+      .unionAll(buckets(t.lineitem, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(buckets(t.events, "user_id", "events.user_id"))
+      .orderBy(col("audit_key"))
+  }
+
+  /** G13: population stability index (PSI) drift — the classical
+    * risk-model drift score next to G9's KS (KS reads the worst
+    * single point of the ECDF gap; PSI reads the whole distribution
+    * reshape and is what model-governance thresholds are written
+    * against, conventionally 0.1/0.25). Reference = the frozen
+    * src0-4 n_chars distribution (the A34 convention); each source
+    * scores against it over fixed $100-width buckets with Laplace
+    * +1 smoothing on the shared bucket grid (PSI is undefined on
+    * zero cells). Each term (p−q)(log p − log q) is rewritten as
+    * (c·Nr − r·Ns)·(elog(c·Nr) − elog(r·Ns)) / (8·Ns·Nr) — the two
+    * factors always share sign, so every term is ≥ 0 and the whole
+    * statistic is exact-integer in eighth-bit units (the C69 elog
+    * kernel), cross-products in decimal(38,0). One fact-sized
+    * (source, bucket) count; the grid is sources × value-domain
+    * buckets (PlanShape-allowlisted, domain-bounded).
+    */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusQueries.sparkElog
+    val d = Tables(spark, dir).documents
+      .select(col("source"), expr("n_chars div 100").as("bkt"))
+    val refCnt = d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("r"))
+    val srcCnt = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+    val grid = d.select(col("source")).distinct()
+      .crossJoin(broadcast(d.select(col("bkt")).distinct()))
+    val cells = grid
+      .join(srcCnt, Seq("source", "bkt"), "left")
+      .join(broadcast(refCnt), Seq("bkt"), "left")
+      .select(col("source"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("cs"),
+        (coalesce(col("r"), lit(0L)) + 1L).as("rs"))
+    val margins = cells.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("cs")).as("ns"),
+        sum(col("rs")).as("nr"))
+    cells.join(margins, Seq("source"))
+      .withColumn("cn", expr("cs * nr")).withColumn("rn", expr("rs * ns"))
+      .withColumn("term",
+        expr(s"""(CAST(cn - rn AS DECIMAL(38,0))
+                 | * (${sparkElog("cn")} - ${sparkElog("rn")})
+                 | * 1000) div (8 * CAST(ns AS DECIMAL(38,0)) * nr)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_smoothed"), first(col("n_buckets")).as("n_buckets"),
+        sum(col("term")).cast("long").as("psi_milli_ebits"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift"         -> (qPsiDrift _),
+    "q_partition_balance" -> (qPartitionBalance _),
+    "q_chi2_contingency" -> (qChi2Contingency _),
     "q_ks_drift"       -> (qKsDrift _),
     "q_mutual_info"    -> (qMutualInfo _),
     "q_stats_drift"    -> (qStatsDrift _),
@@ -391,7 +502,82 @@ object DiagnosticsQueries {
     "q_equidepth_bins" -> (qEquidepthBins _),
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = {
+    import graft.operators.CorpusQueries.duckElog
+    Map(
+    "q_psi_drift" ->
+      s"""WITH d AS (SELECT source, n_chars // 100 AS bkt FROM documents),
+         |ref AS (SELECT bkt, CAST(count(*) AS BIGINT) AS r FROM d
+         |        WHERE source IN ('src0','src1','src2','src3','src4')
+         |        GROUP BY 1),
+         |sc AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS c
+         |       FROM d GROUP BY 1, 2),
+         |grid AS (SELECT s.source, b.bkt
+         |         FROM (SELECT DISTINCT source FROM d) s
+         |         CROSS JOIN (SELECT DISTINCT bkt FROM d) b),
+         |cells AS (SELECT g.source,
+         |            COALESCE(sc.c, 0) + 1 AS cs, COALESCE(ref.r, 0) + 1 AS rs
+         |          FROM grid g
+         |            LEFT JOIN sc ON sc.source = g.source AND sc.bkt = g.bkt
+         |            LEFT JOIN ref ON ref.bkt = g.bkt),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+         |        CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(rs) AS BIGINT) AS nr
+         |      FROM cells GROUP BY 1),
+         |prod AS (SELECT c.source, m.ns, m.nr, m.n_buckets,
+         |           CAST(c.cs * m.nr AS BIGINT) AS cn,
+         |           CAST(c.rs * m.ns AS BIGINT) AS rn
+         |         FROM cells c JOIN m ON c.source = m.source),
+         |t AS (SELECT source, ns, n_buckets,
+         |        (CAST(cn - rn AS HUGEINT)
+         |          * (${duckElog("cn")} - ${duckElog("rn")})
+         |          * 1000) // (8 * CAST(ns AS HUGEINT) * nr) AS term
+         |      FROM prod)
+         |SELECT source, CAST(min(ns) AS BIGINT) AS n_smoothed,
+         |  CAST(min(n_buckets) AS BIGINT) AS n_buckets,
+         |  CAST(sum(term) AS BIGINT) AS psi_milli_ebits
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_partition_balance" ->
+      """WITH src AS (
+        |  SELECT 'orders.o_custkey' AS audit_key,
+        |    CAST(o_custkey AS VARCHAR) AS k FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events),
+        |bk AS (SELECT audit_key,
+        |         CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 32 AS b,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM src GROUP BY 1, 2)
+        |SELECT audit_key, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_bucket,
+        |  CAST(min(n) AS BIGINT) AS min_bucket,
+        |  CAST(max(n) * 32 * 1000000 // sum(n) AS BIGINT) AS max_vs_ideal_ppm
+        |FROM bk GROUP BY audit_key ORDER BY audit_key""".stripMargin,
+
+    "q_chi2_contingency" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+        |grid AS (SELECT rm.source, cm.lang, rm.r, cm.c, tot.nn,
+        |           COALESCE(cells.o, 0) AS o0
+        |         FROM rm CROSS JOIN cm CROSS JOIN tot
+        |           LEFT JOIN cells ON cells.source = rm.source
+        |             AND cells.lang = cm.lang),
+        |terms AS (SELECT source, o0,
+        |            CAST(((CAST(o0 AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+        |                * (CAST(o0 AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+        |                * 1000)
+        |              // (CAST(r AS HUGEINT) * c * nn) AS BIGINT) AS term_milli
+        |          FROM grid)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(o0) AS BIGINT) AS n_docs,
+        |  CAST(sum(term_milli) AS BIGINT) AS chi2_milli
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
     // the A34 streamed drift monitor (DriftMonitorStream, query
     // registered in StreamQueries) must equal the batch KS of each
     // cumulative arrival prefix vs the frozen src0-4 reference —
@@ -589,4 +775,5 @@ object DiagnosticsQueries {
         |FROM b GROUP BY event_type, bin
         |ORDER BY event_type, bin""".stripMargin,
   )
+  }
 }

@@ -778,7 +778,81 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C99: embedding norm audit per label — the vector-hygiene gate a
+    * 100 TB embedding corpus runs before ANY similarity work (a
+    * batch of zero/denormal vectors from a failed encoder silently
+    * poisons cosine math; a norm drift between labels flags an
+    * encoder-version mix). All-integer: e6 fixed-point per element
+    * (the C93 convention), per-vector norm² in e12 units (64 dims ×
+    * (1e6)² = 6.4e13 max, far inside BIGINT), then per-label min /
+    * max / mean and a near-zero count (norm < 0.1 ⇔ norm² < 1e10).
+    * One corpus-linear explode + two bounded aggregates — map-heavy,
+    * no join.
+    */
+  def qVectorNormAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        explode(col("embedding")).as("x"))
+      .select(col("vec_id"), col("label"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("e6"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("e6 * e6")).as("normsq_e12"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("normsq_e12")).as("min_normsq_e12"),
+        max(col("normsq_e12")).as("max_normsq_e12"),
+        sum(col("normsq_e12")).as("sum_normsq_e12"),
+        sum(when(col("normsq_e12") < 10000000000L, 1L).otherwise(0L))
+          .as("n_near_zero"))
+      .select(col("label"), col("n_vecs"), col("min_normsq_e12"),
+        col("max_normsq_e12"),
+        expr("sum_normsq_e12 div n_vecs").as("mean_normsq_e12"),
+        col("n_near_zero"))
+      .orderBy(col("label"))
+
+  /** C100: exact inter-label centroid separation — the class-
+    * geometry audit behind "are these labels distinguishable in
+    * embedding space" (collapsed centroid pairs predict ANN
+    * confusion and duplicate labels). The centroid is a RATIONAL
+    * (sum_e6/n per dim), so the pairwise squared distance
+    * Σ_dim (s_a·n_b − s_b·n_a)² / (n_a·n_b)² is exact integer
+    * arithmetic end to end; cross-products run in decimal(38,0)
+    * (HUGEINT on the oracle side), exact while n_label·1e6·n_other
+    * ≤ 1e19 — ~1e6 vectors per label; normalize counts first past
+    * that. Emitted in e12 units (the square of the e6 fixed-point
+    * grid). Shape: one corpus-linear explode → (label, dim) sums
+    * (labels×dims rows), then a dim-key self-join of that TINY frame
+    * — the corpus is never pairwise-joined.
+    */
+  def qLabelCentroidDist(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables(spark, dir).embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("e6"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("e6")).as("s"), count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("na"), col("nb"),
+        expr("CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na")
+          .as("d"))
+      .groupBy(col("label_a"), col("label_b"), col("na"), col("nb"))
+      .agg(sum(expr("d * d")).as("num"))
+      .select(col("label_a"), col("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("CAST(num div (CAST(na AS DECIMAL(38,0)) * nb * na * nb) AS BIGINT)")
+          .as("dist2_e12"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_norm_audit"   -> (qVectorNormAudit _),
+    "q_label_centroid_dist" -> (qLabelCentroidDist _),
     "q_bm25"            -> (qBm25 _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_ngram_jaccard"   -> (qNgramJaccard _),
@@ -986,6 +1060,37 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_vector_norm_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, label,
+        |        CAST(sum(e6 * e6) AS BIGINT) AS normsq_e12
+        |      FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(normsq_e12) AS BIGINT) AS min_normsq_e12,
+        |  CAST(max(normsq_e12) AS BIGINT) AS max_normsq_e12,
+        |  CAST(sum(normsq_e12) // count(*) AS BIGINT) AS mean_normsq_e12,
+        |  CAST(sum(CASE WHEN normsq_e12 < 10000000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_near_zero
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_label_centroid_dist" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+        |  FROM embeddings),
+        |s AS (SELECT label, dim, CAST(sum(e6) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(sum((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+        |           * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n))
+        |    // (CAST(a.n AS HUGEINT) * b.n * a.n * b.n) AS BIGINT) AS dist2_e12
+        |FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2, 3, 4 ORDER BY label_a, label_b""".stripMargin,
+
     "q_embed_pool" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
         |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.cdc.ChangeModel
 import graft.sources.Tables
-import graft.streaming.{AggStream, CdcStream, EventStream, KafkaCdcSource}
+import graft.streaming.{AggStream, CdcStream, ChecksumStream, EventStream, KafkaCdcSource}
 
 /** The streaming tier (A9/A15/A22) wired into the DRIVER'S ORACLE
   * GATE, not just ScalaTest equivalence specs: each query drives the
@@ -267,6 +267,32 @@ object StreamQueries {
     AggStream.readTable(spark, storeDir).get
       .select(col("user_id"), col("n_events"), col("sum_cents"))
       .orderBy(col("user_id"))
+  }
+
+  /** A39 under the gate: the live sync-validation checksum — two
+    * time-split arrivals fold their canonical-row-hash partials into
+    * the store; the running checksum must equal the batch A38
+    * checksum of the full events table (the oracle replays the A38
+    * events arm). Replay safety comes from the same batch-txn guard
+    * as A22.
+    */
+  def qStreamChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val inDir = tmp("gq-ck-in")
+    val storeDir = tmp("gq-ck-store")
+    val ckpt = tmp("gq-ck-ckpt")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch0")
+    val q = ChecksumStream.start(spark, inDir + "/*/", inDir + "/batch0",
+      storeDir, ckpt)
+    q.processAllAvailable()
+    events.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    ChecksumStream.readChecksum(spark, storeDir).get
+      .orderBy(col("table_name"))
   }
 
   /** A11 under the gate: stateful gap sessionization
@@ -986,6 +1012,7 @@ object StreamQueries {
     "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
     "q_stream_agg_table"    -> (qStreamAggTable _),
+    "q_stream_checksum"     -> (qStreamChecksum _),
     "q_stream_session"      -> (qStreamSession _),
     "q_stream_window"       -> (qStreamWindow _),
   )
@@ -1189,6 +1216,13 @@ object StreamQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     // the maintained table == one-shot aggregate over all events
+    "q_stream_checksum" ->
+      """SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST(('0x' || substr(md5(concat_ws('|', event_id,
+        |      user_id, event_type, CAST(round(value * 100) AS BIGINT))), 1, 14))
+        |      AS BIGINT) AS HUGEINT)) % 72057594037927936 AS BIGINT) AS checksum56
+        |FROM events""".stripMargin,
+
     "q_stream_agg_table" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(cast(round(value*100) as bigint)) AS BIGINT) AS sum_cents

@@ -697,7 +697,146 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** F22: recency-decayed engagement score per user — the freshness
+    * weight a curation/retention stack uses to downweight stale
+    * activity (half-life = 1 day). The weight is EXACTLY 2^-age in
+    * q20 fixed point via an integer right shift (1048576 >> age_days,
+    * 0 past 20 days) — no float pow, so both engines and any future
+    * re-run agree bit-for-bit. Anchor = the corpus' max event date
+    * (one global agg row, broadcast); one map pass + one per-user
+    * aggregate after that.
+    */
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val mx = ev.agg(max(col("d")).as("dmax"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("dmax"), col("d")).cast("long"))
+      .withColumn("w_q20",
+        expr("CASE WHEN age <= 20 THEN shiftright(1048576L, CAST(age AS INT)) ELSE 0L END"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        sum(col("w_q20")).as("score_q20"))
+      .orderBy(col("user_id"))
+  }
+
+  /** F23: inter-order gap statistics per customer — the cadence
+    * profile behind churn models and replenishment forecasts
+    * (median inter-arrival beats mean under the bursty-buyer skew).
+    * Gap sequence is pinned by a total order (o_orderdate,
+    * o_orderkey) so same-day ties permute identically in both
+    * engines; the median is the LOWER median picked by row_number =
+    * (n+1) div 2 — integer-exact, no averaging of middle pairs.
+    * Shape: one lag window + one rank window, both partitioned by
+    * customer (never global), then a per-customer fold.
+    */
+  def qOrderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+    val seq0 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = o.withColumn("prev", lag(col("d"), 1).over(seq0))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", datediff(col("d"), col("prev")).cast("long"))
+    val stats = gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+    val byGap = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("gap"), col("o_orderkey"))
+    val med = gaps.withColumn("rk", row_number().over(byGap))
+      .join(stats.select(col("o_custkey"), col("n_gaps")), Seq("o_custkey"))
+      .filter(col("rk") === expr("(n_gaps + 1) div 2"))
+      .select(col("o_custkey"), col("gap").as("med_gap"))
+    stats.join(med, Seq("o_custkey"))
+      .filter(col("n_gaps") >= 4L)
+      .select(col("o_custkey"), (col("n_gaps") + 1L).as("n_orders"),
+        col("min_gap"), col("med_gap"), col("max_gap"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** F24: 7-day sliding LOWER-median of daily revenue per event
+    * type — the robust trend line a monitoring stack plots instead
+    * of the outlier-hostage sliding mean (F2/G6 flag the outliers;
+    * this shows the level they pollute). Spark has no percentile
+    * window frame, so the trailing window materializes as a
+    * day-grid self-join (type×day × ≤7 rows — calendar-bounded,
+    * never fact-sized) and the median is the integer rank pick
+    * (n+1) div 2 under a total (cents, day) order: engine-exact, no
+    * middle-pair averaging. The only fact-sized pass is the daily
+    * cents aggregate.
+    */
+  def qSlidingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val win = daily.select(col("event_type"), col("d"))
+      .join(daily.select(col("event_type"), col("d").as("d2"),
+        col("day_cents").as("c2")), Seq("event_type"))
+      .filter(datediff(col("d"), col("d2")).between(0, 6))
+    val n = win.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_days"))
+    val rk = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("c2"), col("d2"))
+    win.withColumn("rk", row_number().over(rk))
+      .join(n, Seq("event_type", "d"))
+      .filter(col("rk") === expr("(n_days + 1) div 2"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n_days"), col("c2").as("med_cents"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** F25: leaderboard migration — the top-20 revenue parts of the
+    * calendar's first half vs its second half, with rank deltas
+    * (the "what rose, what fell" churn report every seasonal-mix
+    * review starts from; high migration = a shifting catalog, zero
+    * = a static one). The split point is derived from the data's
+    * own date span (min + span div 2 — no wall clock), revenue is
+    * exact cents, ranks break ties on partkey, absent-from-a-half
+    * reads rank 0. Two fact-sized half aggregates; the outer join
+    * runs on two 20-row frames.
+    */
+  def qRankMigration(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .join(Tables(spark, dir).orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), to_date(col("o_orderdate")).as("d"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val span = li.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("d0"), expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val tagged = li.crossJoin(broadcast(span))
+      .withColumn("half", when(col("d") <= col("mid"), lit("a")).otherwise(lit("b")))
+    // top-20 via distributed TakeOrdered + zipWithIndex (the C75
+    // template) — no single-partition window ever touches the
+    // part-dimension-sized revenue frame
+    def top(half: String) = {
+      import spark.implicits._
+      tagged.filter(col("half") === half)
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("l_partkey")).limit(20)
+        .as[(Long, Long)].rdd.zipWithIndex()
+        .map { case ((pk, rc), i) => (pk, rc, i + 1L) }
+        .toDF("l_partkey", "rev_cents", "rk")
+    }
+    top("a").select(col("l_partkey"), col("rev_cents").as("rev_a"), col("rk").as("rank_a"))
+      .join(top("b").select(col("l_partkey"), col("rev_cents").as("rev_b"), col("rk").as("rank_b")),
+        Seq("l_partkey"), "full_outer")
+      .select(col("l_partkey"),
+        coalesce(col("rank_a"), lit(0)).cast("long").as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).cast("long").as("rank_b"),
+        coalesce(col("rev_a"), lit(0L)).as("rev_a_cents"),
+        coalesce(col("rev_b"), lit(0L)).as("rev_b_cents"))
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_median"     -> (qSlidingMedian _),
+    "q_rank_migration"     -> (qRankMigration _),
+    "q_decay_score"        -> (qDecayScore _),
+    "q_order_gap_stats"    -> (qOrderGapStats _),
     "q_twap"               -> (qTwap _),
     "q_stl_decompose"      -> (qStlDecompose _),
     "q_theil_sen"          -> (qTheilSen _),
@@ -723,6 +862,88 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_sliding_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |win AS (SELECT a.event_type, a.d, b.d AS d2, b.day_cents AS c2
+        |        FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |          AND date_diff('day', b.d, a.d) BETWEEN 0 AND 6),
+        |n AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM win GROUP BY 1, 2),
+        |rk AS (SELECT event_type, d, c2,
+        |         row_number() OVER (PARTITION BY event_type, d
+        |           ORDER BY c2, d2) AS rk
+        |       FROM win)
+        |SELECT rk.event_type, strftime(rk.d, '%Y-%m-%d') AS d, n.n_days,
+        |  CAST(rk.c2 AS BIGINT) AS med_cents
+        |FROM rk JOIN n ON rk.event_type = n.event_type AND rk.d = n.d
+        |WHERE rk.rk = (n.n_days + 1) // 2
+        |ORDER BY rk.event_type, rk.d""".stripMargin,
+
+    "q_rank_migration" ->
+      """WITH li AS (SELECT l_partkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |span AS (SELECT min(d) AS d0,
+        |           min(d) + CAST(date_diff('day', min(d), max(d)) // 2 AS INT) AS mid
+        |         FROM li),
+        |tagged AS (SELECT l_partkey, cents,
+        |             CASE WHEN d <= mid THEN 'a' ELSE 'b' END AS half
+        |           FROM li, span),
+        |ra AS (SELECT l_partkey, rev_cents, rk FROM (
+        |  SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |    row_number() OVER (ORDER BY sum(cents) DESC, l_partkey) AS rk
+        |  FROM tagged WHERE half = 'a' GROUP BY 1) WHERE rk <= 20),
+        |rb AS (SELECT l_partkey, rev_cents, rk FROM (
+        |  SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |    row_number() OVER (ORDER BY sum(cents) DESC, l_partkey) AS rk
+        |  FROM tagged WHERE half = 'b' GROUP BY 1) WHERE rk <= 20)
+        |SELECT COALESCE(ra.l_partkey, rb.l_partkey) AS l_partkey,
+        |  CAST(COALESCE(ra.rk, 0) AS BIGINT) AS rank_a,
+        |  CAST(COALESCE(rb.rk, 0) AS BIGINT) AS rank_b,
+        |  CAST(COALESCE(ra.rev_cents, 0) AS BIGINT) AS rev_a_cents,
+        |  CAST(COALESCE(rb.rev_cents, 0) AS BIGINT) AS rev_b_cents
+        |FROM ra FULL OUTER JOIN rb ON ra.l_partkey = rb.l_partkey
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM ev),
+        |w AS (SELECT user_id,
+        |        CAST(date_diff('day', d, dmax) AS BIGINT) AS age
+        |      FROM ev, mx)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(age) AS BIGINT) AS last_age_days,
+        |  CAST(sum(CASE WHEN age <= 20
+        |    THEN 1048576 >> CAST(age AS INT) ELSE 0 END) AS BIGINT) AS score_q20
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_order_gap_stats" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        |           FROM orders),
+        |g AS (SELECT o_custkey, o_orderkey,
+        |        CAST(date_diff('day',
+        |          lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+        |          d) AS BIGINT) AS gap
+        |      FROM o),
+        |gaps AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |stats AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+        |            CAST(min(gap) AS BIGINT) AS min_gap,
+        |            CAST(max(gap) AS BIGINT) AS max_gap
+        |          FROM gaps GROUP BY 1),
+        |rk AS (SELECT o_custkey, gap,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY gap, o_orderkey) AS rk
+        |       FROM gaps),
+        |med AS (SELECT r.o_custkey, r.gap AS med_gap
+        |        FROM rk r JOIN stats s ON r.o_custkey = s.o_custkey
+        |        WHERE r.rk = (s.n_gaps + 1) // 2)
+        |SELECT s.o_custkey, CAST(s.n_gaps + 1 AS BIGINT) AS n_orders,
+        |  s.min_gap, m.med_gap, s.max_gap
+        |FROM stats s JOIN med m ON s.o_custkey = m.o_custkey
+        |WHERE s.n_gaps >= 4 ORDER BY s.o_custkey""".stripMargin,
+
     "q_twap" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    epoch_us(cast(ts AS timestamp)) AS us, event_id,

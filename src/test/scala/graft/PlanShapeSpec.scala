@@ -119,7 +119,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_semantic_dedup" -> "IVF centroid frame: k<=16 rows, broadcast",
       "q_gap_fill"      -> ("day-calendar grid: sequence() over one agg row " +
         "per event_type (<=5 types x bounded days)"),
-      "q_ks_drift"      -> "per-source counts: <=20 sources (domain-bounded)")
+      "q_ks_drift"      -> "per-source counts: <=20 sources (domain-bounded)",
+      "q_rbo_sources"   -> ("distinct-source pair grid: <=20 sources, " +
+        "<=190 pairs (domain-bounded)"),
+      "q_chi2_contingency" -> ("margin cross product: <=20 sources x <=5 " +
+        "langs (domain-bounded contingency grid)"),
+      "q_psi_drift" -> ("source x n_chars-bucket grid: <=20 sources x " +
+        "value-domain buckets (domain-bounded)"))
     val found = scala.collection.mutable.Set.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, b) =>
       if (!SparkEntry.eagerQueries(name)) {
