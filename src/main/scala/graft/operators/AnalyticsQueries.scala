@@ -1105,7 +1105,33 @@ object AnalyticsQueries {
       .orderBy(col("comp"))
   }
 
+  /** E27: HITS hubs-and-authorities on the supplier→part bipartite
+    * graph, two UNNORMALIZED iterations — Kleinberg's mutual
+    * reinforcement ("good suppliers stock well-sourced parts")
+    * beside E14's PageRank. Skipping the per-round sqrt
+    * normalization keeps every score an exact INTEGER (matrix
+    * powers of a 0/1 matrix) with the identical ranking, so the
+    * oracle replays it as plain SQL joins: a1 = deg(p),
+    * h1(s) = Σ a1, a2(p) = Σ h1, h2(s) = Σ a2. Sums in
+    * decimal(38,0) — h2 grows as deg⁴. One distinct edge frame,
+    * four bounded joins/aggregates, top-20 via TakeOrdered.
+    */
+  def qHitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).lineitem
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+    val h1 = e.join(a1, Seq("p")).groupBy(col("s")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, Seq("s")).groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2, Seq("p")).groupBy(col("s")).agg(sum(col("a2")).as("h2"))
+    h1.join(h2, Seq("s"))
+      .select(col("s").as("l_suppkey"),
+        col("h1").cast("long").as("hub1"), col("h2").cast("long").as("hub2"))
+      .orderBy(col("hub2").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits_scores"          -> (qHitsScores _),
     "q_connected_components" -> (qConnectedComponents _),
     "q_degree_hist"     -> (qDegreeHist _),
     "q_clustering_coef" -> (qClusteringCoef _),
@@ -1151,6 +1177,18 @@ object AnalyticsQueries {
        |  FROM deg d CROSS JOIN nn LEFT JOIN $inflow i ON i.node = d.u""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hits_scores" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |           FROM lineitem),
+        |a1 AS (SELECT p, CAST(count(*) AS HUGEINT) AS a1 FROM e GROUP BY 1),
+        |h1 AS (SELECT s, sum(a1) AS h1 FROM e JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (SELECT p, sum(h1) AS a2 FROM e JOIN h1 USING (s) GROUP BY 1),
+        |h2 AS (SELECT s, sum(a2) AS h2 FROM e JOIN a2 USING (p) GROUP BY 1)
+        |SELECT h1.s AS l_suppkey, CAST(h1.h1 AS BIGINT) AS hub1,
+        |  CAST(h2.h2 AS BIGINT) AS hub2
+        |FROM h1 JOIN h2 ON h1.s = h2.s
+        |ORDER BY hub2 DESC, l_suppkey LIMIT 20""".stripMargin,
+
     "q_connected_components" ->
       """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey
         |                         FROM lineitem),

@@ -383,7 +383,44 @@ object CdcQueries {
       .orderBy(col("table_name"))
   }
 
+  /** A40: offset-log continuity audit — "did we lose a sync window"
+    * [ref: files/offset.log — the reference trusts its per-window
+    * (topic, partition, from, until) lines for replay; a lost line
+    * silently skips data on restart]. Offsets are the per-partition
+    * row_number (Kafka's contiguous per-partition space), bucketed
+    * into 250-offset sync windows; window #2 is dropped to simulate
+    * a lost log line, and the audit must find EXACTLY those holes:
+    * per partition, a lag() pass flags every from > prev_until + 1
+    * and totals the missing offsets. Partition-local windows — the
+    * lag never crosses partitions, so the audit scales per-partition.
+    */
+  def qOffsetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("id"))
+    val logRows = parsed(spark, dir)
+      .withColumn("partition", pmod(col("user_id"), lit(4)).cast("int"))
+      .withColumn("off", row_number().over(w).cast("long"))
+      .withColumn("win", expr("(off - 1) div 250"))
+      .groupBy(col("partition"), col("win"))
+      .agg(min(col("off")).as("fromoffset"), max(col("off")).as("untiloffset"))
+      .filter(col("win") =!= 2L) // simulated lost log line
+    val seq0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("win"))
+    logRows
+      .withColumn("prev_until", lag(col("untiloffset"), 1).over(seq0))
+      .withColumn("gap",
+        when(col("prev_until").isNotNull &&
+          col("fromoffset") > col("prev_until") + 1L,
+          col("fromoffset") - col("prev_until") - 1L).otherwise(0L))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_log_rows"),
+        sum(when(col("gap") > 0L, 1L).otherwise(0L)).as("n_gaps"),
+        sum(col("gap")).as("missing_offsets"))
+      .orderBy(col("partition"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_offset_audit"     -> (qOffsetAudit _),
     "q_table_checksum"   -> (qTableChecksum _),
     "q_store_concurrent" -> (qStoreConcurrent _),
     "q_cdc_route"      -> (qCdcRoute _),
@@ -409,6 +446,30 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_offset_audit" ->
+      """WITH o AS (SELECT CAST(user_id % 4 AS INT) AS partition,
+        |    row_number() OVER (PARTITION BY user_id % 4
+        |      ORDER BY event_id) AS off
+        |  FROM events),
+        |lr0 AS (SELECT partition, (off - 1) // 250 AS win,
+        |          CAST(min(off) AS BIGINT) AS fromoffset,
+        |          CAST(max(off) AS BIGINT) AS untiloffset
+        |        FROM o GROUP BY 1, 2),
+        |lr AS (SELECT * FROM lr0 WHERE win != 2),
+        |g AS (SELECT partition, fromoffset, untiloffset,
+        |        lag(untiloffset) OVER (PARTITION BY partition
+        |          ORDER BY win) AS prev_until
+        |      FROM lr),
+        |gg AS (SELECT partition,
+        |         CASE WHEN prev_until IS NOT NULL
+        |              AND fromoffset > prev_until + 1
+        |              THEN fromoffset - prev_until - 1 ELSE 0 END AS gap
+        |       FROM g)
+        |SELECT partition, CAST(count(*) AS BIGINT) AS n_log_rows,
+        |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS missing_offsets
+        |FROM gg GROUP BY partition ORDER BY partition""".stripMargin,
+
     "q_table_checksum" ->
       """WITH h AS (
         |  SELECT 'orders' AS table_name,

@@ -1576,7 +1576,44 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** C103: distance-weighted window co-occurrence — the GloVe
+    * X_ij table (Pennington et al. 2014): for every unordered token
+    * pair within a ±5-token window, the count and the
+    * 1/distance-weighted mass (integer ppm: 1e6 div d, so the decay
+    * is engine-exact — GloVe's own 1/d weighting with no float).
+    * C35/C43 count ADJACENT pairs; embeddings training wants the
+    * windowed table. The band join is BLOCK-BUCKETED: joining raw
+    * on doc_id would pair every token with every token of its own
+    * document (doc-quadratic — fatal on a 1e5-token document), so
+    * the left keys on (doc_id, pos div 5) and the right explodes
+    * into its ≤2 candidate blocks — per-token work stays window-
+    * bounded at ANY document length. One aggregate, top-40 via
+    * distributed TakeOrdered.
+    */
+  def qWindowCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val a = toks.select(col("doc_id"), col("pos").as("p1"), col("w").as("wa"),
+      expr("pos div 5").as("blk"))
+    val b = toks.select(col("doc_id"), col("pos").as("p2"), col("w").as("wb"))
+      // the window [p2-5, p2-1] spans at most two 5-blocks;
+      // array_distinct collapses them when they coincide so every
+      // (p1, p2) pair matches exactly once
+      .withColumn("blk", explode(array_distinct(
+        array(expr("greatest(p2 - 5, 0) div 5"), expr("greatest(p2 - 1, 0) div 5")))))
+    val pairs = a.join(b, Seq("doc_id", "blk"))
+      .filter(col("p2") - col("p1") >= 1 && col("p2") - col("p1") <= 5)
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"),
+        expr("1000000 div (p2 - p1)").as("wt"))
+    pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("wt")).as("weight_ppm"))
+      .orderBy(col("weight_ppm").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_cooccur"    -> (qWindowCooccur _),
     "q_tail_boilerplate"  -> (qTailBoilerplate _),
     "q_simpson_diversity" -> (qSimpsonDiversity _),
     "q_lexicon_flags"     -> (qLexiconFlags _),
@@ -1736,6 +1773,20 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_window_cooccur" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT) AS pos
+        |  FROM documents),
+        |p AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+        |        1000000 // (b.pos - a.pos) AS wt
+        |      FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |        AND b.pos - a.pos BETWEEN 1 AND 5)
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(wt) AS BIGINT) AS weight_ppm
+        |FROM p GROUP BY 1, 2
+        |ORDER BY weight_ppm DESC, w1, w2 LIMIT 40""".stripMargin,
+
     "q_tail_boilerplate" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS w
         |           FROM documents),

@@ -832,7 +832,32 @@ object TimeSeriesQueries {
       .orderBy(col("l_partkey"))
   }
 
+  /** F28: day-of-week × hour activity heatmap — the load-profile
+    * report behind capacity planning and trigger-cadence tuning.
+    * Day-of-week is computed ARITHMETICALLY ((epoch_days + 3) mod 7,
+    * Monday = 0) instead of either engine's dayofweek() — the two
+    * disagree on week-start conventions, epoch arithmetic cannot.
+    * Exact cents, share in ppm of the total (one broadcast scalar).
+    * One fact pass + a ≤168-row grid aggregate.
+    */
+  def qTimeHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(
+        expr("pmod(datediff(to_date(ts), DATE'1970-01-01') + 3, 7)")
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cells = ev.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val tot = cells.agg(sum(col("n_events")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n_events"), col("sum_cents"),
+        expr("n_events * 1000000 div total").as("share_ppm"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_heatmap"       -> (qTimeHeatmap _),
     "q_sliding_median"     -> (qSlidingMedian _),
     "q_rank_migration"     -> (qRankMigration _),
     "q_decay_score"        -> (qDecayScore _),
@@ -862,6 +887,21 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_time_heatmap" ->
+      """WITH ev AS (SELECT
+        |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |cells AS (SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cells)
+        |SELECT dow, hr, n_events, sum_cents,
+        |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM cells, tot ORDER BY dow, hr""".stripMargin,
+
     "q_sliding_median" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents

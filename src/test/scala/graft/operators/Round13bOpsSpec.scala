@@ -221,6 +221,51 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(z.longValueExact() === 0L)
   }
 
+  test("C103: window co-occurrence weights decay exactly as 1e6 div d") {
+    val w = (1 to 5).map(d => 1000000L / d)
+    assert(w === Seq(1000000L, 500000L, 333333L, 250000L, 200000L))
+    val rows = CorpusQueries.qWindowCooccur(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      // each co-occurrence contributes at most the adjacent weight
+      assert(r.getAs[Long]("weight_ppm") <= r.getAs[Long]("n_pairs") * 1000000L)
+      assert(r.getAs[Long]("weight_ppm") >= r.getAs[Long]("n_pairs") * 200000L)
+    }
+  }
+
+  test("E27: unnormalized HITS scores are positive and hub2 dominates hub1") {
+    val rows = AnalyticsQueries.qHitsScores(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val h2s = rows.map(_.getAs[Long]("hub2"))
+    assert(h2s === h2s.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hub1") >= 1L)
+      // a2(p) >= a1(p) pointwise (h1 >= 1 per neighbor), so h2 >= h1
+      assert(r.getAs[Long]("hub2") >= r.getAs[Long]("hub1"))
+    }
+  }
+
+  test("A40: the audit finds exactly the dropped sync window per partition") {
+    val rows = CdcQueries.qOffsetAudit(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      // window 2 (offsets 501-750) is dropped -> exactly one 250-wide hole
+      assert(r.getAs[Long]("n_gaps") === 1L)
+      assert(r.getAs[Long]("missing_offsets") === 250L)
+    }
+  }
+
+  test("F28: heatmap shares sum to ~1e6 and the grid never exceeds 168 cells") {
+    val rows = TimeSeriesQueries.qTimeHeatmap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 168)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L)
+      assert(r.getAs[Long]("hr") >= 0L && r.getAs[Long]("hr") <= 23L)
+    }
+    val share = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(share <= 1000000L && share > 1000000L - rows.length)
+  }
+
   test("G11: chi2 of an exactly-independent table is zero; real table is nonnegative") {
     import spark.implicits._
     // outer-product table: O = r*c/N exactly -> every dev = 0
