@@ -1368,12 +1368,15 @@ object CorpusQueries {
     */
   def qRougeOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // bigrams as 8-byte xxhash64 shingles (the C38/C80 discipline):
+    // the distinct and both postings joins shuffle LONGS, never the
+    // bigram strings — counts agree absent 64-bit collisions
+    // (~n²/2⁶⁴), and the string-concat transform disappears from the
+    // hot path entirely
     val big = docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("source"), col("doc_id"),
-        explode(expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', " +
-          "element_at(split(text, ' '), i + 1)))")).as("bg"))
+        explode(graft.functions.shingle_hashes(split(col("text"), " "), 2)).as("bg"))
       .distinct()
     val w = Window.partitionBy(col("source")).orderBy(col("ref"))
     val pairs = docs.select(col("source"), col("doc_id").as("ref"))
