@@ -64,6 +64,19 @@ object ChecksumStream {
       col("table_name"), col("n_rows"),
       expr("CAST(sum_h % 72057594037927936 AS BIGINT)").as("checksum56")))
 
+  /** One micro-batch's fold. txn = batchId: the additive checksum
+    * fold is not replay-idempotent; redelivery must be a no-op (the
+    * store skips txn <= last applied).
+    */
+  def foldBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val store = new SnapshotStore(batch.sparkSession, storeDir, keyCol)
+    val p = partials(batch).persist()
+    try store.mergeWith(p, init = identity[DataFrame], fold = foldAdd,
+      txn = Some(batchId))
+    finally p.unpersist()
+    ()
+  }
+
   def start(spark: SparkSession, eventsDir: String, schemaDir: String,
             storeDir: String, checkpointDir: String): StreamingQuery = {
     Files.createDirectories(Paths.get(storeDir))
@@ -73,15 +86,7 @@ object ChecksumStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val store = new SnapshotStore(batch.sparkSession, storeDir, keyCol)
-        val p = partials(batch).persist()
-        // txn = batchId: the additive checksum fold is not replay-
-        // idempotent; redelivery must be a no-op (store skips txn <=
-        // last applied)
-        try store.mergeWith(p, init = identity[DataFrame], fold = foldAdd,
-          txn = Some(batchId))
-        finally p.unpersist()
-        ()
+        foldBatch(batch, storeDir, batchId)
       }
       .start()
   }
