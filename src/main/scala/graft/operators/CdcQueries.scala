@@ -223,6 +223,36 @@ object CdcQueries {
       .orderBy(col("id"))
   }
 
+  /** A41: dead-letter replay — the RECOVERY half of A14's quarantine
+    * (route-and-count is useless unless repaired rows can rejoin the
+    * table): the poisoned lines are repaired (strip the corruption
+    * prefix), re-parsed through the SAME quarantine parser, unioned
+    * with the first-pass valid rows, and upserted — and the result
+    * must equal the snapshot of an incident-free feed, which is
+    * exactly q_cdc_upsert's oracle plus the repair count. Replay is
+    * a second pass over ONLY the quarantined slice (1/7 of the
+    * feed), never a full re-ingest.
+    */
+  def qDlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val lines = ChangeModel.linesTable(spark, dir)
+      .select(
+        when(pmod(col("id"), lit(7)) === 0, concat(lit("!poison!"), col("line")))
+          .otherwise(col("line")).as("line"))
+    val split = CdcOps.parseWithQuarantine(lines)
+    val repaired = CdcOps.parseWithQuarantine(
+      split.filter(!col("is_valid"))
+        .select(regexp_replace(col("line"), "^!poison!", "").as("line")))
+      .filter(col("is_valid"))
+    val nRepaired = repaired.agg(count(lit(1)).as("n_repaired"))
+    val all = split.filter(col("is_valid")).unionByName(repaired)
+    CdcOps.snapshot(all, col("user_id"))
+      .select(col("user_id"), col("id").as("last_id"),
+        col("op_type").as("last_op"), col("value").as("last_value"),
+        col("current_ts").as("last_ts"))
+      .crossJoin(broadcast(nRepaired))
+      .orderBy(col("user_id"))
+  }
+
   private val storeLock = new Object
 
   /** The two-merge snapshot-store history shared by q_store_changes
@@ -420,6 +450,7 @@ object CdcQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dlq_replay"       -> (qDlqReplay _),
     "q_offset_audit"     -> (qOffsetAudit _),
     "q_table_checksum"   -> (qTableChecksum _),
     "q_store_concurrent" -> (qStoreConcurrent _),
@@ -446,6 +477,15 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "q_dlq_replay" ->
+      s"""WITH nrep AS (SELECT CAST(count(*) AS BIGINT) AS n_repaired
+         |              FROM events WHERE event_id % 7 = 0)
+         |SELECT user_id, event_id AS last_id, $opCase AS last_op,
+         | value AS last_value, $tsSec AS last_ts, nrep.n_repaired
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events), nrep
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_offset_audit" ->
       """WITH o AS (SELECT CAST(user_id % 4 AS INT) AS partition,
         |    row_number() OVER (PARTITION BY user_id % 4

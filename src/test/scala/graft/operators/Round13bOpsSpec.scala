@@ -266,6 +266,21 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(share <= 1000000L && share > 1000000L - rows.length)
   }
 
+  test("A41: DLQ replay converges to the incident-free upsert snapshot") {
+    val replayed = CdcQueries.qDlqReplay(spark, sf).collect()
+    val clean = CdcQueries.qCdcUpsert(spark, sf).collect()
+    assert(replayed.length === clean.length)
+    replayed.zip(clean).foreach { case (r, c) =>
+      assert(r.getAs[Long]("user_id") === c.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("last_id") === c.getAs[Long]("last_id"))
+      assert(r.getAs[String]("last_op") === c.getAs[String]("last_op"))
+    }
+    // every poisoned line (id % 7 == 0) was repaired, none dropped
+    val expected = graft.cdc.ChangeModel.linesTable(spark, sf)
+      .filter(col("id") % 7 === 0).count()
+    assert(replayed.head.getAs[Long]("n_repaired") === expected)
+  }
+
   test("G11: chi2 of an exactly-independent table is zero; real table is nonnegative") {
     import spark.implicits._
     // outer-product table: O = r*c/N exactly -> every dev = 0
