@@ -553,7 +553,35 @@ object Extended {
         |FROM s ORDER BY event_type""".stripMargin)
   }
 
+  /** B47: exact grouped MODE with a total tie order — the one
+    * classical aggregate the surface still lacked (Spark has no
+    * mode(); DuckDB's breaks ties arbitrarily, so BOTH sides compute
+    * it as count + rank under (count DESC, value ASC), which is
+    * deterministic everywhere). Emits each order priority's most
+    * common return flag with its count and share. Two bounded
+    * aggregates over domain-sized frames after one fact-sized count.
+    */
+  def qGroupedMode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_group"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("n").desc, col("l_returnflag"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(tot, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("l_returnflag").as("mode_returnflag"),
+        col("n").as("n_mode"), col("n_group"),
+        expr("n * 1000000 div n_group").as("mode_share_ppm"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouped_mode" -> (qGroupedMode _),
     "q_sql_surface"   -> (qSqlSurface _),
     "q_typed_agg"     -> (qTypedAgg _),
     "q_revenue_share" -> (qRevenueShare _),
@@ -584,6 +612,22 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouped_mode" ->
+      """WITH c AS (SELECT o_orderpriority, l_returnflag,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_group
+        |      FROM c GROUP BY 1),
+        |r AS (SELECT o_orderpriority, l_returnflag, n,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY n DESC, l_returnflag) AS rk
+        |      FROM c)
+        |SELECT r.o_orderpriority, r.l_returnflag AS mode_returnflag,
+        |  r.n AS n_mode, t.n_group,
+        |  CAST(r.n * 1000000 // t.n_group AS BIGINT) AS mode_share_ppm
+        |FROM r JOIN t ON r.o_orderpriority = t.o_orderpriority
+        |WHERE r.rk = 1 ORDER BY r.o_orderpriority""".stripMargin,
     "q_sql_surface" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

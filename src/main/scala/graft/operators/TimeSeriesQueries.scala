@@ -856,7 +856,36 @@ object TimeSeriesQueries {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** F29: burstiness via the squared coefficient of variation of
+    * per-user inter-event gaps (CV² = 1 ⇔ Poisson arrivals, > 1 ⇔
+    * bursty, the bot/automation tell). CV² is a RATIONAL of the
+    * integer gap moments — n·(n·Σx² − S²) / (S²·(n−1)) — so the ppm
+    * form is engine-exact with no sqrt and no float; cross-products
+    * run in decimal(38,0)/HUGEINT. Gaps in whole epoch seconds under
+    * a total (ts, event_id) order; users need ≥ 5 gaps and a
+    * positive gap sum. One lag window + one per-user fold.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("unix_seconds(ts)").as("s"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    ev.withColumn("prev", lag(col("s"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("s") - col("prev")).as("x"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .filter(col("n") >= 5L && col("sx") > 0L)
+      .select(col("user_id"), col("n").as("n_gaps"), col("sx").as("sum_gap_s"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000
+               | div (CAST(sx AS DECIMAL(38,0)) * sx * (n - 1)) AS BIGINT)""".stripMargin)
+          .as("cv2_ppm"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burstiness"         -> (qBurstiness _),
     "q_time_heatmap"       -> (qTimeHeatmap _),
     "q_sliding_median"     -> (qSlidingMedian _),
     "q_rank_migration"     -> (qRankMigration _),
@@ -887,6 +916,22 @@ object TimeSeriesQueries {
   private val ewmaWeightsSql = EwmaWeights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    event_id FROM events),
+        |g AS (SELECT user_id,
+        |        s - lag(s) OVER (PARTITION BY user_id
+        |          ORDER BY s, event_id) AS x
+        |      FROM e),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM g WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n AS n_gaps, sx AS sum_gap_s,
+        |  CAST(CAST(n AS HUGEINT) * (n * sxx - CAST(sx AS HUGEINT) * sx) * 1000000
+        |    // (CAST(sx AS HUGEINT) * sx * (n - 1)) AS BIGINT) AS cv2_ppm
+        |FROM m WHERE n >= 5 AND sx > 0 ORDER BY user_id""".stripMargin,
+
     "q_time_heatmap" ->
       """WITH ev AS (SELECT
         |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,

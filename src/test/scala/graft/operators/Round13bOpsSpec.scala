@@ -281,6 +281,19 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(replayed.head.getAs[Long]("n_repaired") === expected)
   }
 
+  test("B47/F29: grouped-mode share floor and burstiness nonnegativity") {
+    val modes = Extended.qGroupedMode(spark, sf).collect()
+    assert(modes.nonEmpty)
+    // three return flags -> the mode holds at least a third
+    modes.foreach(r => assert(r.getAs[Long]("mode_share_ppm") >= 333333L))
+    val b = TimeSeriesQueries.qBurstiness(spark, sf).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      assert(r.getAs[Long]("cv2_ppm") >= 0L)
+      assert(r.getAs[Long]("n_gaps") >= 5L)
+    }
+  }
+
   test("G11: chi2 of an exactly-independent table is zero; real table is nonnegative") {
     import spark.implicits._
     // outer-product table: O = r*c/N exactly -> every dev = 0
