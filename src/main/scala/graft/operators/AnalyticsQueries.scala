@@ -940,8 +940,9 @@ object AnalyticsQueries {
     * products co-occur with other hubs (assortative, num > 0) or
     * with the long tail (disassortative, num < 0)? The Pearson
     * moments of (deg(u), deg(v)) over both edge orientations,
-    * reported as EXACT integers (decimal(38,0)/HUGEINT — a float
-    * corr would hash-drift) plus the signed squared correlation in
+    * computed in EXACT integer math (decimal(38,0)/HUGEINT — a float
+    * corr would hash-drift), gated as BIGINT (see the cast note at
+    * the emit site), plus the signed squared correlation in
     * ppm: sign(num)·num²·10⁶ div (den_x·den_y), which carries the
     * correlation's full information without an irrational sqrt.
     * Shape: one degree aggregate over the landed pair table + two
@@ -995,13 +996,26 @@ object AnalyticsQueries {
         (dec(col("m")) * col("syy") - dec(col("sy")) * dec(col("sy"))).as("den_y"))
     val r = moments.first()
     val ppm = corr2Ppm(r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
+    // Gated output emits the moments as BIGINT, not raw decimal(38,0):
+    // two rounds of driver-hash flags showed decimal128 columns hash
+    // differently across engines even when byte-identical in Arrow. The
+    // centred moments num/den_x/den_y are bounded by m·max(deg)² ≲ 1e18
+    // for any corpus whose pair table fits a cluster (m ≤ 1e12 pairs,
+    // deg ≤ 1e3 hubs ⇒ ≤ 1e18); longValueExact throws loudly rather
+    // than wrapping if that bound is ever exceeded. The distributed
+    // math above and corr2Ppm stay exact decimal/BigInteger.
     val out = org.apache.spark.sql.Row(
-      r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), ppm)
+      r.getLong(0),
+      java.lang.Long.valueOf(r.getDecimal(1).toBigIntegerExact.longValueExact()),
+      java.lang.Long.valueOf(r.getDecimal(2).toBigIntegerExact.longValueExact()),
+      java.lang.Long.valueOf(r.getDecimal(3).toBigIntegerExact.longValueExact()),
+      ppm)
+    val lt = org.apache.spark.sql.types.LongType
     spark.createDataFrame(
       java.util.Collections.singletonList(out),
-      org.apache.spark.sql.types.StructType(moments.schema.fields :+
-        org.apache.spark.sql.types.StructField("corr2_ppm",
-          org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.StructType(
+        Seq("m", "num", "den_x", "den_y", "corr2_ppm")
+          .map(org.apache.spark.sql.types.StructField(_, lt))))
   }
 
   /** E24: local clustering coefficient on the co-purchase graph —
@@ -1276,7 +1290,8 @@ object AnalyticsQueries {
         |        CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den_x,
         |        CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS den_y
         |      FROM s)
-        |SELECT m, num, den_x, den_y,
+        |SELECT m, CAST(num AS BIGINT) AS num,
+        |  CAST(den_x AS BIGINT) AS den_x, CAST(den_y AS BIGINT) AS den_y,
         |  CAST(sign(num) AS BIGINT)
         |    * CAST((num * num * 1000000) // (den_x * den_y) AS BIGINT) AS corr2_ppm
         |FROM mo""".stripMargin,

@@ -453,7 +453,17 @@ object DiagnosticsQueries {
     * (c·Nr − r·Ns)·(elog(c·Nr) − elog(r·Ns)) / (8·Ns·Nr) — the two
     * factors always share sign, so every term is ≥ 0 and the whole
     * statistic is exact-integer in eighth-bit units (the C69 elog
-    * kernel), cross-products in decimal(38,0). One fact-sized
+    * kernel). Scale bound, stated honestly: the cross-products
+    * c·Nr / r·Ns are computed in BIGINT because the elog kernel
+    * reads bit-length + top nibble via bin()/shifts, which Spark
+    * only defines on longs — so the formulation holds while
+    * Ns·Nr < 2⁶³ (≈3·10⁹ rows on EACH side simultaneously). Past
+    * that, coarsen the bucket width or score against a fixed-size
+    * reference sample (both preserve PSI's governance thresholds);
+    * only the (cn−rn) difference and the final div run in
+    * decimal(38,0), which they must (the difference of two ~2⁶²
+    * products can cancel catastrophically in floating point, never
+    * in exact decimal). One fact-sized
     * (source, bucket) count; the grid is sources × value-domain
     * buckets (PlanShape-allowlisted, domain-bounded).
     */
