@@ -67,7 +67,8 @@ final class SnapshotStore(
     keepVersions: Int = 2,
     indexCol: Option[String] = None,
     indexBits: Int = 1 << 14,
-    parquetManifestFrom: Int = 4096) {
+    parquetManifestFrom: Int = 4096,
+    protocol: CommitProtocol = AtomicRenameCommit) {
 
   require(keepVersions >= 1, "keepVersions must be >= 1")
 
@@ -83,8 +84,7 @@ final class SnapshotStore(
     */
   @volatile private[graft] var lastMergeSummaryRows: Long = -1L
 
-  def currentVersion: Option[Long] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
+  def currentVersion: Option[Long] = protocol.readPointer(pointer)
 
   /** The key-range index of a committed version. Manifest rows store
     * paths RELATIVE to the store root (the property that makes the
@@ -392,18 +392,14 @@ final class SnapshotStore(
     * the loser re-reads + re-folds + retries. Locking is two-level:
     * a JVM-wide monitor per store root (FileChannel throws
     * OverlappingFileLockException on same-JVM contention) plus an OS
-    * file lock for cross-process writers on one host. On a DFS the
-    * same seam maps to the filesystem's atomic create/rename claim.
+    * file lock for cross-process writers on one host — that policy
+    * now lives in [[AtomicRenameCommit]]; the store sees only the
+    * [[CommitProtocol]] seam, so an object-store deployment swaps
+    * the primitives (conditional-put lease/pointer) without touching
+    * the commit ordering here.
     */
   private def withCommitLock[T](body: => T): T =
-    SnapshotStore.rootMonitor(root).synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(root, ".COMMIT.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try { val lk = ch.lock(); try body finally lk.release() }
-      finally ch.close()
-    }
+    protocol.exclusive(root)(body)
 
   private def casCheck(v: Long, expectedParent: Option[Long]): Unit = {
     val cur = currentVersion
@@ -415,12 +411,7 @@ final class SnapshotStore(
           "committed first; re-read the snapshot, re-fold, retry")
   }
 
-  private def flipPointer(v: Long): Unit = {
-    val tmpP = Paths.get(root, s".LATEST.tmp")
-    Files.writeString(tmpP, v.toString)
-    Files.move(tmpP, pointer,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def flipPointer(v: Long): Unit = protocol.flipPointer(pointer, v)
 
   private def publish(v: Long, entries: Seq[DataFileEntry],
                       txn: Option[Long] = None,
@@ -453,8 +444,7 @@ final class SnapshotStore(
       // (manifest dispatch reads the header tag, this keeps disk clean)
       if (Files.exists(manifestParquet(v)))
         org.apache.commons.io.FileUtils.deleteDirectory(manifestParquet(v).toFile)
-      Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      protocol.landFile(tmpM, manifestDir.resolve(s"m$v.tsv"))
       flipPointer(v)
     } catch {
       case e: ConcurrentCommitException =>
@@ -498,11 +488,10 @@ final class SnapshotStore(
       casCheck(v, expectedParent)
       if (Files.exists(target))
         org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      protocol.landDir(tmp, target)
       val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
       Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true))
-      Files.move(tmpM, manifestDir.resolve(s"m$v.tsv"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      protocol.landFile(tmpM, manifestDir.resolve(s"m$v.tsv"))
       flipPointer(v)
     } catch {
       case e: ConcurrentCommitException =>

@@ -761,6 +761,51 @@ class StoreSpec extends AnyFunSuite {
     assert(finalRows === Set("base", "A", "B"), s"final: $finalRows")
   }
 
+  test("commit seam: every commit primitive routes through CommitProtocol, in commit order") {
+    // r13 verdict task 5: the store's crash-safety rests on five
+    // primitives a non-POSIX filesystem must be able to replace. This
+    // pins (a) that SnapshotStore calls ONLY the seam for them, and
+    // (b) the commit order the S3 impl must preserve: manifest lands
+    // inside the exclusive section BEFORE the pointer flips.
+    import graft.store.{AtomicRenameCommit, CommitProtocol}
+    import spark.implicits._
+    val trace = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    object Tracing extends CommitProtocol {
+      def exclusive[T](root: String)(body: => T): T = {
+        trace.add("enter"); val r = AtomicRenameCommit.exclusive(root)(body)
+        trace.add("exit"); r
+      }
+      def readPointer(p: java.nio.file.Path): Option[Long] =
+        AtomicRenameCommit.readPointer(p)
+      def flipPointer(p: java.nio.file.Path, v: Long): Unit = {
+        trace.add(s"flip:$v"); AtomicRenameCommit.flipPointer(p, v)
+      }
+      def landFile(tmp: java.nio.file.Path, t: java.nio.file.Path): Unit = {
+        trace.add("landFile"); AtomicRenameCommit.landFile(tmp, t)
+      }
+      def landDir(tmp: java.nio.file.Path, t: java.nio.file.Path): Unit = {
+        trace.add("landDir"); AtomicRenameCommit.landDir(tmp, t)
+      }
+    }
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k", protocol = Tracing)
+    store.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "payload"))
+    val t1 = trace.toArray.map(_.toString).toSeq
+    assert(t1 === Seq("enter", "landFile", "flip:0", "exit"),
+      s"TSV commit order through the seam: $t1")
+    // the same store read back through the default protocol proves
+    // the seam changed no on-disk byte of the format
+    assert(new SnapshotStore(spark, root, "k").read().get.count() === 2)
+    // parquet-manifest path: same order, landDir for the entry list
+    trace.clear()
+    val pqStore = new SnapshotStore(spark, newRoot(), "k",
+      parquetManifestFrom = 0, protocol = Tracing)
+    pqStore.commit(Seq((1L, "a")).toDF("k", "payload"))
+    val t2 = trace.toArray.map(_.toString).toSeq
+    assert(t2 === Seq("enter", "landDir", "landFile", "flip:0", "exit"),
+      s"parquet commit order through the seam: $t2")
+  }
+
   test("optimize aborts instead of resurrecting rows when a merge lands mid-rewrite") {
     import spark.implicits._
     val root = newRoot()
