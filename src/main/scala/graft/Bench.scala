@@ -22,6 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench-only log hygiene (VERDICT r13 item 7): the suite's
+    // domain-bounded windows (daily grids, octave bins, one-row
+    // moments — all PlanShape-allowlisted) emit hundreds of benign
+    // "No Partition Defined for Window" warnings that bury real
+    // signals in the driver's bounded stdout tail. Silence that one
+    // logger here only — Verify and library code keep default levels,
+    // so a genuinely unpartitioned window in new code still warns
+    // where correctness work happens.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // the q_stream_* queries drive full Structured Streaming
     // pipelines (checkpoint WAL, trigger waits, temp-dir sinks) —

@@ -219,6 +219,64 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A42 under the gate (r13 verdict task 4): multi-topic fan-in →
+    * per-table fan-out. The reference consumes a topic SET into one
+    * direct stream and upserts each record into its target table
+    * [ref: ConsumerMain.scala:44, KuduManager.scala:66-70]; here TWO
+    * graftlines topic directories (topic `t_events` carries
+    * PUB.EVENTS changes = even event ids, topic `t_orders` carries
+    * PUB.ORDERS = odd ids) union into ONE streaming query whose
+    * foreachBatch routes per table into per-table SnapshotStores
+    * ([[CdcStream.startRouted]]). Two arrivals with interleaved ids
+    * per topic force the second micro-batch to REWRITE keys the
+    * first one stored in BOTH sinks — the cross-batch fold is
+    * exercised per table, under one shared checkpoint.
+    * Gate: each stored snapshot equals the batch soft-delete fold of
+    * its table's slice of the full log.
+    */
+  def qStreamMultitopic(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Paths, StandardCopyOption, StandardOpenOption}
+    val lines = ChangeModel.mixedChangeLines(Tables(spark, dir).events)
+      .withColumn("id", get_json_object(col("line"), "$.after.ID").cast("long"))
+    val topicDirs = Map("t_events" -> tmp("gq-mt-events"),
+                        "t_orders" -> tmp("gq-mt-orders"))
+    val storeRoot = tmp("gq-mt-stores")
+    // topic routing mirrors mixedChangeLines: even ids are PUB.EVENTS
+    def writePhase(topic: String, parity: Int, phaseA: Boolean): Unit = {
+      val out = tmp(s"gq-mt-w$parity")
+      lines.filter(expr(s"id % 2 = $parity AND ((id div 2) % 2 = 0) = $phaseA"))
+        .select("line").coalesce(1).write.mode("overwrite").text(out)
+      val part = {
+        val s = Files.list(Paths.get(out))
+        try s.filter(_.getFileName.toString.startsWith("part-")).findFirst.get
+        finally s.close()
+      }
+      val seg = Paths.get(topicDirs(topic), s"$topic-0.log")
+      if (phaseA) Files.move(part, seg, StandardCopyOption.REPLACE_EXISTING)
+      else Files.write(seg, Files.readAllBytes(part), StandardOpenOption.APPEND)
+    }
+    def readTopic(d: String) = spark.readStream.format("graftlines")
+      .option("path", d).option("startingOffsets", "earliest").load()
+    writePhase("t_events", 0, phaseA = true)
+    writePhase("t_orders", 1, phaseA = true)
+    val fanIn = readTopic(topicDirs("t_events"))
+      .unionByName(readTopic(topicDirs("t_orders")))
+    val q = CdcStream.startRouted(fanIn, Seq("events", "orders"), storeRoot,
+      tmp("gq-mt-ckpt"))
+    q.processAllAvailable()
+    writePhase("t_events", 0, phaseA = false)
+    writePhase("t_orders", 1, phaseA = false)
+    q.processAllAvailable()
+    q.stop()
+    Seq("events", "orders").map { t =>
+      new graft.store.SnapshotStore(spark, s"$storeRoot/$t", "user_id")
+        .read().get.withColumn("tab_name", lit(t))
+    }.reduce(_ unionByName _)
+      .select(col("tab_name"), col("user_id"), col("id").as("last_id"),
+        col("delete_state"), col("event_type"), col("value"))
+      .orderBy(col("tab_name"), col("user_id"))
+  }
+
   /** A15 under the gate: at-least-once delivery (every event lands
     * TWICE) deduplicated by the watermarked streaming dedup. One
     * AvailableNow batch, so no event is ever "late" vs the watermark
@@ -1008,6 +1066,7 @@ object StreamQueries {
     "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
+    "q_stream_multitopic" -> (qStreamMultitopic _),
     "q_stream_auto_optimize" -> (qStreamAutoOptimize _),
     "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
@@ -1195,6 +1254,23 @@ object StreamQueries {
         |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
         |                 event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // multi-topic fan-in: each per-table store equals the batch
+    // soft-delete fold of ITS table's slice (even ids = events topic,
+    // odd = orders, the mixedChangeLines routing), folded per
+    // (table, user_id) independently
+    "q_stream_multitopic" ->
+      """WITH r AS (SELECT *,
+        |  CASE WHEN event_id % 2 = 0 THEN 'events' ELSE 'orders' END AS tab
+        |  FROM events),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY tab, user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM r)
+        |SELECT tab AS tab_name, user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |FROM s WHERE rn = 1 ORDER BY tab_name, user_id""".stripMargin,
 
     // auto-compaction changes LAYOUT, never CONTENT: the four-quarter
     // arrival fold + optimize cycles must equal the one-shot snapshot,

@@ -60,6 +60,42 @@ object CdcStream {
       s"${cfg.storeRoot}/$name", s"${cfg.checkpointRoot}/$name",
       cfg.maxFilesPerTrigger, cfg.trigger)
 
+  /** Multi-table fan-in → fan-out (r13 verdict task 4): ONE streaming
+    * query consumes a topic-set line stream (the reference subscribes
+    * a comma topic LIST into one direct stream
+    * [ref: ConsumerMain.scala:44]) and routes each table's records to
+    * its own SnapshotStore under `<storeRoot>/<table>` — the
+    * reference's per-target-table Kudu fan-out
+    * [ref: KuduManager.scala:66-70] through the table-format seam.
+    *
+    * One checkpoint owns the whole fan-out: every table's merge for a
+    * micro-batch completes before the batch commits, so a crash
+    * replays the batch into ALL sinks — harmless, the fold is
+    * idempotent per table. The mixed batch is parsed ONCE and
+    * persisted; each route is a filter on the parsed frame (a table
+    * absent from a batch merges an empty delta, which is a no-op by
+    * the store's hit-segment check — no version churn).
+    */
+  def startRouted(lines: DataFrame, tables: Seq[String], storeRoot: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    require(tables.nonEmpty, "startRouted needs at least one target table")
+    tables.foreach(t => Files.createDirectories(Paths.get(s"$storeRoot/$t")))
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = CdcOps.parse(batch.select("line")).persist()
+        try tables.foreach { t =>
+          val store = new SnapshotStore(batch.sparkSession,
+            s"$storeRoot/$t", snapshotKey)
+          store.merge(CdcOps.routeTable(parsed, t).drop("tab_name"))
+        } finally parsed.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** The same ingest over an ALREADY-BUILT streaming `line` frame —
     * the seam where the source format swaps (file, graftlines, or
     * `format("kafka")` on a real cluster) without touching the fold.

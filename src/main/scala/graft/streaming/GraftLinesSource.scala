@@ -248,26 +248,32 @@ case class GraftLinesPartition(file: String, topic: String, partition: Int,
   * visible only here — exactly why the reference keeps its own
   * offset store instead of relying on Kafka's commit.
   *
-  * `sourceDesc` filters progress events to one source (the DSv2
-  * table name, `graftlines(<path>)`), so concurrent queries in the
-  * session don't cross-write.
+  * `matches` filters progress events to one source — by exact DSv2
+  * table name (`graftlines(<path>)`) for in-repo streams, or by the
+  * `Kafka` description prefix via [[OffsetLogListener.kafka]] for
+  * [[graft.KafkaCdcMain]] — so concurrent queries in the session
+  * don't cross-write. Replace-not-append is correct for both
+  * sources: every progress event's endOffset carries the FULL
+  * assignment state (all partitions, idle ones at from==until), so
+  * the last batch's lines are always the complete consumed frontier.
   */
-final class OffsetLogListener(sourceDesc: String, logPath: String)
+final class OffsetLogListener(matches: String => Boolean, logPath: String)
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  /** Exact-description form (the graftlines gates' constructor). */
+  def this(sourceDesc: String, logPath: String) =
+    this((d: String) => d == sourceDesc, logPath)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     event.progress.sources
-      .filter(s => s.description == sourceDesc && s.endOffset != null)
+      .filter(s => Option(s.description).exists(matches) && s.endOffset != null)
       .foreach { s =>
-        val from = Option(s.startOffset)
-          .map(GraftLines.parseOffsetsJson).getOrElse(Map.empty)
-        val until = GraftLines.parseOffsetsJson(s.endOffset)
-        val lines = until.toSeq.sortBy { case ((t, p), _) => (t, p) }
-          .map { case ((t, p), u) => s"$t,$p,${from.getOrElse((t, p), 0L)},$u" }
+        val lines = OffsetLogListener.offsetLines(
+          Option(s.startOffset).getOrElse("{}"), s.endOffset)
         try {
           val tmp = Paths.get(logPath + ".tmp-" + ProcessHandle.current().pid() +
             "_" + Thread.currentThread().getId)
@@ -276,6 +282,32 @@ final class OffsetLogListener(sourceDesc: String, logPath: String)
             StandardCopyOption.ATOMIC_MOVE)
         } catch { case _: Exception => () } // a broken sink must not kill the bus
       }
+}
+
+object OffsetLogListener {
+
+  /** Kafka form for [[graft.KafkaCdcMain]]: the Kafka source's
+    * progress description starts with "Kafka" (vs the DSv2 table
+    * name match above).
+    */
+  def kafka(logPath: String): OffsetLogListener =
+    new OffsetLogListener((d: String) => d.startsWith("Kafka"), logPath)
+
+  /** Pure core (unit-testable without a broker): one batch's
+    * start/end offset JSON (`{"topic":{"0":123,…}}` — the format the
+    * graftlines source shares with Kafka's) → reference-format
+    * `topic,partition,from,until` lines. A partition absent from the
+    * start map (first batch after subscribe) logs from 0, matching
+    * the reference's fromBeginning bootstrap. Malformed JSON parses
+    * to no entries — log nothing rather than a line a resume would
+    * trip on.
+    */
+  def offsetLines(startJson: String, endJson: String): Seq[String] = {
+    val from = GraftLines.parseOffsetsJson(startJson)
+    GraftLines.parseOffsetsJson(endJson).toSeq
+      .sortBy { case ((t, p), _) => (t, p) }
+      .map { case ((t, p), u) => s"$t,$p,${from.getOrElse((t, p), 0L)},$u" }
+  }
 }
 
 object GraftLinesReaderFactory extends PartitionReaderFactory {

@@ -40,6 +40,27 @@ object KafkaCdcSource {
     }.mkString("{", ", ", "}")
   }
 
+  /** The COMPLETE option map handed to `format("kafka")` — extracted
+    * as a pure function so the mapping is unit-testable without a
+    * broker (the sandbox has none): topic set → `subscribe` (the
+    * reference's comma-joined `kafka.topic=tt` list
+    * [ref: ConsumerMain.scala:44]), stored offset log →
+    * `startingOffsets` assignment JSON, and every `kafka.*` client
+    * option (SSL keystore/truststore etc.) forwarded verbatim.
+    * Client options cannot shadow the three keys the engine owns —
+    * the engine's values win, like the reference hard-coding its
+    * broker/topic wiring around the passthrough props.
+    */
+  def sourceOptions(brokers: String, topics: Seq[String],
+                    offsetLog: Option[Seq[String]] = None,
+                    clientOptions: Map[String, String] = Map.empty): Map[String, String] =
+    clientOptions ++ Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topics.mkString(","),
+      "failOnDataLoss" -> "false",
+      "startingOffsets" ->
+        offsetLog.fold("latest")(offsetLogToStartingOffsets))
+
   /** Build the Kafka line stream (one `line` column, like the file
     * source) from either the latest offsets or a stored offset log.
     * `clientOptions` are forwarded verbatim — they arrive already in
@@ -49,18 +70,10 @@ object KafkaCdcSource {
     */
   def readChangeLines(spark: SparkSession, brokers: String, topics: Seq[String],
                       offsetLog: Option[Seq[String]] = None,
-                      clientOptions: Map[String, String] = Map.empty): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topics.mkString(","))
-      .option("failOnDataLoss", "false")
-      .options(clientOptions)
-    val withOffsets = offsetLog match {
-      case Some(lines) => base.option("startingOffsets", offsetLogToStartingOffsets(lines))
-      case None        => base.option("startingOffsets", "latest")
-    }
-    withOffsets.load().select(col("value").cast("string").as("line"))
-  }
+                      clientOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("kafka")
+      .options(sourceOptions(brokers, topics, offsetLog, clientOptions))
+      .load().select(col("value").cast("string").as("line"))
 
   /** Config-driven form: brokers/topics/client options from the
     * deploy properties file (the reference's ConsumerMain wiring
