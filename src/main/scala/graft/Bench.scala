@@ -140,12 +140,22 @@ object Bench {
           // BOTH iterations of an adjacent query block (r9:
           // q_bootstrap_ci billed 11.5s vs 1.8s quiet; r10: six
           // readings 3-6x their standalone cost from in-suite memory
-          // pressure). Any reading whose min-of-2 exceeds 3x the
+          // pressure). Any reading whose min-of-2 exceeds 2x the
           // previous committed number is marked for the POST-SUITE
           // re-triage pass below — the suite keeps moving, and the
           // committed artifact never carries an unverified outlier.
+          // 2x, not 3x (r13 verdict item 2): the suite-drift quartet
+          // (q_bloom_contamination +148%, q_cdc_quarantine +160%,
+          // q_quality_confusion +97%, q_itemsets3 +80% over r11)
+          // compounded for two rounds UNDER the old 3x trigger; the
+          // r14 standalone probe showed the same queries at
+          // 0.93-1.6s on an idle session (2x run-to-run host
+          // variance, code paths untouched since r11), so the drift
+          // was suite context the guard was built for — it just
+          // never fired. The >1s absolute floor still keeps
+          // milliseconds-scale jitter from triggering re-runs.
           val prev = prevReadings.getOrElse(name, -1.0)
-          if (prev > 0 && best > 3.0 * prev && best > 1.0) guardFired += name
+          if (prev > 0 && best > 2.0 * prev && best > 1.0) guardFired += name
           name -> best
         }
       }
