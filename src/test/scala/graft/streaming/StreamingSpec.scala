@@ -94,6 +94,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(Files.readString(snapDir.resolve("LATEST")) == v1)
   }
 
+  test("A42: routed fan-out — silent tables churn no version; replay hits all sinks idempotently") {
+    import graft.store.SnapshotStore
+    val events = Tables(spark, sf).events
+    val mixed = ChangeModel.mixedChangeLines(events).select("line")
+    // arrival 1 carries ONLY the events table's records (even ids) —
+    // the orders sink must see an empty route and commit nothing
+    val evLines = mixed.filter(
+      get_json_object(col("line"), "$.table") === "PUB.EVENTS")
+    val linesDir = tmp("rt-lines")
+    val storeRoot = tmp("rt-stores")
+    val ckpt = tmp("rt-ckpt")
+    evLines.coalesce(1).write.mode("overwrite")
+      .text(linesDir.resolve("b0").toString)
+    val q = CdcStream.startRouted(
+      spark.readStream.text(linesDir.toString + "/*/")
+        .withColumnRenamed("value", "line"),
+      Seq("events", "orders"), storeRoot.toString, ckpt.toString)
+    q.processAllAvailable()
+    val ordersStore = new SnapshotStore(spark, storeRoot.resolve("orders").toString, "user_id")
+    assert(ordersStore.currentVersion.isEmpty,
+      "a topic-silent table must not commit a version")
+    // arrival 2: the orders records — both sinks now populated
+    mixed.exceptAll(evLines).coalesce(1).write.mode("overwrite")
+      .text(linesDir.resolve("b1").toString)
+    q.processAllAvailable(); q.stop()
+    val parsed = CdcOps.parse(mixed)
+    Seq("events", "orders").foreach { t =>
+      val got = new SnapshotStore(spark, storeRoot.resolve(t).toString, "user_id")
+        .read().get.select("user_id", "id", "delete_state")
+      val want = CdcOps.softDeleteSnapshot(
+        CdcOps.routeTable(parsed, t).drop("tab_name"), col("user_id"))
+        .select("user_id", "id", "delete_state")
+      assert(sortedRows(got) == sortedRows(want), s"table $t diverged")
+    }
+    // crash-replay: a fresh query on the SAME checkpoint with no new
+    // input advances neither sink (the WAL owns the offsets; the fold
+    // is idempotent per table)
+    val vBefore = Seq("events", "orders").map(t =>
+      Files.readString(storeRoot.resolve(t).resolve("LATEST")))
+    val q2 = CdcStream.startRouted(
+      spark.readStream.text(linesDir.toString + "/*/")
+        .withColumnRenamed("value", "line"),
+      Seq("events", "orders"), storeRoot.toString, ckpt.toString)
+    q2.processAllAvailable(); q2.stop()
+    val vAfter = Seq("events", "orders").map(t =>
+      Files.readString(storeRoot.resolve(t).resolve("LATEST")))
+    assert(vAfter == vBefore, "checkpoint restart re-merged a committed batch")
+  }
+
   test("A13b: maxFilesPerTrigger bounds per-batch rows under an input burst") {
     val events = Tables(spark, sf).events
     val lines = ChangeModel.changeLines(events).select("line")
