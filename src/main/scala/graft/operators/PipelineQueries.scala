@@ -604,6 +604,44 @@ object PipelineQueries {
     Multimodal.frameSample(Multimodal.asMedia(Tables(spark, dir).documents))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** C104: shot-boundary detection — the temporal-segmentation step
+    * of a video curation pipeline (sample frames → per-frame
+    * signature → cut where successive signatures jump → per-shot
+    * stats for keyframe selection / per-shot dedup). Built on the
+    * C12b frame stage: a boundary fires between consecutive FULL
+    * frames whose byte-sum signatures differ by > 80 (a mean
+    * byte-value shift > 5 over the 16-byte stub frame — with a real
+    * codec this is the phash/histogram delta, same shape); the
+    * running boundary count segments frames into shots. Every window
+    * is partitioned by doc_id and ordered by frame_idx — per-video
+    * frame counts bound the frame, so the plan scales by video
+    * count, never corpus length: frames shuffle ONCE on doc_id, and
+    * only (doc, shot) aggregates survive. Short-frame tails (the
+    * last sampled frame when payload % stride < frameLen) never
+    * form boundaries — their sums are not comparable to full
+    * frames'.
+    */
+  def qMmShots(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.frameSample(
+      Multimodal.asMedia(Tables(spark, dir).documents))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val flagged = frames
+      .withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+      .withColumn("prev_len", lag(col("frame_len"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_sum").isNotNull && col("frame_len") === 16 &&
+          col("prev_len") === 16 &&
+          abs(col("frame_sum") - col("prev_sum")) > 80, 1L).otherwise(0L))
+      .withColumn("shot_id", sum(col("boundary")).over(w))
+    flagged.groupBy(col("doc_id"), col("shot_id"))
+      .agg(count(lit(1)).as("shot_frames"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("shot_frames")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("shot_frames")).as("max_shot_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C49: media near-duplicate detection — the image-dedup pipeline
     * shape: binary payload → perceptual-hash signature (the
     * [[Multimodal.phashPipeline]] batch codec stub, 60
@@ -886,6 +924,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_binary"       -> (qMmBinary _),
     "q_mm_frames"       -> (qMmFrames _),
+    "q_mm_shots"        -> (qMmShots _),
     "q_mm_phash"        -> (qMmPhash _),
     "q_topk_freq"       -> (qTopkFreq _),
     "q_dup_clusters"    -> (qDupClusters _),
@@ -1849,6 +1888,37 @@ object PipelineQueries {
         | CAST(list_sum(list_transform(generate_series(1, least(16, n - fi*32)),
         |    i -> ascii(substr(text, fi*32 + i, 1)))) AS BIGINT) AS frame_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the same frame replay, then boundary-where-|Δsum|>160 between
+    // consecutive FULL frames, running-sum shot segmentation, and
+    // per-video shot stats — constants pinned in qMmShots
+    "q_mm_shots" ->
+      """WITH f AS (
+        | SELECT doc_id, text, length(text) AS n,
+        |   unnest(generate_series(0, CAST(floor((length(text)-1)/32) AS INT))) AS fi
+        | FROM documents WHERE length(text) > 0),
+        |fr AS (
+        | SELECT doc_id, fi AS frame_idx, least(16, n - fi*32) AS frame_len,
+        |  list_sum(list_transform(generate_series(1, least(16, n - fi*32)),
+        |    i -> ascii(substr(text, fi*32 + i, 1)))) AS frame_sum
+        | FROM f),
+        |l AS (
+        | SELECT *, lag(frame_sum) OVER w AS prev_sum,
+        |   lag(frame_len) OVER w AS prev_len
+        | FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |b AS (
+        | SELECT *, CASE WHEN prev_sum IS NOT NULL AND frame_len = 16
+        |   AND prev_len = 16 AND abs(frame_sum - prev_sum) > 80
+        |   THEN 1 ELSE 0 END AS boundary FROM l),
+        |s AS (
+        | SELECT *, sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |   ROWS UNBOUNDED PRECEDING) AS shot_id FROM b),
+        |g AS (SELECT doc_id, shot_id, count(*) AS shot_frames
+        |      FROM s GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(shot_frames) AS BIGINT) AS n_frames,
+        | CAST(count(*) AS BIGINT) AS n_shots,
+        | CAST(max(shot_frames) AS BIGINT) AS max_shot_len
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replays the stub pHash from UTF-8 payload bytes (the q_mm_binary
     // codepoint->byte expansion), then the same 6x10-bit banded join
