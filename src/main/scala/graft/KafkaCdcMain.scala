@@ -43,6 +43,19 @@ import graft.streaming.{CdcStream, KafkaCdcSource, OffsetLogListener, RateListen
   */
 object KafkaCdcMain {
 
+  /** Seed `startingOffsets` from the external offset log ONLY when
+    * the WAL cannot resume by itself: a populated checkpoint always
+    * wins, so the seed can never rewind a WAL-committed range — the
+    * double-count window the reference's three offset backends left
+    * open is structurally closed. Pure decision, spec'd broker-free.
+    */
+  def resumeSeed(checkpointDir: String,
+                 offsetLogFile: java.nio.file.Path): Option[Seq[String]] =
+    if (!Files.exists(Paths.get(checkpointDir)) && Files.exists(offsetLogFile)) {
+      import scala.jdk.CollectionConverters._
+      Some(Files.readAllLines(offsetLogFile).asScala.toSeq)
+    } else None
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("cdc")
     val cfg = GraftConfig.fromEnv()
@@ -56,14 +69,7 @@ object KafkaCdcMain {
     val checkpointDir = s"${cfg.checkpointRoot}/$name"
     val offsetLogFile = Paths.get(storeDir, "offset.log")
 
-    // seed from the external offset log ONLY when the WAL can't
-    // resume by itself — a populated checkpoint always wins, so the
-    // seed can never rewind a WAL-committed range
-    val seed =
-      if (!Files.exists(Paths.get(checkpointDir)) && Files.exists(offsetLogFile)) {
-        import scala.jdk.CollectionConverters._
-        Some(Files.readAllLines(offsetLogFile).asScala.toSeq)
-      } else None
+    val seed = KafkaCdcMain.resumeSeed(checkpointDir, offsetLogFile)
 
     // the reference's two driver-side records: the throughput line
     // per batch (LoggerManager) and the consumed-range log

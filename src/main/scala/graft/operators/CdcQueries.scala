@@ -449,7 +449,39 @@ object CdcQueries {
       .orderBy(col("partition"))
   }
 
+  /** A43: right-to-be-forgotten purge through the table-format seam —
+    * the compliance operation every stored corpus eventually faces
+    * (the reference's Kudu tables served DELETEs the same way
+    * [ref: KuduManager.scala:74-80] but only LOGICALLY; a forget
+    * request needs the bytes gone). A document store is committed,
+    * a deterministic forget set (doc_id % 13 == 0) is purged via
+    * [[graft.store.SnapshotStore.purge]] — file-level copy-on-write:
+    * only files whose key range covers a purged id are rewritten,
+    * everything else carries by reference, and vacuum reclaims the
+    * old version's bytes. The gate reads the purged store and must
+    * equal the batch filter of the source table — content equality
+    * after hard delete; the CoW file accounting is StoreSpec-pinned.
+    * At 100 TB: a forget batch costs the rewrite of the covering
+    * files only (range-clustered layout keeps that near-minimal),
+    * never a table rewrite, and the purge plan shuffles only the
+    * 8-byte forget keys.
+    */
+  def qForgetDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("gq-forget").toString
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs)
+    store.purge(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id")))
+    store.read().get.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forget_docs"      -> (qForgetDocs _),
     "q_dlq_replay"       -> (qDlqReplay _),
     "q_offset_audit"     -> (qOffsetAudit _),
     "q_table_checksum"   -> (qTableChecksum _),
@@ -477,6 +509,13 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    // hard delete through the store == the batch filter of the source
+    "q_forget_docs" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 13 != 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_dlq_replay" ->
       s"""WITH nrep AS (SELECT CAST(count(*) AS BIGINT) AS n_repaired
          |              FROM events WHERE event_id % 7 = 0)

@@ -301,6 +301,38 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C105: forget-propagation into the ANN index — the compliance
+    * twin of A43's document purge: deleting a vector from the corpus
+    * must also delete it from the SERVING index, without retraining.
+    * The one-shot IVF index (frozen deterministic quantizer + list
+    * table) is committed to a SnapshotStore keyed by vector id; the
+    * forget set (vec_id % 13 == 0) is purged file-level-CoW from the
+    * list table; queries (the retained slice of the usual <8 probe
+    * set) then run against the PURGED index with the FROZEN
+    * centroids. Because the quantizer is frozen (the production-IVF
+    * discipline A28 maintains), purging index rows is EXACTLY
+    * equivalent to re-indexing the retained corpus — which is what
+    * the oracle replays (full quantizer on all data, assignment and
+    * candidates restricted to retained ids). At scale: the purge
+    * rewrites only covering index files (codes/normed vectors, not
+    * raw corpus), and queries never see a forgotten neighbor the
+    * moment the purge version commits — no index rebuild, no serving
+    * gap.
+    */
+  def qForgetAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val (cents, lists) = Ann.ivfIndexFrames(emb, nLists = 8)
+    val root = java.nio.file.Files.createTempDirectory("gq-forget-ann").toString
+    val store = new graft.store.SnapshotStore(spark, root, "neighbor_id",
+      filesPerCommit = 8)
+    store.commit(lists)
+    store.purge(emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+      .select(col("vec_id").as("neighbor_id")))
+    val retainedQueries = emb.filter(col("vec_id") < 8 &&
+      pmod(col("vec_id"), lit(13)) =!= 0)
+    Ann.ivfQueryTopK(cents, store.read().get, retainedQueries, k = 5, nprobe = 2)
+  }
+
   /** C48: kNN label assignment — the standard weak-labeling /
     * label-propagation step of a curation pipeline: each held-out
     * query vector (a deterministic ~3% slice, vec_id % 29 == 0) takes
@@ -911,6 +943,7 @@ object PipelineQueries {
     "q_knn_label"       -> (qKnnLabel _),
     "q_ann_lsh"         -> (qAnnLsh _),
     "q_ann_ivf"         -> (qAnnIvf _),
+    "q_forget_ann"      -> (qForgetAnn _),
     "q_ann_pq"          -> (qAnnPq _),
     "q_ann_ivfpq"       -> (qAnnIvfPq _),
     "q_semantic_dedup"  -> (qSemanticDedup _),
@@ -1641,6 +1674,30 @@ object PipelineQueries {
     // nearest-seed assignment, one Lloyd step in scaled-long space
     // (exact integer sums — partial-agg order can't perturb it),
     // reassignment, nprobe probe selection, list scoring, final rank.
+    // the purged serving index == re-index of the retained corpus
+    // under the FROZEN quantizer: full-data centroids, assignment
+    // and candidates restricted to retained (vec_id % 13 != 0) ids
+    "q_forget_ann" ->
+      s"""WITH $embCte,
+         |$ivfAssignCtes
+         |a2 AS (SELECT vec_id AS neighbor_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd", "")}) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM (
+         | ${ivfSimRank("ed", "lloyd",
+             " WHERE c.vec_id < 8 AND c.vec_id % 13 != 0")}) WHERE rn <= 2),
+         |scored AS (
+         | SELECT p.query_id, a2.neighbor_id,
+         |  ${dotSql("qe.e", "ce.e")} / (nq.nrm * nc.nrm) AS cos
+         | FROM probes p JOIN a2 USING (list_id)
+         |  JOIN ed qe ON p.query_id = qe.vec_id JOIN ed ce ON a2.neighbor_id = ce.vec_id
+         |  JOIN nm nq ON p.query_id = nq.vec_id JOIN nm nc ON a2.neighbor_id = nc.vec_id
+         | WHERE p.query_id != a2.neighbor_id AND a2.neighbor_id % 13 != 0)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH $embCte,
          |$ivfAssignCtes

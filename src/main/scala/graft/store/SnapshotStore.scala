@@ -542,6 +542,32 @@ final class SnapshotStore(
       fold = (baseAffected, keyed) => CdcOps.decorateSoftDelete(
         CdcOps.compactSnapshot(baseAffected.drop("delete_state"), keyed, keyCol)))
 
+  /** Hard delete (right-to-be-forgotten, r14): physically remove the
+    * rows whose key appears in `keys`, file-level copy-on-write —
+    * only data files whose key range intersects the purge set are
+    * rewritten (without the purged rows); every other file carries
+    * over BY REFERENCE, and the old version's files holding the
+    * purged bytes are reclaimed by the next vacuum once out of
+    * retention. This is the compliance twin of [[merge]]'s LOGICAL
+    * soft delete (which retains the D record): after purge + vacuum
+    * the content is gone from disk, not just masked. At 100 TB a
+    * purge of k keys costs the rewrite of only the files those keys
+    * live in (range-clustered layout keeps that near-minimal), never
+    * a table rewrite. A key absent from the table is a no-op (the
+    * hit-segment check commits no version churn); a purge emptying
+    * the affected slice commits a carried-only version (the
+    * delete-heavy-fold path StoreSpec pins); purging an EMPTY store
+    * returns -1.
+    */
+  def purge(keys: DataFrame): Long =
+    if (currentVersion.isEmpty) -1L
+    else mergeWith(keys,
+      init = _ => keys.limit(0), // unreachable: guarded non-empty above
+      fold = (baseAffected, keyed) =>
+        baseAffected.join(keyed.select(col(keyCol)).distinct(),
+          Seq(keyCol), "left_anti"),
+      deleteOnly = true)
+
   /** The copy-on-write MERGE skeleton with a pluggable fold — the
     * file-pruning / carry-over machinery of [[merge]] for table
     * semantics other than last-write-wins CDC upsert. `init` builds
@@ -554,9 +580,18 @@ final class SnapshotStore(
     * table absorbs a micro-batch by rewriting only the files whose
     * key range the batch touches.
     */
+  /** @param deleteOnly the fold can only REMOVE OR REWRITE rows of
+    *   files the delta's keys actually cover (a purge), never insert
+    *   new keys — so when no stored file covers any delta key the
+    *   table is provably unchanged and the commit is skipped
+    *   entirely (no carried-only version churn on no-op deletes).
+    *   Upsert folds must leave this false: an all-new-key delta hits
+    *   no file yet MUST commit (that is an insert).
+    */
   def mergeWith(deltas: DataFrame, init: DataFrame => DataFrame,
                 fold: (DataFrame, DataFrame) => DataFrame,
-                txn: Option[Long] = None): Long = {
+                txn: Option[Long] = None,
+                deleteOnly: Boolean = false): Long = {
     // Idempotent-replay guard for NON-idempotent folds (additive
     // aggregates): foreachBatch can redeliver a batch whose merge
     // committed but whose checkpoint offset did not (crash between
@@ -591,7 +626,7 @@ final class SnapshotStore(
         if (keyed.isEmpty) -1L
         else commitAs(init(keyed), txn, basis = None)
       case Some(cur) if entriesParquet(cur) =>
-        mergeLarge(cur, keyed, fold, txn)
+        mergeLarge(cur, keyed, fold, txn, deleteOnly)
       case Some(cur) =>
         val v = cur + 1L
         val all = manifest(cur)
@@ -629,6 +664,7 @@ final class SnapshotStore(
           from < hitStarts.length && hitStarts(from) <= f.maxKey
         }
         val (affected, carried) = all.partition(hit)
+        if (deleteOnly && affected.isEmpty) return cur // no-op purge
         // read the affected slice through readFiles (the manifest
         // schema), NEVER raw parquet: after an evolution, a raw read
         // of an old carried file would hand the fold a PRE-evolution
@@ -693,7 +729,8 @@ final class SnapshotStore(
     */
   private def mergeLarge(cur: Long, keyed: DataFrame,
                          fold: (DataFrame, DataFrame) => DataFrame,
-                         txn: Option[Long]): Long = {
+                         txn: Option[Long],
+                         deleteOnly: Boolean = false): Long = {
     import keyed.sparkSession.implicits._
     val v = cur + 1L
     val mf = manifestFrame(cur)
@@ -710,6 +747,7 @@ final class SnapshotStore(
     val cond = col("hs") >= col("minKey") && col("hs") <= col("maxKey")
     val affectedPaths = mf.join(broadcast(hsDf), cond, "left_semi")
       .select(col("path")).as[String].collect().toSeq.map(resolvePath)
+    if (deleteOnly && affectedPaths.isEmpty) return cur // no-op purge
     val carried = mf.join(broadcast(hsDf), cond, "left_anti")
     val baseAffected =
       if (affectedPaths.isEmpty)

@@ -165,6 +165,46 @@ class StoreSpec extends AnyFunSuite {
       CdcOps.softDeleteSnapshot(log.unionByName(delta).unionByName(newKeys), col("user_id")))
   }
 
+  test("purge: hard delete is file-level CoW, absent keys are no-ops, content is gone") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    val base = (0L until 400L).map(i => (i, s"payload-$i")).toDF("k", "payload")
+    store.commit(base)
+    val v0 = store.manifest(0L)
+    assert(v0.size > 1)
+    // purge a localized key range: only covering files rewrite
+    val dels = Seq(3L, 7L, 11L).toDF("k")
+    store.purge(dels)
+    val v1 = store.manifest(1L)
+    val carried = v1.map(_.path).toSet.intersect(v0.map(_.path).toSet)
+    val covering = v0.count(f => Seq(3L, 7L, 11L).exists(k =>
+      f.minKey <= k && k <= f.maxKey))
+    assert(carried.size == v0.size - covering,
+      s"carried ${carried.size} of ${v0.size} (covering=$covering)")
+    // the rows are GONE (hard delete, not delete_state masking)
+    val got = store.read().get
+    assert(got.count() === 397)
+    assert(got.filter(col("k").isin(3L, 7L, 11L)).isEmpty)
+    assert(!got.columns.contains("delete_state"))
+    // purging keys not in the table: no version churn at all
+    val vBefore = store.currentVersion.get
+    store.purge(Seq(9999999L).toDF("k"))
+    assert(store.currentVersion.contains(vBefore),
+      "an absent-key purge must not commit a version")
+    // purge everything a file covers: carried-only commit still legal
+    val lo = v1.map(_.minKey).min
+    val hi = v1.sortBy(_.minKey).head.maxKey
+    store.purge((lo to hi).toDF("k"))
+    assert(store.read().get.filter(col("k").between(lo, hi)).isEmpty)
+    // idempotent on CONTENT: re-purging an already-purged set changes
+    // nothing (a version may commit when the keys' former ranges are
+    // still covered by rewritten files — that commit is carried-only
+    // in content)
+    val before = store.read().get.count()
+    store.purge(dels)
+    assert(store.read().get.count() === before)
+  }
+
   test("optimize rewrites the fragmented table into the target file count") {
     val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 4)
     val log = parsedLog

@@ -66,6 +66,23 @@ class KafkaCdcSourceSpec extends AnyFunSuite {
     assert(lines === Seq("t,0,0,12", "t,1,0,3"))
   }
 
+  test("resume seed: offset log seeds ONLY a fresh checkpoint — the WAL always wins") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("kseed")
+    val log = base.resolve("offset.log")
+    val ckptFresh = base.resolve("no-such-ckpt").toString
+    val ckptLive = Files.createDirectory(base.resolve("ckpt")).toString
+    // no log, no checkpoint: latest (no seed)
+    assert(graft.KafkaCdcMain.resumeSeed(ckptFresh, log).isEmpty)
+    Files.writeString(log, "t,0,0,17\nt,1,0,40\n")
+    // log + fresh checkpoint: seed from the stored frontier
+    assert(graft.KafkaCdcMain.resumeSeed(ckptFresh, log)
+      .contains(Seq("t,0,0,17", "t,1,0,40")))
+    // log + LIVE checkpoint: the WAL owns offsets — never seed (a
+    // stale log here would rewind committed ranges = double count)
+    assert(graft.KafkaCdcMain.resumeSeed(ckptLive, log).isEmpty)
+  }
+
   test("malformed progress offsets log nothing rather than corrupt lines") {
     assert(OffsetLogListener.offsetLines("not json", """{"t":{"0":1}}""")
       === Seq("t,0,0,1"))
