@@ -480,7 +480,47 @@ object CdcQueries {
       .orderBy(col("source"))
   }
 
+  /** A44: incremental view maintenance of a denormalized table — the
+    * operation every reference deployment performed implicitly (Kudu
+    * target tables were denormalized fact rows; a dimension change
+    * meant re-upserting every affected fact [ref: KuduManager.scala:
+    * 108-120, row-by-row]) made a PLANNED, index-pruned rewrite: the
+    * fact store inlines a per-user dim attribute (tier), a dim delta
+    * arrives (every user_id % 5 == 0 moves to tier+10), and
+    * [[graft.store.SnapshotStore.mergeByIndex]] rewrites ONLY the
+    * files whose secondary Bloom blob might contain an affected
+    * user — the fold left-joins the broadcast delta and coalesces
+    * the new attribute in. Gate: the maintained table's per-tier
+    * aggregate equals the batch recompute with the dim change
+    * applied. The file-pruning economics (dim clustered with key →
+    * fraction-of-table rewrite) are StoreSpec-pinned; at this gate's
+    * scattered layout the index degrades gracefully to
+    * rewrite-what-matches, never to wrongness.
+    */
+  def qIvmDenorm(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(3)).as("tier"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("gq-ivm").toString
+    val store = new graft.store.SnapshotStore(spark, root, "event_id",
+      filesPerCommit = 8, indexCol = Some("user_id"))
+    store.commit(facts)
+    val delta = facts.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(5)) === 0)
+      .withColumn("new_tier", pmod(col("user_id"), lit(3)) + 10)
+    store.mergeByIndex(delta, (affected, d) =>
+      affected.join(broadcast(d), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("new_tier"), col("tier")).as("tier"), col("cents")),
+      txn = Some(1L))
+    store.read().get.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivm_denorm"       -> (qIvmDenorm _),
     "q_forget_docs"      -> (qForgetDocs _),
     "q_dlq_replay"       -> (qDlqReplay _),
     "q_offset_audit"     -> (qOffsetAudit _),
@@ -509,6 +549,17 @@ object CdcQueries {
   private val tsSec = "strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    // the index-maintained denormalized table == batch recompute with
+    // the dim change applied
+    "q_ivm_denorm" ->
+      """WITH f AS (SELECT event_id, user_id,
+        |  CASE WHEN user_id % 5 = 0 THEN user_id % 3 + 10
+        |       ELSE user_id % 3 END AS tier,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY tier ORDER BY tier""".stripMargin,
+
     // hard delete through the store == the batch filter of the source
     "q_forget_docs" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

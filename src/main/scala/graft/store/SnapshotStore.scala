@@ -568,6 +568,54 @@ final class SnapshotStore(
           Seq(keyCol), "left_anti"),
       deleteOnly = true)
 
+  /** Dim-update propagation (incremental view maintenance, r14): the
+    * store holds a DENORMALIZED table (fact-keyed, dim attributes
+    * inlined — the shape every reference Kudu target table had) and
+    * a dimension row changes. The fact keys affected are scattered
+    * across the key space, so key-range planning cannot prune — but
+    * the SECONDARY BLOOM INDEX on the dim column can: file hits are
+    * the blobs that might contain an affected dim key (probed with
+    * the same xxhash64 the write-side stats job used, distributed
+    * over the manifest frame, delta hashes broadcast — dim deltas
+    * are batch-bounded by nature), those files alone are read and
+    * re-folded through `fold(affectedRows, dimDelta)`, everything
+    * else carries by reference. Bloom false positives cost an
+    * identical-content rewrite of the extra file, never wrongness;
+    * false negatives cannot occur (write-side and probe hashing are
+    * the same code path). When the dim column clusters with the key
+    * (tenant-within-time), a dim update touches a fraction of a
+    * 100 TB table with NO second sort order — the IVM economics the
+    * layout was built for. Same txn replay guard as [[mergeWith]];
+    * requires a committed store and a declared `indexCol`.
+    */
+  def mergeByIndex(dimDelta: DataFrame,
+                   fold: (DataFrame, DataFrame) => DataFrame,
+                   txn: Option[Long] = None): Long = {
+    require(indexCol.isDefined, "mergeByIndex needs a secondary index column")
+    if (txn.exists(id => lastTxn.exists(_ >= id)))
+      return currentVersion.getOrElse(-1L)
+    val cur = currentVersion.getOrElse(throw new IllegalStateException(
+      s"mergeByIndex on an empty store at $root"))
+    val v = cur + 1L
+    // hash through the INDEX column exactly as the write side did
+    val probes = dimDelta.select(xxhash64(col(indexCol.get)).as("h")).distinct()
+    val hitPaths: Set[String] = {
+      import spark.implicits._
+      manifestFrame(cur).crossJoin(broadcast(probes))
+        .filter(col("bloom").isNull ||
+          graft.functions.bloom_might_contain(col("bloom"), col("h")))
+        .select(col("path")).distinct().as[String].collect().toSet
+    }
+    if (hitPaths.isEmpty) return cur // no file can hold any affected key
+    val all = manifest(cur)
+    val (affected, carried) =
+      all.partition(e => hitPaths.contains(relativizePath(e.path)) ||
+        hitPaths.contains(e.path))
+    val folded = fold(readFiles(cur, affected.map(_.path)), dimDelta)
+    publish(v, writeDataFiles(folded, v) ++ carried, txn,
+      Some(folded.schema), expectedParent = Some(cur))
+  }
+
   /** The copy-on-write MERGE skeleton with a pluggable fold — the
     * file-pruning / carry-over machinery of [[merge]] for table
     * semantics other than last-write-wins CDC upsert. `init` builds

@@ -205,6 +205,51 @@ class StoreSpec extends AnyFunSuite {
     assert(store.read().get.count() === before)
   }
 
+  test("mergeByIndex: a dim update rewrites only bloom-hit files and folds exactly") {
+    import spark.implicits._
+    // denormalized fact table where the dim column CLUSTERS with the
+    // key (tenant-within-time): k 0..799, tenant = k/100 — each of
+    // the 8 files covers ~one tenant, the layout the IVM economics
+    // need
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      filesPerCommit = 8, indexCol = Some("tenant"))
+    val facts = (0L until 800L).map(k => (k, k / 100L, k % 100L))
+      .toDF("k", "tenant", "tier")
+    store.commit(facts)
+    val v0 = store.manifest(0L)
+    assert(v0.size > 4)
+    // dim delta: tenant 3's tier becomes 999
+    val delta = Seq((3L, 999L)).toDF("tenant", "new_tier")
+    store.mergeByIndex(delta, (affected, d) =>
+      affected.join(broadcast(d), Seq("tenant"), "left")
+        .select(col("k"), col("tenant"),
+          coalesce(col("new_tier"), col("tier")).as("tier")), txn = Some(1L))
+    val v1 = store.manifest(1L)
+    val carried = v1.map(_.path).toSet.intersect(v0.map(_.path).toSet)
+    assert(carried.nonEmpty && carried.size < v0.size,
+      s"bloom index must prune: carried ${carried.size} of ${v0.size}")
+    // content: exactly tenant 3's rows re-tiered, nothing else moved
+    val got = store.read().get
+    assert(got.count() === 800)
+    assert(got.filter(col("tenant") === 3L && col("tier") =!= 999L).isEmpty)
+    assert(got.filter(col("tenant") =!= 3L && col("tier") >= 100L).isEmpty)
+    // new files carry fresh bloom blobs: a follow-up dim update on an
+    // affected tenant still plans through the index
+    store.mergeByIndex(Seq((3L, 1000L)).toDF("tenant", "new_tier"),
+      (affected, d) => affected.join(broadcast(d), Seq("tenant"), "left")
+        .select(col("k"), col("tenant"),
+          coalesce(col("new_tier"), col("tier")).as("tier")), txn = Some(2L))
+    assert(store.read().get
+      .filter(col("tenant") === 3L && col("tier") =!= 1000L).isEmpty)
+    // txn replay guard: re-delivering txn 2 is a no-op
+    val vBefore = store.currentVersion.get
+    store.mergeByIndex(Seq((3L, 7L)).toDF("tenant", "new_tier"),
+      (a, d) => a, txn = Some(2L))
+    assert(store.currentVersion.contains(vBefore))
+    assert(store.read().get
+      .filter(col("tenant") === 3L && col("tier") =!= 1000L).isEmpty)
+  }
+
   test("optimize rewrites the fragmented table into the target file count") {
     val store = new SnapshotStore(spark, newRoot(), "user_id", filesPerCommit = 4)
     val log = parsedLog
