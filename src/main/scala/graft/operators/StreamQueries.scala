@@ -277,6 +277,61 @@ object StreamQueries {
       .orderBy(col("tab_name"), col("user_id"))
   }
 
+  /** A45 under the gate: STREAMING incremental view maintenance —
+    * A44's dim-update propagation driven by a dim-delta stream. The
+    * denormalized fact store is committed once; dim deltas (every
+    * user_id % 5 == 0 moves to tier+10) arrive in TWO micro-batched
+    * chunks through a file stream, and each batch folds in via
+    * [[graft.store.SnapshotStore.mergeByIndex]] with txn = batchId —
+    * the replay guard that makes the at-least-once foreachBatch
+    * delivery exactly-once on the table (a redelivered batch is a
+    * committed-txn no-op, exercised for real here by the WAL
+    * machinery rather than by a spec's hand-made replay). Gate: the
+    * maintained table equals the batch recompute with the full dim
+    * change applied — same oracle as A44, arrival-split invariant.
+    */
+  def qStreamIvm(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(3)).as("tier"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val root = tmp("gq-sivm-store")
+    val store = new graft.store.SnapshotStore(spark, root, "event_id",
+      filesPerCommit = 8, indexCol = Some("user_id"))
+    store.commit(facts)
+    val users = facts.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(5)) === 0)
+      .withColumn("new_tier", pmod(col("user_id"), lit(3)) + 10)
+      .localCheckpoint(true)
+    val dimDir = tmp("gq-sivm-dim")
+    def arrive(mod10: Int, sub: String): Unit =
+      users.filter(pmod(col("user_id"), lit(10)) === mod10)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dimDir/$sub")
+    arrive(0, "b0")
+    val q = spark.readStream
+      .schema("user_id LONG, new_tier LONG").parquet(dimDir + "/*/")
+      .writeStream.option("checkpointLocation", tmp("gq-sivm-ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = new graft.store.SnapshotStore(batch.sparkSession, root,
+          "event_id", filesPerCommit = 8, indexCol = Some("user_id"))
+        s.mergeByIndex(batch, (affected, d) =>
+          affected.join(broadcast(d), Seq("user_id"), "left")
+            .select(col("event_id"), col("user_id"),
+              coalesce(col("new_tier"), col("tier")).as("tier"), col("cents")),
+          txn = Some(batchId))
+        ()
+      }.start()
+    q.processAllAvailable()
+    arrive(5, "b1")
+    q.processAllAvailable()
+    q.stop()
+    new graft.store.SnapshotStore(spark, root, "event_id",
+      indexCol = Some("user_id")).read().get
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("tier"))
+  }
+
   /** A15 under the gate: at-least-once delivery (every event lands
     * TWICE) deduplicated by the watermarked streaming dedup. One
     * AvailableNow batch, so no event is ever "late" vs the watermark
@@ -1067,6 +1122,7 @@ object StreamQueries {
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_multitopic" -> (qStreamMultitopic _),
+    "q_stream_ivm" -> (qStreamIvm _),
     "q_stream_auto_optimize" -> (qStreamAutoOptimize _),
     "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
@@ -1254,6 +1310,17 @@ object StreamQueries {
         |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
         |                 event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // streaming IVM converges to the batch recompute for any arrival
+    // split of the dim delta (A44's oracle, split-invariant)
+    "q_stream_ivm" ->
+      """WITH f AS (SELECT event_id, user_id,
+        |  CASE WHEN user_id % 5 = 0 THEN user_id % 3 + 10
+        |       ELSE user_id % 3 END AS tier,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY tier ORDER BY tier""".stripMargin,
 
     // multi-topic fan-in: each per-table store equals the batch
     // soft-delete fold of ITS table's slice (even ids = events topic,
