@@ -176,9 +176,9 @@ class Round12OpsSpec extends AnyFunSuite {
     val r = AnalyticsQueries.qAssortativity(spark, sf).collect()(0)
     val m = r.getAs[Long]("m")
     assert(m > 0L && m % 2 == 0L, "both orientations of every edge")
-    // symmetry of the doubled edge list: den_x == den_y
-    assert(r.getAs[java.math.BigDecimal]("den_x") ===
-      r.getAs[java.math.BigDecimal]("den_y"))
+    // symmetry of the doubled edge list: den_x == den_y (gated as
+    // BIGINT since r14 — hash-stable across engines)
+    assert(r.getAs[Long]("den_x") === r.getAs[Long]("den_y"))
     val c2 = r.getAs[Long]("corr2_ppm")
     assert(c2 >= -1000000L && c2 <= 1000000L, s"corr2_ppm $c2 out of range")
   }
