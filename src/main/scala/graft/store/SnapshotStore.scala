@@ -597,23 +597,37 @@ final class SnapshotStore(
     val cur = currentVersion.getOrElse(throw new IllegalStateException(
       s"mergeByIndex on an empty store at $root"))
     val v = cur + 1L
+    import spark.implicits._
     // hash through the INDEX column exactly as the write side did
     val probes = dimDelta.select(xxhash64(col(indexCol.get)).as("h")).distinct()
-    val hitPaths: Set[String] = {
-      import spark.implicits._
-      manifestFrame(cur).crossJoin(broadcast(probes))
-        .filter(col("bloom").isNull ||
-          graft.functions.bloom_might_contain(col("bloom"), col("h")))
-        .select(col("path")).distinct().as[String].collect().toSet
+    val mf = manifestFrame(cur)
+    val mightHit = col("bloom").isNull ||
+      graft.functions.bloom_might_contain(col("bloom"), col("h"))
+    // only AFFECTED paths reach the driver — bounded by the delta's
+    // file locality + fpp, never by the table's file count (the
+    // mergeLarge planning discipline; the probe join runs over the
+    // manifest frame, so at 10⁵-10⁶ files the Bloom blobs never move)
+    val affectedPaths = mf.crossJoin(broadcast(probes)).filter(mightHit)
+      .select(col("path")).distinct().as[String].collect().toSeq
+    if (affectedPaths.isEmpty) return cur // no file can hold any affected key
+    val folded = fold(readFiles(cur, affectedPaths.map(resolvePath)), dimDelta)
+    val newEntries = writeDataFiles(folded, v)
+    if (entriesParquet(cur)) {
+      // parquet-manifest twin: carried entries stay a FRAME end-to-end
+      val hitDf = affectedPaths.toDF("path")
+      val carried = mf.join(broadcast(hitDf), Seq("path"), "left_anti")
+      publishParquet(v, carried.unionByName(manifestRowsDf(newEntries)),
+        // carried nonEmpty iff some file was NOT affected (the count
+        // only runs in the rare empty-fold case, by laziness)
+        nonEmpty = newEntries.nonEmpty || mf.count() > affectedPaths.length,
+        txn, Some(folded.schema), expectedParent = Some(cur))
+    } else {
+      val hitSet = affectedPaths.toSet
+      val carried = manifest(cur).filterNot(e =>
+        hitSet.contains(relativizePath(e.path)) || hitSet.contains(e.path))
+      publish(v, newEntries ++ carried, txn,
+        Some(folded.schema), expectedParent = Some(cur))
     }
-    if (hitPaths.isEmpty) return cur // no file can hold any affected key
-    val all = manifest(cur)
-    val (affected, carried) =
-      all.partition(e => hitPaths.contains(relativizePath(e.path)) ||
-        hitPaths.contains(e.path))
-    val folded = fold(readFiles(cur, affected.map(_.path)), dimDelta)
-    publish(v, writeDataFiles(folded, v) ++ carried, txn,
-      Some(folded.schema), expectedParent = Some(cur))
   }
 
   /** The copy-on-write MERGE skeleton with a pluggable fold — the

@@ -248,6 +248,21 @@ class StoreSpec extends AnyFunSuite {
     assert(store.currentVersion.contains(vBefore))
     assert(store.read().get
       .filter(col("tenant") === 3L && col("tier") =!= 1000L).isEmpty)
+    // parquet-manifest twin: same fold, carried entries stay a frame
+    val pq = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8,
+      indexCol = Some("tenant"), parquetManifestFrom = 0)
+    pq.commit(facts)
+    pq.mergeByIndex(delta, (affected, d) =>
+      affected.join(broadcast(d), Seq("tenant"), "left")
+        .select(col("k"), col("tenant"),
+          coalesce(col("new_tier"), col("tier")).as("tier")), txn = Some(1L))
+    val gotPq = pq.read().get
+    assert(gotPq.count() === 800)
+    assert(gotPq.filter(col("tenant") === 3L && col("tier") =!= 999L).isEmpty)
+    val pqCarried = pq.manifest(1L).map(_.path).toSet
+      .intersect(pq.manifest(0L).map(_.path).toSet)
+    assert(pqCarried.nonEmpty && pqCarried.size < pq.manifest(0L).size,
+      "parquet-manifest mergeByIndex must also prune")
   }
 
   test("optimize rewrites the fragmented table into the target file count") {
