@@ -138,6 +138,33 @@ object PipelineQueries {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir).documents, minJaccard = 0.8)
 
+  /** C106: forget-propagation into the NEAR-DUP index — the third
+    * member of the r14 compliance family (A43 corpus purge, C105 ANN
+    * index, this one the MinHash-LSH candidate index). The C2 index
+    * is landed through the A29 maintenance fold (signature store +
+    * bucket posting store), then [[graft.streaming.NearDupStream
+    * .forget]] hard-removes the forget set (doc_id % 13 == 0): the
+    * forgotten docs' bucket keys are recomputed from the STORED
+    * shingle sets (no corpus read), affected posting rows re-fold
+    * (docs minus forgotten, emptied buckets drop, deleteOnly merge),
+    * and the signature store is purged by key. Gate: [[pairs]] from
+    * the purged index equals the one-shot C2 scan restricted to
+    * retained ids — exact, because verification is pairwise (a
+    * retained pair's Jaccard is unaffected by other docs); the raw
+    * double is hash-stable here for the same reason q_dedup_minhash's
+    * is (IEEE division of exact integers, identical on both engines).
+    */
+  def qForgetNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.NearDupStream
+    val docs = Tables(spark, dir).documents
+    val root = java.nio.file.Files.createTempDirectory("gq-forget-nd").toString
+    NearDupStream.mergeBatch(docs, root, txn = Some(0L))
+    NearDupStream.forget(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id")), txn = Some(1L))
+    NearDupStream.pairs(spark, root, minJaccard = 0.8)
+  }
+
   /** C3: SimHash hamming<=3 pairs. Fully oracle-checked: FNV-1a's
     * 64-bit wraparound is replicated in DuckDB as HUGEINT arithmetic
     * mod 2^64, the per-bit majority votes and the hamming filter in
@@ -931,6 +958,7 @@ object PipelineQueries {
     "q_ngram_adaptive"  -> (qNgramAdaptive _),
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
+    "q_forget_neardup"  -> (qForgetNeardup _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_eval"      -> (qDedupEval _),
     "q_ann_eval"        -> (qAnnEval _),
@@ -1312,6 +1340,12 @@ object PipelineQueries {
         |ORDER BY eval_id, train_id""".stripMargin,
 
     "q_dedup_minhash" -> minhashReplaySql,
+    // the purged index == the one-shot scan restricted to retained
+    // ids (pairwise verification; DuckDB allows the ordered subquery)
+    "q_forget_neardup" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashReplaySql) q
+         |WHERE id_a % 13 != 0 AND id_b % 13 != 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the streaming-maintained MinHash-LSH index (NearDupStream, gate
     // in StreamQueries) must serve the same verified pair set as the

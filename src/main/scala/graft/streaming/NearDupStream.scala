@@ -103,6 +103,48 @@ object NearDupStream {
       .start()
   }
 
+  /** Forget-propagation (r14, the A43/C105 compliance family): hard-
+    * remove a set of documents from BOTH index artifacts without
+    * touching the corpus. The forgotten docs' bucket keys are
+    * recomputed FROM THE INDEX ALONE (band hashes derive from the
+    * stored shingle sets via the same [[Dedup.bandStructs]] kernel —
+    * no text needed), so the bucket-store rewrite is delta-bounded:
+    * only buckets a forgotten doc actually sits in are re-folded
+    * (docs := docs minus forgotten; emptied buckets drop), via the
+    * deleteOnly merge mode (no covering file → no commit). The
+    * signature store is then purged by key. One scan of the
+    * signature store per forget batch, zero corpus reads; after both
+    * commits + vacuum the forgotten ids are unreachable from
+    * [[pairs]] and their bytes are reclaimed.
+    */
+  def forget(spark: SparkSession, storeDir: String, forgetIds: DataFrame,
+             txn: Option[Long] = None): Unit = {
+    val sigs = sigStore(spark, storeDir).read().getOrElse(return)
+    val gone = broadcast(forgetIds.select(col(sigKey)).distinct())
+    val affected = sigs.join(gone, Seq(sigKey), "left_semi")
+      .select(col(sigKey), graft.functions.minhash_sig(col("shh")).as("sig"))
+    // persist: mergeWith evaluates the delta twice (key-set pass +
+    // fold) and this lineage re-reads the signature store
+    val delta = affected
+      .select(col(sigKey), explode(array(Dedup.bandStructs(col("sig")): _*)).as("b"))
+      .select(xxhash64(col("b.band"), col("b.bh")).as(bucketKey), col(sigKey))
+      .groupBy(col(bucketKey))
+      .agg(sort_array(collect_set(col(sigKey))).as("forget_docs"))
+      .persist()
+    try bucketStore(spark, storeDir).mergeWith(delta,
+      init = _ => delta.limit(0).select(col(bucketKey), col("forget_docs").as("docs")),
+      fold = (base, keyed) => base
+        .join(keyed, Seq(bucketKey), "left")
+        .select(col(bucketKey),
+          array_except(col("docs"),
+            coalesce(col("forget_docs"), array().cast("array<bigint>"))).as("docs"))
+        .filter(size(col("docs")) > 0),
+      txn = txn, deleteOnly = true)
+    finally delta.unpersist()
+    sigStore(spark, storeDir).purge(forgetIds.select(col(sigKey)))
+    ()
+  }
+
   /** All verified near-dup pairs from the maintained index: explode
     * pairs within each stored bucket, dedup, exact-verify against the
     * stored shingle sets at `minJaccard` — the C2 semantics served
