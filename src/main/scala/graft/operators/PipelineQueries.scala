@@ -1980,7 +1980,7 @@ object PipelineQueries {
         |    i -> ascii(substr(text, fi*32 + i, 1)))) AS BIGINT) AS frame_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // the same frame replay, then boundary-where-|Δsum|>160 between
+    // the same frame replay, then boundary-where-|Δsum|>80 between
     // consecutive FULL frames, running-sum shot segmentation, and
     // per-video shot stats — constants pinned in qMmShots
     "q_mm_shots" ->

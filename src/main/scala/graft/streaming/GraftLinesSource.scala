@@ -251,13 +251,21 @@ case class GraftLinesPartition(file: String, topic: String, partition: Int,
   * `matches` filters progress events to one source — by exact DSv2
   * table name (`graftlines(<path>)`) for in-repo streams, or by the
   * `Kafka` description prefix via [[OffsetLogListener.kafka]] for
-  * [[graft.KafkaCdcMain]] — so concurrent queries in the session
-  * don't cross-write. Replace-not-append is correct for both
-  * sources: every progress event's endOffset carries the FULL
-  * assignment state (all partitions, idle ones at from==until), so
-  * the last batch's lines are always the complete consumed frontier.
+  * [[graft.KafkaCdcMain]]. An exact table name identifies ONE query
+  * per path, but the `Kafka` prefix would match EVERY Kafka query in
+  * the session (ADVICE r14) — two of them would clobber each other's
+  * offset.log (replace-not-append), and resumeSeed would then seed
+  * wrong startingOffsets on a fresh checkpoint. So `latchQuery`
+  * (what the kafka form sets) binds the listener to the FIRST
+  * matching query that reports progress and ignores every other
+  * query id for the listener's lifetime: one log file, one owner.
+  * Replace-not-append is correct for both sources: every progress
+  * event's endOffset carries the FULL assignment state (all
+  * partitions, idle ones at from==until), so the last batch's lines
+  * are always the complete consumed frontier.
   */
-final class OffsetLogListener(matches: String => Boolean, logPath: String)
+final class OffsetLogListener(matches: String => Boolean, logPath: String,
+                              latchQuery: Boolean = false)
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -265,11 +273,23 @@ final class OffsetLogListener(matches: String => Boolean, logPath: String)
   def this(sourceDesc: String, logPath: String) =
     this((d: String) => d == sourceDesc, logPath)
 
+  // the owning query's id once latched (latchQuery form only):
+  // first-progress-wins CAS, so concurrent first batches of two
+  // matching queries admit exactly one owner
+  private val owner =
+    new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+
+  /** Does this progress event's query own the log file? Pure latch
+    * logic, unit-testable without fabricating progress events.
+    */
+  private[streaming] def admits(queryId: java.util.UUID): Boolean =
+    !latchQuery || owner.compareAndSet(null, queryId) || owner.get == queryId
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
-    event.progress.sources
+    if (!admits(event.progress.id)) () else event.progress.sources
       .filter(s => Option(s.description).exists(matches) && s.endOffset != null)
       .foreach { s =>
         val lines = OffsetLogListener.offsetLines(
@@ -288,10 +308,14 @@ object OffsetLogListener {
 
   /** Kafka form for [[graft.KafkaCdcMain]]: the Kafka source's
     * progress description starts with "Kafka" (vs the DSv2 table
-    * name match above).
+    * name match above). Because that prefix matches ANY Kafka query
+    * in the session, this form latches onto the first query that
+    * reports progress and ignores all others (see the class doc) —
+    * a second Kafka query needs its own listener + log path.
     */
   def kafka(logPath: String): OffsetLogListener =
-    new OffsetLogListener((d: String) => d.startsWith("Kafka"), logPath)
+    new OffsetLogListener((d: String) => d.startsWith("Kafka"), logPath,
+      latchQuery = true)
 
   /** Pure core (unit-testable without a broker): one batch's
     * start/end offset JSON (`{"topic":{"0":123,…}}` — the format the

@@ -88,4 +88,20 @@ class KafkaCdcSourceSpec extends AnyFunSuite {
       === Seq("t,0,0,1"))
     assert(OffsetLogListener.offsetLines("{}", "not json") === Nil)
   }
+
+  test("kafka listener latches one owning query; a second Kafka query never cross-writes") {
+    // ADVICE r14: the "Kafka" prefix matches EVERY Kafka query in a
+    // session — without the latch, two queries clobber one offset.log
+    // (replace-not-append) and resumeSeed then seeds wrong offsets
+    val l = OffsetLogListener.kafka("/tmp/unused-offset.log")
+    val (q1, q2) = (java.util.UUID.randomUUID(), java.util.UUID.randomUUID())
+    assert(l.admits(q1), "first query must be admitted and latched")
+    assert(l.admits(q1), "the owner stays admitted on every later batch")
+    assert(!l.admits(q2), "a second Kafka query must be ignored")
+    assert(l.admits(q1), "the owner survives the rejected interloper")
+    // the non-latching (exact-description) form admits any query id —
+    // an exact DSv2 table name already identifies one query per path
+    val exact = new OffsetLogListener("graftlines(/p)", "/tmp/unused2.log")
+    assert(exact.admits(q1) && exact.admits(q2))
+  }
 }
