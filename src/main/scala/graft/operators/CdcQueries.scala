@@ -480,6 +480,34 @@ object CdcQueries {
       .orderBy(col("source"))
   }
 
+  /** A43b (r14 verdict task 4): the merge-on-read twin of
+    * [[qForgetDocs]] — the same forget batch served through
+    * [[graft.store.SnapshotStore.purgeMor]], which writes only a
+    * per-file key-tombstone set (a deletion vector) and carries every
+    * data file by reference; reads anti-join the broadcast DV. Same
+    * batch-filter oracle as the CoW gate, so the two purge modes are
+    * pinned row-identical. Economics at 100 TB: a weekly small forget
+    * batch costs segment planning + a batch-sized DV write — no data
+    * file is read or written — and the deferred rewrite lands when
+    * the operator runs optimize(); the CoW mode stays the path for
+    * hard erasure deadlines. The no-rewrite file accounting, upsert-
+    * after-purge visibility and optimize/vacuum compaction are
+    * StoreSpec-pinned.
+    */
+  def qForgetDocsMor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("gq-forget-mor").toString
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs)
+    store.purgeMor(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id")))
+    store.read().get.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** A44: incremental view maintenance of a denormalized table — the
     * operation every reference deployment performed implicitly (Kudu
     * target tables were denormalized fact rows; a dimension change
@@ -522,6 +550,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivm_denorm"       -> (qIvmDenorm _),
     "q_forget_docs"      -> (qForgetDocs _),
+    "q_forget_docs_mor"  -> (qForgetDocsMor _),
     "q_dlq_replay"       -> (qDlqReplay _),
     "q_offset_audit"     -> (qOffsetAudit _),
     "q_table_checksum"   -> (qTableChecksum _),
@@ -562,6 +591,13 @@ object CdcQueries {
 
     // hard delete through the store == the batch filter of the source
     "q_forget_docs" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 13 != 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the merge-on-read purge serves the SAME rows as the CoW purge
+    "q_forget_docs_mor" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 13 != 0

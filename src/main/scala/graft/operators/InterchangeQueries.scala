@@ -258,8 +258,45 @@ object InterchangeQueries {
       .orderBy(col("source"))
   }
 
+  /** D8b (r14 verdict task 7): TYPE-WIDENING schema evolution through
+    * the table-format seam — the reference coerced column types
+    * per-table at write time [ref: KuduManager.scala:86-108]; here a
+    * type change is a MANIFEST HEADER change, never a rewrite. A
+    * document store commits `chars_total` as INT32; a restatement
+    * delta (docs with doc_id < 200, values scaled past the int range)
+    * arrives as BIGINT, the merge fold's union widens the recorded
+    * schema, and every carried int32 file reads through the widened
+    * schema via the vectorized reader's int→long updater. The gate
+    * aggregates the evolved table and must equal the batch recompute —
+    * any carried file misread (wrong type path, truncation, misorder)
+    * moves the sum. At 100 TB: widening a column on a long-lived feed
+    * costs one header, not a table rewrite; the two-generation
+    * no-rewrite file accounting is StoreSpec-pinned.
+    */
+  def qWidenEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val root = java.nio.file.Files.createTempDirectory("gq-widen").toString
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("int").as("chars_total")))
+    val delta = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars").cast("long") * 1000000L + 5000000000L)
+          .as("chars_total"))
+    store.mergeWith(delta, identity[DataFrame],
+      (base, d) => d.unionByName(
+        base.join(d.select(col("doc_id").as("dk")),
+          col("doc_id") === col("dk"), "left_anti").drop("dk")))
+    store.read().get.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars_total")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_widen_evolution"  -> (qWidenEvolution _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
@@ -292,6 +329,14 @@ object InterchangeQueries {
         |  CAST(sum(CASE WHEN doc_id % 2 = 1
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS sum_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the widened store == batch recompute with the restatement applied
+    "q_widen_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id < 200
+        |    THEN n_chars * 1000000 + 5000000000
+        |    ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_csv_roundtrip"  -> auditSql,

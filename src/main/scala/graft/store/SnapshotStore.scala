@@ -68,11 +68,13 @@ final class SnapshotStore(
     indexCol: Option[String] = None,
     indexBits: Int = 1 << 14,
     parquetManifestFrom: Int = 4096,
+    maxPlannedBroadcast: Int = 1 << 16,
     protocol: CommitProtocol = AtomicRenameCommit) {
 
   require(keepVersions >= 1, "keepVersions must be >= 1")
 
   private val manifestDir = Paths.get(root, "_manifests")
+  private val deletesDir = Paths.get(root, "_deletes")
   private val pointer = Paths.get(root, "LATEST")
   Files.createDirectories(manifestDir)
 
@@ -83,6 +85,13 @@ final class SnapshotStore(
     * million-distinct-key merge.
     */
   @volatile private[graft] var lastMergeSummaryRows: Long = -1L
+
+  /** Instrumentation: did the last [[mergeByIndex]] call take the
+    * fat-delta fallback (full-table fold, no probe broadcast) instead
+    * of Bloom-probe planning? Specs pin that a backfill-sized dim
+    * delta flips this on and a dim-shaped one leaves it off.
+    */
+  @volatile private[graft] var lastIndexMergeFallback: Boolean = false
 
   def currentVersion: Option[Long] = protocol.readPointer(pointer)
 
@@ -214,19 +223,70 @@ final class SnapshotStore(
     readFiles(v, files)
   }
 
+  /** The deletion-vector tag of version v's manifest header: the
+    * name of the `_deletes/<name>` parquet dir holding the version's
+    * outstanding per-file key tombstones (r14 verdict task 4). None
+    * when the version has no merge-on-read deletes outstanding.
+    */
+  private[graft] def dvName(v: Long): Option[String] =
+    Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala
+      .headOption.flatMap(h => "dv=(\\S+)".r.findFirstMatchIn(h))
+      .map(_.group(1))
+
+  /** Version v's deletion vector as a frame — (path root-relative,
+    * key long): "the row with this key in this data file is deleted".
+    * Per-FILE scoping is what lets a later upsert of a purged key
+    * become visible again (its row lands in a NEW file the tombstone
+    * never mentions) while the purged row in the old carried file
+    * stays masked.
+    */
+  private def dvFrame(v: Long): Option[DataFrame] =
+    dvName(v).map(n => Tables.loadCached(spark,
+      deletesDir.resolve(n).toString))
+
   /** SCHEMA EVOLUTION: every file read goes through the
     * manifest-recorded schema — the parquet reader null-fills columns
-    * a file predates (CoW carry-over keeps old files byte-identical
-    * when a fold adds a column), no footer-merge pass, column order
-    * is the manifest's, not whichever file parquet would sample
-    * first. Pre-schema-tracking manifests fall back to parquet's own
+    * a file predates, and WIDENS primitive columns a file wrote
+    * narrower (int32 read as BIGINT via the vectorized reader's
+    * widening updaters — the type-evolution path, r14 verdict task
+    * 7): CoW carry-over keeps old files byte-identical when a fold
+    * adds or widens a column, no footer-merge pass, column order is
+    * the manifest's, not whichever file parquet would sample first.
+    * Pre-schema-tracking manifests fall back to parquet's own
     * resolution.
+    *
+    * MERGE-ON-READ deletES: when the version carries a deletion
+    * vector, its per-file tombstones are anti-joined here — the DV is
+    * purge-batch-sized by construction (broadcast, map-side, no
+    * shuffle), so every read path (snapshot, range, point, change
+    * feed, and the merge folds' affected-slice base — which is what
+    * keeps purged rows from resurrecting through a later fold) sees
+    * post-delete rows at a cost bounded by the forget batch, never
+    * the table.
     */
-  private def readFiles(v: Long, files: Seq[String]): DataFrame =
-    schemaOf(v) match {
+  private def readFiles(v: Long, files: Seq[String]): DataFrame = {
+    val base = schemaOf(v) match {
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
     }
+    dvFrame(v) match {
+      case None => base
+      case Some(dv) =>
+        val dvAbs = dv.select(
+          when(col("path").startsWith("/"), col("path"))
+            .otherwise(concat(lit(absRoot + "/"), col("path")))
+            .as("_dv_path"),
+          col("key").as("_dv_key"))
+        base
+          .withColumn("_graft_file",
+            regexp_replace(input_file_name(), "^file:/+", "/"))
+          .join(broadcast(dvAbs),
+            col("_graft_file") === col("_dv_path") &&
+              col(keyCol).cast("long") === col("_dv_key"),
+            "left_anti")
+          .drop("_graft_file")
+    }
+  }
 
   /** Manifest-index file pruning for a key range — which data files
     * can contain keys in [lo, hi]. Exposed so plan/pruning behavior
@@ -366,7 +426,8 @@ final class SnapshotStore(
     */
   private def headerLine(txn: Option[Long],
                          schema: Option[org.apache.spark.sql.types.StructType],
-                         parquetEntries: Boolean): String = {
+                         parquetEntries: Boolean,
+                         dv: Option[String] = None): String = {
     // like the txn watermark below, the recorded schema carries
     // forward if a caller ever publishes without one
     val schemaTag = schema.orElse(currentVersion.flatMap(schemaOf))
@@ -378,8 +439,13 @@ final class SnapshotStore(
     // reads only the current header, so dropping it here would
     // silently re-open the double-count window the guard closes
     val effTxn = txn.orElse(lastTxn)
+    // the dv tag does NOT carry forward: absence means "no
+    // outstanding tombstones", and every publish recomputes the
+    // survivor set explicitly (stageDv) — a blind carry would
+    // resurrect tombstones for rewritten files
     s"# graft-manifest v1 key=$keyCol" + schemaTag +
       effTxn.map(t => s" txn=$t").getOrElse("") +
+      dv.map(d => s" dv=$d").getOrElse("") +
       (if (parquetEntries) " entries=parquet" else "")
   }
 
@@ -413,18 +479,74 @@ final class SnapshotStore(
 
   private def flipPointer(v: Long): Unit = protocol.flipPointer(pointer, v)
 
+  /** Stage version v's deletion vector: (current DV ∪ `dvAdd`),
+    * deduped, restricted to rows whose file SURVIVES into the new
+    * manifest (`survivingRel`, root-relative paths) — rewritten
+    * files shed their tombstones because the rewrite already dropped
+    * the rows. Returns the staged tmp dir + the final `_deletes`
+    * name for the header tag, or None when no tombstone survives
+    * (the common case: no MoR delete outstanding costs nothing).
+    */
+  private def stageDv(v: Long, dvAdd: Option[DataFrame],
+                      survivingRel: DataFrame): Option[(java.nio.file.Path, String)] = {
+    val curDv = currentVersion.flatMap(dvFrame)
+    val combined = (curDv, dvAdd) match {
+      case (None, None)       => return None
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b)             => a.orElse(b).get
+    }
+    val kept = combined.select(col("path"), col("key")).distinct()
+      .join(survivingRel.select(col("path")), Seq("path"), "left_semi")
+    if (kept.isEmpty) None
+    else {
+      Files.createDirectories(deletesDir)
+      val tmp = deletesDir.resolve(s".dv$v.${attemptToken()}.tmp")
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      Some((tmp, s"dv$v.parquet"))
+    }
+  }
+
+  /** Land a staged DV inside the commit lock — BEFORE the header that
+    * references it (a crash in between leaves an unreferenced dir the
+    * next attempt clears; the header tag alone decides commit-ness).
+    */
+  private def landDv(stage: Option[(java.nio.file.Path, String)]): Unit =
+    stage.foreach { case (tmp, name) =>
+      val target = deletesDir.resolve(name)
+      if (Files.exists(target))
+        org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+      protocol.landDir(tmp, target)
+    }
+
+  private def dropDvStage(stage: Option[(java.nio.file.Path, String)]): Unit =
+    stage.foreach { case (tmp, _) =>
+      if (Files.exists(tmp))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
   private def publish(v: Long, entries: Seq[DataFileEntry],
                       txn: Option[Long] = None,
                       schema: Option[org.apache.spark.sql.types.StructType] = None,
-                      expectedParent: Option[Long] = None): Long = {
+                      expectedParent: Option[Long] = None,
+                      dvAdd: Option[DataFrame] = None): Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
     // past the parquet threshold the entry list stops being
     // driver-text: land it as the parquet manifest instead (a
     // growing TSV store auto-migrates at its next publish)
     if (entries.size > parquetManifestFrom)
       return publishParquet(v, manifestRowsDf(entries), nonEmpty = true, txn,
-        schema, expectedParent)
-    val body = (headerLine(txn, schema, parquetEntries = false) +:
+        schema, expectedParent, dvAdd)
+    // deletion-vector carry: only run the survivor job when a DV
+    // exists or this commit adds tombstones — every other publish
+    // stays DV-free with zero extra work
+    val dvStage =
+      if (dvAdd.isEmpty && currentVersion.flatMap(dvName).isEmpty) None
+      else {
+        import spark.implicits._
+        stageDv(v, dvAdd, entries.map(e => relativizePath(e.path)).toDF("path"))
+      }
+    val body = (headerLine(txn, schema, parquetEntries = false,
+      dv = dvStage.map(_._2)) +:
       entries.sortBy(e => (e.minKey, e.path))
         // runtime entries carry absolute paths; the manifest ROW is
         // root-relative (see manifest() — relocatability)
@@ -444,6 +566,7 @@ final class SnapshotStore(
       // (manifest dispatch reads the header tag, this keeps disk clean)
       if (Files.exists(manifestParquet(v)))
         org.apache.commons.io.FileUtils.deleteDirectory(manifestParquet(v).toFile)
+      landDv(dvStage)
       protocol.landFile(tmpM, manifestDir.resolve(s"m$v.tsv"))
       flipPointer(v)
     } catch {
@@ -451,7 +574,7 @@ final class SnapshotStore(
         // loser cleanup: the staged manifest goes now; the attempt's
         // orphaned data files are reference-count-collected by the
         // next successful publish's vacuum
-        Files.deleteIfExists(tmpM); throw e
+        Files.deleteIfExists(tmpM); dropDvStage(dvStage); throw e
     }
     vacuum(v)
     v
@@ -472,7 +595,8 @@ final class SnapshotStore(
   private def publishParquet(v: Long, allEntries: DataFrame, nonEmpty: Boolean,
                              txn: Option[Long],
                              schema: Option[org.apache.spark.sql.types.StructType],
-                             expectedParent: Option[Long] = None): Long = {
+                             expectedParent: Option[Long] = None,
+                             dvAdd: Option[DataFrame] = None): Long = {
     // same invariant as the TSV path: new ∪ carried must be nonEmpty —
     // a carried-only commit (delete-heavy fold that empties the
     // affected slice but leaves untouched files) is a legal version
@@ -482,6 +606,13 @@ final class SnapshotStore(
     allEntries.select(col("path"), col("rows"), col("minKey"), col("maxKey"),
         col("bloom"))
       .write.mode("overwrite").parquet(tmp.toString)
+    // deletion-vector carry (same skip-fast discipline as the TSV
+    // path); the survivor set reads the just-staged entry list, so
+    // the DV job never re-executes allEntries' lineage
+    val dvStage =
+      if (dvAdd.isEmpty && currentVersion.flatMap(dvName).isEmpty) None
+      else stageDv(v, dvAdd,
+        Tables.loadCached(spark, tmp.toString).select(col("path")))
     // re-publish after a crash: clear the stale target before the
     // atomic move (a directory move cannot REPLACE_EXISTING)
     try withCommitLock {
@@ -489,14 +620,17 @@ final class SnapshotStore(
       if (Files.exists(target))
         org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
       protocol.landDir(tmp, target)
+      landDv(dvStage)
       val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
-      Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true))
+      Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true,
+        dv = dvStage.map(_._2)))
       protocol.landFile(tmpM, manifestDir.resolve(s"m$v.tsv"))
       flipPointer(v)
     } catch {
       case e: ConcurrentCommitException =>
         if (Files.exists(tmp))
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        dropDvStage(dvStage)
         throw e
     }
     vacuum(v)
@@ -568,6 +702,89 @@ final class SnapshotStore(
           Seq(keyCol), "left_anti"),
       deleteOnly = true)
 
+  /** Merge-on-read purge (r14 verdict task 4): the deletion-vector
+    * twin of [[purge]]. CoW purge pays a rewrite of every COVERING
+    * file per forget batch — at 100 TB with weekly small batches that
+    * rewrite dominates compliance cost. This variant writes only a
+    * per-file key TOMBSTONE set (the deletion vector, a parquet of
+    * (path, key) rows batch-bounded in size): every data file carries
+    * into the new version BY REFERENCE, reads anti-join the broadcast
+    * DV (see [[readFiles]] — all read paths, including the merge
+    * folds' affected base, see post-delete rows), and the deferred
+    * rewrite happens when the OPERATOR chooses: [[optimize]] compacts
+    * the table clean and drops the DV; any CoW merge that rewrites a
+    * covering file sheds that file's tombstones with it. Tombstones
+    * are per-FILE, so a later upsert of a purged key is visible again
+    * (its row lands in a new file). Purge cost is pure metadata —
+    * segment planning + a DV write — never a data-file read or write.
+    *
+    * NOTE the retention caveat the CoW purge does not have: the
+    * purged BYTES remain on disk until the covering files are
+    * rewritten (optimize / a later merge) and vacuumed out of
+    * retention — MoR trades immediate physical erasure for O(batch)
+    * purge cost. A compliance deadline is met by purgeMor now +
+    * optimize before the deadline. [[changes]] is file-diff-based and
+    * does not surface MoR deletes (a carried-only DV commit adds no
+    * files); downstream consumers of forget batches should read the
+    * forget feed itself, as the A43 pipeline does.
+    *
+    * Same no-op guarantees as [[purge]]: absent keys (no covering
+    * file) commit nothing; an empty store returns -1; a replayed txn
+    * is a no-op. A forget batch wide enough that its covering-file
+    * set exceeds `maxPlannedBroadcast` falls back to the CoW purge —
+    * past that bound the DV approaches table scale and the rewrite
+    * is the right economics anyway.
+    */
+  def purgeMor(keys: DataFrame, txn: Option[Long] = None): Long = {
+    if (currentVersion.isEmpty) return -1L
+    if (txn.exists(id => lastTxn.exists(_ >= id)))
+      return currentVersion.getOrElse(-1L)
+    val cur = currentVersion.get
+    val v = cur + 1L
+    import spark.implicits._
+    val keyed = keys.filter(col(keyCol).cast("long").isNotNull)
+    // which files can a purge key live in — the same elementary-
+    // segment pass as the CoW merges (driver traffic bounded by
+    // manifest size, never by forget-batch cardinality)
+    val mf = manifestFrame(cur)
+    val ranges: Array[(Long, Long)] =
+      mf.select(col("minKey"), col("maxKey")).as[(Long, Long)].collect()
+    val bnd: Array[Long] =
+      (ranges.map(_._1) ++ ranges.map(_._2 + 1L)).distinct.sorted
+    val hitSegs = hitSegments(keyed, bnd)
+    val hitStarts: Array[Long] = hitSegs
+      .filter(j => j >= 0 && j < bnd.length - 1).map(bnd(_)).sorted
+    if (hitStarts.isEmpty) return cur // no covering file: provably a no-op
+    val hsDf = hitStarts.toSeq.toDF("hs")
+    val cond = col("hs") >= col("minKey") && col("hs") <= col("maxKey")
+    val aff = mf.join(broadcast(hsDf), cond, "left_semi")
+      .select(col("path"), col("minKey"), col("maxKey"))
+    if (aff.isEmpty) return cur // hit segments all in inter-file gaps
+    if (aff.limit(maxPlannedBroadcast + 1).count() > maxPlannedBroadcast)
+      return mergeWith(keys,
+        init = _ => keys.limit(0),
+        fold = (baseAffected, k) =>
+          baseAffected.join(k.select(col(keyCol)).distinct(),
+            Seq(keyCol), "left_anti"),
+        txn = txn, deleteOnly = true)
+    // the tombstones: every (covering file, purge key) pair. Key
+    // PRESENCE in the file is not checked — that would read data,
+    // and an absent key's tombstone can never match a row — so the
+    // DV stays bounded by |batch| × covering-files-per-key (≈1 on a
+    // range-clustered table)
+    val dvAdd = keyed.select(col(keyCol).cast("long").as("key")).distinct()
+      .join(broadcast(aff), col("key").between(col("minKey"), col("maxKey")))
+      .select(col("path"), col("key"))
+    // carried-only commit: every data file carries by reference, only
+    // the DV and the header change
+    if (entriesParquet(cur))
+      publishParquet(v, mf, nonEmpty = true, txn, schemaOf(cur),
+        expectedParent = Some(cur), dvAdd = Some(dvAdd))
+    else
+      publish(v, manifest(cur), txn, schemaOf(cur),
+        expectedParent = Some(cur), dvAdd = Some(dvAdd))
+  }
+
   /** Dim-update propagation (incremental view maintenance, r14): the
     * store holds a DENORMALIZED table (fact-keyed, dim attributes
     * inlined — the shape every reference Kudu target table had) and
@@ -598,8 +815,39 @@ final class SnapshotStore(
       s"mergeByIndex on an empty store at $root"))
     val v = cur + 1L
     import spark.implicits._
-    // hash through the INDEX column exactly as the write side did
-    val probes = dimDelta.select(xxhash64(col(indexCol.get)).as("h")).distinct()
+    // hash through the STORED column's type, not the delta's runtime
+    // type (ADVICE r14): xxhash64 takes different byte paths per
+    // type, so an INT delta against a BIGINT store would otherwise
+    // compute different hashes than the write-side stats job,
+    // Bloom-prune every file, hit the empty-plan early return and
+    // silently no-op the merge — the same silent-false-negative
+    // failure mode plannedFilesPoint canonicalizes away with its
+    // Cast-to-column-type probe.
+    val storedType = schemaOf(cur)
+      .flatMap(st => st.fields.find(_.name == indexCol.get).map(_.dataType))
+    val dimProbe = storedType match {
+      case Some(t) if dimDelta.schema(indexCol.get).dataType != t =>
+        col(indexCol.get).cast(t)
+      case _ => col(indexCol.get)
+    }
+    val probes = dimDelta.select(xxhash64(dimProbe).as("h")).distinct()
+    // fat-delta guard (r14 verdict task 5): the Bloom plan broadcasts
+    // the distinct probe-hash set and tests it against every file's
+    // blob — O(files × probes). For the designed dim-delta shape
+    // (dozens-to-thousands of keys) that is the cheap path; a
+    // backfill-sized delta against a 10⁵-file manifest would mean a
+    // driver-sized broadcast and 10⁹⁺ bloom probes. Past the bound
+    // the index stops paying for itself anyway (most files hit), so
+    // fall back to the FULL fold: every file affected, carried =
+    // none, one plain full-snapshot publish. The guard itself is a
+    // limit+count — the driver stays bounded in both regimes.
+    lastIndexMergeFallback =
+      probes.limit(maxPlannedBroadcast + 1).count() > maxPlannedBroadcast
+    if (lastIndexMergeFallback) {
+      val folded = fold(readVersion(cur), dimDelta)
+      return publish(v, writeDataFiles(folded, v), txn, Some(folded.schema),
+        expectedParent = Some(cur))
+    }
     val mf = manifestFrame(cur)
     val mightHit = col("bloom").isNull ||
       graft.functions.bloom_might_contain(col("bloom"), col("h"))
@@ -919,7 +1167,7 @@ final class SnapshotStore(
       }
     } finally mlisting.close()
     // union of paths still referenced by any retained manifest
-    val retained: Set[String] = {
+    val retainedVersions: Seq[Long] = {
       val ml = Files.list(manifestDir)
       try {
         val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -929,8 +1177,23 @@ final class SnapshotStore(
               name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit))
             versions += name.stripPrefix("m").stripSuffix(".tsv").toLong
         }
-        versions.flatMap(manifestLite(_).map(e => normalizePath(e.path))).toSet
+        versions.toSeq
       } finally ml.close()
+    }
+    val retained: Set[String] =
+      retainedVersions.flatMap(manifestLite(_).map(e => normalizePath(e.path))).toSet
+    // deletion vectors are version-owned: drop any committed
+    // _deletes entry no retained header references (staging tmps —
+    // dot-prefixed — may belong to an in-flight writer and are left
+    // for their own publish/abort path to clear)
+    if (Files.exists(deletesDir)) {
+      val retainedDvs: Set[String] = retainedVersions.flatMap(dvName).toSet
+      val dl = Files.list(deletesDir)
+      try dl.forEach { d =>
+        val name = d.getFileName.toString
+        if (!name.startsWith(".") && !retainedDvs.contains(name))
+          org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      } finally dl.close()
     }
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {

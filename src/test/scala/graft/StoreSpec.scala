@@ -562,10 +562,14 @@ class StoreSpec extends AnyFunSuite {
     * without writing 10⁵ real files. Planning must never read the
     * fake paths as long as deltas stay inside the real key range.
     */
-  private def syntheticManifestStore(n: Int): SnapshotStore = {
+  private def syntheticManifestStore(
+      n: Int,
+      proto: graft.store.CommitProtocol = graft.store.AtomicRenameCommit)
+      : SnapshotStore = {
     import spark.implicits._
     val root = newRoot()
-    val store = new SnapshotStore(spark, root, "k", parquetManifestFrom = 2)
+    val store = new SnapshotStore(spark, root, "k", parquetManifestFrom = 2,
+      protocol = proto)
     store.commit((0L until 1000L).map(k => (k, k * 2)).toDF("k", "a"))
     val pq = s"$root/_manifests/m0.parquet"
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pq)),
@@ -639,9 +643,10 @@ class StoreSpec extends AnyFunSuite {
     assert(v == 1L && store.currentVersion.contains(1L))
   }
 
-  test("parquet manifest publish is crash-safe at both commit points") {
+  protocols.foreach { case (pname, proto) =>
+  test(s"parquet manifest publish is crash-safe at both commit points [$pname]") {
     import spark.implicits._
-    val store = syntheticManifestStore(10000)
+    val store = syntheticManifestStore(10000, proto)
     val delta = (0L until 50L).map(k => (k, k * 7)).toDF("k", "a")
     store.mergeWith(delta, identity[DataFrame], lastWriteWins)
     assert(store.currentVersion.contains(1L))
@@ -672,6 +677,7 @@ class StoreSpec extends AnyFunSuite {
     assert(store.manifestFrame(1L)
       .filter(col("path").contains("synthetic-")).count() == 10000L)
   }
+  } // protocols.foreach (crash-safe publish)
 
   test("parquet manifest: secondary-index point planning probes blobs in Spark") {
     import spark.implicits._
@@ -819,18 +825,29 @@ class StoreSpec extends AnyFunSuite {
     assert(store.readPoint("absent").count() == 0L)
   }
 
-  test("two-writer race: CAS publish admits exactly one; the loser retries clean") {
+  /** The r14 verdict task 1 parameterization: every commit-order /
+    * CAS-race / crash case runs against BOTH [[CommitProtocol]]
+    * implementations — POSIX atomic-rename and the emulated
+    * conditional-put (object-store) double — so "an S3 deployment
+    * implements the trait" is proof, not prose.
+    */
+  private def protocols = Seq(
+    "posix-rename" -> graft.store.AtomicRenameCommit,
+    "conditional-put" -> graft.store.ConditionalPutCommit)
+
+  protocols.foreach { case (pname, proto) =>
+  test(s"two-writer race [$pname]: CAS publish admits exactly one; the loser retries clean") {
     import graft.store.ConcurrentCommitException
     import spark.implicits._
     val root = newRoot()
-    val store = new SnapshotStore(spark, root, "k")
+    val store = new SnapshotStore(spark, root, "k", protocol = proto)
     store.commit(Seq((1L, "base")).toDF("k", "payload"))
     // both writers fold from v0, then race the commit point
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def writer(tag: String): Thread = new Thread(() => {
       try {
-        val s = new SnapshotStore(spark, root, "k")
+        val s = new SnapshotStore(spark, root, "k", protocol = proto)
         val basis = s.read().get
         val next = basis.unionByName(
           Seq((if (tag == "A") 2L else 3L, tag)).toDF("k", "payload"))
@@ -860,31 +877,34 @@ class StoreSpec extends AnyFunSuite {
     val finalRows = store.read().get.collect().map(_.getString(1)).toSet
     assert(finalRows === Set("base", "A", "B"), s"final: $finalRows")
   }
+  } // protocols.foreach (two-writer race)
 
-  test("commit seam: every commit primitive routes through CommitProtocol, in commit order") {
+  protocols.foreach { case (pname, proto) =>
+  test(s"commit seam [$pname]: every commit primitive routes through CommitProtocol, in commit order") {
     // r13 verdict task 5: the store's crash-safety rests on five
     // primitives a non-POSIX filesystem must be able to replace. This
     // pins (a) that SnapshotStore calls ONLY the seam for them, and
-    // (b) the commit order the S3 impl must preserve: manifest lands
-    // inside the exclusive section BEFORE the pointer flips.
-    import graft.store.{AtomicRenameCommit, CommitProtocol}
+    // (b) the commit order EVERY impl must preserve: manifest lands
+    // inside the exclusive section BEFORE the pointer flips — traced
+    // here through both the POSIX and the conditional-put protocol.
+    import graft.store.CommitProtocol
     import spark.implicits._
     val trace = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     object Tracing extends CommitProtocol {
       def exclusive[T](root: String)(body: => T): T = {
-        trace.add("enter"); val r = AtomicRenameCommit.exclusive(root)(body)
+        trace.add("enter"); val r = proto.exclusive(root)(body)
         trace.add("exit"); r
       }
       def readPointer(p: java.nio.file.Path): Option[Long] =
-        AtomicRenameCommit.readPointer(p)
+        proto.readPointer(p)
       def flipPointer(p: java.nio.file.Path, v: Long): Unit = {
-        trace.add(s"flip:$v"); AtomicRenameCommit.flipPointer(p, v)
+        trace.add(s"flip:$v"); proto.flipPointer(p, v)
       }
       def landFile(tmp: java.nio.file.Path, t: java.nio.file.Path): Unit = {
-        trace.add("landFile"); AtomicRenameCommit.landFile(tmp, t)
+        trace.add("landFile"); proto.landFile(tmp, t)
       }
       def landDir(tmp: java.nio.file.Path, t: java.nio.file.Path): Unit = {
-        trace.add("landDir"); AtomicRenameCommit.landDir(tmp, t)
+        trace.add("landDir"); proto.landDir(tmp, t)
       }
     }
     val root = newRoot()
@@ -905,6 +925,7 @@ class StoreSpec extends AnyFunSuite {
     assert(t2 === Seq("enter", "landDir", "landFile", "flip:0", "exit"),
       s"parquet commit order through the seam: $t2")
   }
+  } // protocols.foreach (commit seam)
 
   test("optimize aborts instead of resurrecting rows when a merge lands mid-rewrite") {
     import spark.implicits._
@@ -933,5 +954,255 @@ class StoreSpec extends AnyFunSuite {
     // the merge's rows are intact — nothing was resurrected
     val expected = CdcOps.softDeleteSnapshot(log, col("user_id"))
     assertSameRows(store.read().get, expected)
+  }
+
+  test("conditional-put protocol: full merge lifecycle matches the POSIX store bit-for-bit") {
+    // the commit leg of the r14 task-1 parameterization: N merges +
+    // vacuum + time travel through the object-store double produce
+    // the same table the POSIX protocol does
+    import graft.store.ConditionalPutCommit
+    val store = new SnapshotStore(spark, newRoot(), "user_id",
+      protocol = ConditionalPutCommit)
+    val log = parsedLog
+    (0L until 3L).foreach { i =>
+      store.merge(log.filter(pmod(col("id"), lit(3)) === i))
+    }
+    assert(store.currentVersion.contains(2L))
+    assertSameRows(store.read().get,
+      CdcOps.softDeleteSnapshot(log, col("user_id")))
+    // the format on disk is protocol-independent: a default-protocol
+    // handle reads the conditional-put store's versions
+    val posixView = new SnapshotStore(spark, store.root, "user_id")
+    assertSameRows(posixView.read().get, store.read().get)
+    assert(posixView.versions() == store.versions())
+  }
+
+  test("conditional-put protocol: a dead committer's stale lease is broken, not waited out") {
+    // the list-free stale-staging cleanup the seam was suspected of
+    // missing (r14 verdict task 1): a crash between lease claim and
+    // release must not wedge the store until manual repair
+    import graft.store.ConditionalPutCommit
+    import spark.implicits._
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k",
+      protocol = ConditionalPutCommit)
+    store.commit(Seq((1L, "a")).toDF("k", "payload"))
+    // simulate the dead committer: a lease object older than the TTL
+    val lease = java.nio.file.Paths.get(root, ".LEASE")
+    java.nio.file.Files.writeString(lease, "dead@0")
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * ConditionalPutCommit.leaseTtlMs))
+    // the next commit breaks the stale lease and proceeds
+    store.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "payload"))
+    assert(store.currentVersion.contains(1L))
+    assert(store.read().get.count() === 2)
+    assert(!java.nio.file.Files.exists(lease), "lease must be released")
+  }
+
+  test("mergeByIndex: an INT-typed dim delta against a BIGINT index column still plans and folds") {
+    // ADVICE r14 (medium): the probe used to hash the delta column at
+    // its RUNTIME type — xxhash64's 4-byte path against the store's
+    // 8-byte write-side hashes Bloom-pruned every file and the merge
+    // silently no-opped (stale data, no error). The probe now casts
+    // to the stored column type, like plannedFilesPoint.
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      filesPerCommit = 8, indexCol = Some("tenant"))
+    val facts = (0L until 800L).map(k => (k, k / 100L, k % 100L))
+      .toDF("k", "tenant", "tier")
+    store.commit(facts)
+    val delta = Seq((3, 999L)).toDF("tenant", "new_tier")
+    assert(delta.schema("tenant").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val v = store.mergeByIndex(delta, (affected, d) =>
+      affected.join(
+        broadcast(d.select(col("tenant").cast("long").as("tenant"),
+          col("new_tier"))), Seq("tenant"), "left")
+        .select(col("k"), col("tenant"),
+          coalesce(col("new_tier"), col("tier")).as("tier")))
+    assert(v == 1L && store.currentVersion.contains(1L),
+      "INT-typed delta silently no-opped the merge")
+    val got = store.read().get
+    assert(got.count() === 800)
+    assert(got.filter(col("tenant") === 3L && col("tier") =!= 999L).isEmpty)
+    assert(got.filter(col("tenant") =!= 3L && col("tier") >= 100L).isEmpty)
+    // and the plan still pruned: bloom planning worked through the cast
+    assert(!store.lastIndexMergeFallback)
+    val carried = store.manifest(1L).map(_.path).toSet
+      .intersect(store.manifest(0L).map(_.path).toSet)
+    assert(carried.nonEmpty && carried.size < store.manifest(0L).size,
+      "the cast probe must still Bloom-prune")
+  }
+
+  test("mergeByIndex: a backfill-sized dim delta takes the full-fold fallback, never a fat broadcast") {
+    // r14 verdict task 5: the Bloom plan is O(files × probes) with a
+    // probe broadcast — degenerate for a fat delta against a big
+    // manifest. Past maxPlannedBroadcast the merge falls back to one
+    // full fold; the planning job collects nothing but a bounded count.
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      filesPerCommit = 1000, indexCol = Some("u"),
+      parquetManifestFrom = 2, maxPlannedBroadcast = 4096)
+    store.commit(spark.range(0L, 10000L).select(col("id").as("k"),
+      col("id").as("u"), lit(0L).as("tag")))
+    assert(store.manifest(0L).size == 1000, "need the 10³-file manifest")
+    // 10⁵ distinct index keys — far past the 4096 probe bound
+    val fat = spark.range(0L, 100000L)
+      .select(col("id").as("u"), lit(7L).as("newtag"))
+    store.mergeByIndex(fat, (aff, d) =>
+      aff.join(d, Seq("u"), "left").select(col("k"), col("u"),
+        coalesce(col("newtag"), col("tag")).as("tag")), txn = Some(1L))
+    assert(store.lastIndexMergeFallback,
+      "a fat delta must take the full-fold fallback")
+    val got = store.read().get
+    assert(got.count() === 10000L)
+    assert(got.filter(col("tag") =!= 7L).isEmpty, "fallback fold must apply")
+    // a dim-shaped delta still takes the probe path on the new version
+    store.mergeByIndex(Seq((5L, 9L)).toDF("u", "newtag"), (aff, d) =>
+      aff.join(broadcast(d), Seq("u"), "left").select(col("k"), col("u"),
+        coalesce(col("newtag"), col("tag")).as("tag")), txn = Some(2L))
+    assert(!store.lastIndexMergeFallback)
+    assert(store.read().get.filter(col("k") === 5L).head.getLong(2) == 9L)
+  }
+
+  test("purgeMor: merge-on-read purge rewrites no data file; reads equal the CoW purge") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    val base = (0L until 400L).map(i => (i, s"payload-$i")).toDF("k", "payload")
+    store.commit(base)
+    val v0 = store.manifest(0L).map(_.path).toSet
+    store.purgeMor(Seq(3L, 7L, 11L).toDF("k"), txn = Some(1L))
+    // carried-only commit: EVERY data file carries by reference — the
+    // MoR economics (purge cost = metadata, not a covering rewrite)
+    assert(store.currentVersion.contains(1L))
+    assert(store.manifest(1L).map(_.path).toSet == v0,
+      "MoR purge must rewrite no data file")
+    assert(store.dvName(1L).isDefined, "v1 must carry a deletion vector")
+    // reads are post-delete on every path
+    val got = store.read().get
+    assert(got.count() === 397)
+    assert(got.filter(col("k").isin(3L, 7L, 11L)).isEmpty)
+    assert(store.readRange(0L, 20L).filter(col("k") === 7L).isEmpty)
+    // read equivalence with the CoW purge on the same input
+    val cow = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    cow.commit(base)
+    cow.purge(Seq(3L, 7L, 11L).toDF("k"))
+    assertSameRows(got, cow.read().get)
+    // absent keys: no version churn at all
+    store.purgeMor(Seq(9999999L).toDF("k"))
+    assert(store.currentVersion.contains(1L))
+    // replayed txn: a no-op (crash-redelivery safety, like mergeWith)
+    store.purgeMor(Seq(20L).toDF("k"), txn = Some(1L))
+    assert(store.currentVersion.contains(1L))
+    assert(store.read().get.filter(col("k") === 20L).count() === 1)
+    // parquet-manifest twin: the DV machinery works over the frame path
+    val pq = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8,
+      parquetManifestFrom = 2)
+    pq.commit(base)
+    pq.purgeMor(Seq(3L, 7L, 11L).toDF("k"))
+    assert(pq.manifest(1L).map(_.path).toSet ==
+      pq.manifest(0L).map(_.path).toSet)
+    assertSameRows(pq.read().get, got)
+  }
+
+  test("purgeMor: tombstones are per-file — an upsert of a purged key is visible again") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    store.commit((0L until 400L).map(i => (i, s"p-$i")).toDF("k", "payload"))
+    store.purgeMor(Seq(5L, 100L).toDF("k"))
+    assert(store.read().get.filter(col("k").isin(5L, 100L)).isEmpty)
+    // upsert key 5: the new row lands in a NEW file the tombstone
+    // never mentions — a GLOBAL key tombstone would mask it forever
+    store.mergeWith(Seq((5L, "reborn")).toDF("k", "payload"),
+      identity[DataFrame], lastWriteWins)
+    val after = store.read().get
+    assert(after.filter(col("k") === 5L).collect()
+      .map(_.getString(1)).toSeq == Seq("reborn"))
+    // …while key 100 (different file, still carried) stays purged:
+    // the fold's base was DV-applied, nothing resurrected
+    assert(after.filter(col("k") === 100L).isEmpty)
+    assert(after.count() === 399)
+    // a later merge rewriting key 100's covering file must not
+    // resurrect it either (the affected base reads post-delete)
+    store.mergeWith(Seq((101L, "x")).toDF("k", "payload"),
+      identity[DataFrame], lastWriteWins)
+    val fin = store.read().get
+    assert(fin.filter(col("k") === 100L).isEmpty)
+    assert(fin.filter(col("k") === 101L).head.getString(1) == "x")
+    assert(fin.count() === 399)
+    // that rewrite dropped the last tombstone's file → the DV is gone
+    assert(store.dvName(store.currentVersion.get).isEmpty,
+      "tombstones of rewritten files must be shed, not carried")
+  }
+
+  test("purgeMor: optimize compacts the DV away and vacuum reclaims the tombstone file") {
+    import spark.implicits._
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k", filesPerCommit = 8)
+    store.commit((0L until 400L).map(i => (i, s"p-$i")).toDF("k", "payload"))
+    store.purgeMor(Seq(3L, 7L).toDF("k"))
+    val dv1 = store.dvName(1L).get
+    val dvPath = java.nio.file.Paths.get(root, "_deletes", dv1)
+    assert(java.nio.file.Files.exists(dvPath))
+    // optimize: the deferred rewrite — all-new files, tombstones
+    // folded in, DV dropped from the new version's header
+    store.optimize()
+    assert(store.currentVersion.contains(2L))
+    assert(store.dvName(2L).isEmpty, "optimize must compact the DV away")
+    val got = store.read().get
+    assert(got.count() === 398)
+    assert(got.filter(col("k").isin(3L, 7L)).isEmpty)
+    // v1 (and its DV) is still in the retention window for in-flight
+    // readers; one more commit pushes it out and vacuum reclaims the
+    // tombstone file with the manifest
+    store.commit(store.read().get)
+    assert(!java.nio.file.Files.exists(dvPath),
+      "vacuum must reclaim the out-of-retention deletion vector")
+    assert(store.read().get.count() === 398)
+  }
+
+  test("type widening: an int column widened to long by a fold reads carried files without rewrite") {
+    // r14 verdict task 7: the manifest-recorded schema is the read
+    // schema for EVERY file, and Spark's vectorized parquet reader
+    // widens int32 → BIGINT — so a type evolution is a header change,
+    // never a table rewrite (the reference coerced types per-table at
+    // write [ref: KuduManager.scala:86-108]; here old files stay
+    // byte-identical and widen on read).
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k")
+    store.commit((0 until 1000).map(k => (k.toLong, k * 2)).toDF("k", "a")
+      .select(col("k"), col("a").cast("int").as("a")))
+    assert(store.schemaOf(0L).get("a").dataType == IntegerType)
+    val v0Files = store.manifest(0L).map(_.path).toSet
+    // generation 1: a delta whose value NEEDS 64 bits — the fold's
+    // union widens the table schema to LONG
+    store.mergeWith(Seq((3L, 6000000000L)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    assert(store.schemaOf(1L).get("a").dataType == LongType,
+      "the fold's widened schema must become the table schema")
+    val after = store.read().get
+    assert(after.schema("a").dataType == LongType)
+    assert(after.filter(col("k") === 3L).head.getLong(1) == 6000000000L)
+    // carried int32 files read through the widened schema, exactly
+    assert(after.filter(col("k") === 500L).head.getLong(1) == 1000L)
+    assert(after.count() === 1000L)
+    val v1Files = store.manifest(1L).map(_.path).toSet
+    assert((v0Files & v1Files).nonEmpty, "widening must not rewrite the table")
+    // generation 2: a second fold over a still-carried narrow file —
+    // the affected base reads widened, the republished schema stays wide
+    store.mergeWith(Seq((700L, 7000000000L)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    assert(store.schemaOf(2L).get("a").dataType == LongType)
+    val fin = store.read().get
+    assert(fin.filter(col("k") === 700L).head.getLong(1) == 7000000000L)
+    assert(fin.filter(col("k") === 10L).head.getLong(1) == 20L)
+    // v0-era int32 files are STILL carried after two generations
+    assert((v0Files & store.manifest(2L).map(_.path).toSet).nonEmpty,
+      "two-generation widen must never rewrite untouched files")
+    // the pruned-read paths widen too
+    assert(store.readRange(10L, 10L).schema("a").dataType == LongType)
+    assert(store.readRange(10L, 10L).head.getLong(1) == 20L)
   }
 }
