@@ -294,9 +294,44 @@ object InterchangeQueries {
       .orderBy(col("source"))
   }
 
+  /** D8c (r15): COLUMN-RENAME schema evolution through the
+    * table-format seam — the companion of [[qWidenEvolution]] that
+    * completes the evolution story a long-lived feed needs (add,
+    * widen, rename — none paying a rewrite). A document store
+    * commits, `renameColumn` re-labels the measure column as a
+    * METADATA-ONLY commit (no data file read or written — the
+    * rename log rides the header and reads map carried files
+    * forward by write generation), then a restatement fold upserts
+    * through the NEW name — so the gate's read crosses generations:
+    * pre-rename files (old name on disk), the rename, and
+    * post-rename files in one scan. Aggregate must equal the batch
+    * recompute; the zero-rewrite accounting, rename chains, the
+    * freed-name re-add corner and the rename+widen composition are
+    * StoreSpec-pinned.
+    */
+  def qRenameEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val root = java.nio.file.Files.createTempDirectory("gq-rename").toString
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs.select(col("doc_id"), col("source"), col("n_chars")))
+    store.renameColumn("n_chars", "chars")
+    val delta = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") * 2L + 1L).as("chars"))
+    store.mergeWith(delta, identity[DataFrame],
+      (base, d) => d.unionByName(
+        base.join(d.select(col("doc_id").as("dk")),
+          col("doc_id") === col("dk"), "left_anti").drop("dk")))
+    store.read().get.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_widen_evolution"  -> (qWidenEvolution _),
+    "q_rename_evolution" -> (qRenameEvolution _),
     "q_csv_roundtrip"  -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip"  -> (qOrcRoundtrip _),
@@ -336,6 +371,13 @@ object InterchangeQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id < 200
         |    THEN n_chars * 1000000 + 5000000000
+        |    ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the renamed store == batch recompute with the restatement applied
+    "q_rename_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id < 100 THEN n_chars * 2 + 1
         |    ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

@@ -223,6 +223,39 @@ final class SnapshotStore(
     readFiles(v, files)
   }
 
+  /** The rename log of version v's manifest header (r15, the second
+    * half of the type-evolution story): every column rename ever
+    * committed, as (renamedAtVersion, from, to), oldest first. A
+    * rename is a METADATA commit — data files written before it still
+    * carry the old column name on disk, and [[readFiles]] maps them
+    * forward by write generation. The log carries forward in the
+    * header like the schema (a handful of bytes per rename, renames
+    * are rare events).
+    */
+  private[graft] def renamesOf(v: Long): Seq[(Long, String, String)] =
+    Files.readAllLines(manifestDir.resolve(s"m$v.tsv")).asScala
+      .headOption.flatMap(h => "renames=(\\S+)".r.findFirstMatchIn(h))
+      .map(m => new String(java.util.Base64.getDecoder.decode(m.group(1)),
+          "UTF-8")
+        .split(";").toSeq.filter(_.nonEmpty).map { tok =>
+          val Array(rv, f, t) = tok.split(">")
+          (rv.toLong, f, t)
+        })
+      .getOrElse(Seq.empty)
+
+  private def encodeRenames(r: Seq[(Long, String, String)]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      r.map { case (v, f, t) => s"$v>$f>$t" }.mkString(";").getBytes("UTF-8"))
+
+  /** The version a data file was WRITTEN at, parsed from the store's
+    * own path layout (`data/v<N>-<attempt>/…`) — what decides which
+    * renames postdate the file. A path outside the layout reads as
+    * current-generation (no rename mapping applies).
+    */
+  private def writeVersionOf(path: String): Long =
+    "data/v(\\d+)-".r.findFirstMatchIn(path)
+      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+
   /** The deletion-vector tag of version v's manifest header: the
     * name of the `_deletes/<name>` parquet dir holding the version's
     * outstanding per-file key tombstones (r14 verdict task 4). None
@@ -264,8 +297,63 @@ final class SnapshotStore(
     * post-delete rows at a cost bounded by the forget batch, never
     * the table.
     */
+  /** COLUMN RENAME (r15): a rename is a header commit; files written
+    * before it carry the OLD name on disk. Files group by write
+    * generation (how many renames postdate them — parsed from the
+    * path, no footer read), each group reads through the current
+    * schema with names mapped BACK for its generation, maps them
+    * forward with `withColumnRenamed`, and the groups union by name.
+    * A column ADDED after a rename freed its name cannot exist in a
+    * pre-rename file (the name was taken), so the back-mapped schema
+    * drops it for that group and the union null-fills it — the one
+    * collision case, spec-pinned.
+    */
+  private def readGenerations(st: org.apache.spark.sql.types.StructType,
+                              rens: Seq[(Long, String, String)],
+                              files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val groups = files.groupBy(f => rens.count(_._1 > writeVersionOf(f)))
+    groups.toSeq.sortBy(_._1).map { case (cut, fs) =>
+      if (cut == 0) spark.read.schema(st).parquet(fs: _*)
+      else {
+        val applied = rens.takeRight(cut) // oldest-first renames to map
+        // map current names back to this generation's on-disk names
+        // (newest rename first), dropping any field whose back-mapped
+        // name collides with another current field — that field was
+        // added AFTER the rename freed the name, so it cannot be in
+        // these files; the final unionByName null-fills it
+        val backName: String => String =
+          applied.reverse.foldLeft(identity[String] _) { (acc, r) =>
+            (n: String) => { val m = acc(n); if (m == r._3) r._2 else m }
+          }
+        val mapped = st.fields.map(f => f.copy(name = backName(f.name)))
+        val dup = mapped.groupBy(_.name).filter(_._2.length > 1).keySet
+        val fields = mapped.zip(st.fields).collect {
+          // on a name collision keep the field that was RENAMED into
+          // the clash (back-name ≠ current name) — the same-named
+          // field was added after the rename freed the name
+          case (m, orig) if !dup.contains(m.name) || m.name != orig.name => m
+        }
+        // two CHANGED names colliding (rename → re-add → rename again,
+        // read a first-generation file) cannot be disambiguated from
+        // the log alone — fail loudly rather than read wrong columns
+        require(fields.map(_.name).distinct.length == fields.length,
+          s"ambiguous rename history: two current columns map to the " +
+            s"same on-disk name for generation-$cut files (${fields.map(_.name).mkString(",")})")
+        var df = spark.read.schema(StructType(fields)).parquet(fs: _*)
+        applied.foreach { case (_, from, to) =>
+          if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+        }
+        df
+      }
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .select(st.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def readFiles(v: Long, files: Seq[String]): DataFrame = {
+    val rens = renamesOf(v)
     val base = schemaOf(v) match {
+      case Some(st) if rens.nonEmpty => readGenerations(st, rens, files)
       case Some(st) => spark.read.schema(st).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
     }
@@ -427,7 +515,9 @@ final class SnapshotStore(
   private def headerLine(txn: Option[Long],
                          schema: Option[org.apache.spark.sql.types.StructType],
                          parquetEntries: Boolean,
-                         dv: Option[String] = None): String = {
+                         dv: Option[String] = None,
+                         renames: Option[Seq[(Long, String, String)]] = None)
+      : String = {
     // like the txn watermark below, the recorded schema carries
     // forward if a caller ever publishes without one
     val schemaTag = schema.orElse(currentVersion.flatMap(schemaOf))
@@ -439,11 +529,18 @@ final class SnapshotStore(
     // reads only the current header, so dropping it here would
     // silently re-open the double-count window the guard closes
     val effTxn = txn.orElse(lastTxn)
+    // the rename log carries forward like the schema — files written
+    // before a rename outlive many commits, so every version must
+    // keep the mapping; only renameColumn itself appends
+    val effRenames = renames
+      .getOrElse(currentVersion.map(renamesOf).getOrElse(Seq.empty))
+    val renameTag =
+      if (effRenames.isEmpty) "" else s" renames=${encodeRenames(effRenames)}"
     // the dv tag does NOT carry forward: absence means "no
     // outstanding tombstones", and every publish recomputes the
     // survivor set explicitly (stageDv) — a blind carry would
     // resurrect tombstones for rewritten files
-    s"# graft-manifest v1 key=$keyCol" + schemaTag +
+    s"# graft-manifest v1 key=$keyCol" + schemaTag + renameTag +
       effTxn.map(t => s" txn=$t").getOrElse("") +
       dv.map(d => s" dv=$d").getOrElse("") +
       (if (parquetEntries) " entries=parquet" else "")
@@ -528,14 +625,16 @@ final class SnapshotStore(
                       txn: Option[Long] = None,
                       schema: Option[org.apache.spark.sql.types.StructType] = None,
                       expectedParent: Option[Long] = None,
-                      dvAdd: Option[DataFrame] = None): Long = {
+                      dvAdd: Option[DataFrame] = None,
+                      renames: Option[Seq[(Long, String, String)]] = None)
+      : Long = {
     require(entries.nonEmpty, "commit of an empty snapshot is not supported")
     // past the parquet threshold the entry list stops being
     // driver-text: land it as the parquet manifest instead (a
     // growing TSV store auto-migrates at its next publish)
     if (entries.size > parquetManifestFrom)
       return publishParquet(v, manifestRowsDf(entries), nonEmpty = true, txn,
-        schema, expectedParent, dvAdd)
+        schema, expectedParent, dvAdd, renames)
     // deletion-vector carry: only run the survivor job when a DV
     // exists or this commit adds tombstones — every other publish
     // stays DV-free with zero extra work
@@ -546,7 +645,7 @@ final class SnapshotStore(
         stageDv(v, dvAdd, entries.map(e => relativizePath(e.path)).toDF("path"))
       }
     val body = (headerLine(txn, schema, parquetEntries = false,
-      dv = dvStage.map(_._2)) +:
+      dv = dvStage.map(_._2), renames = renames) +:
       entries.sortBy(e => (e.minKey, e.path))
         // runtime entries carry absolute paths; the manifest ROW is
         // root-relative (see manifest() — relocatability)
@@ -596,7 +695,9 @@ final class SnapshotStore(
                              txn: Option[Long],
                              schema: Option[org.apache.spark.sql.types.StructType],
                              expectedParent: Option[Long] = None,
-                             dvAdd: Option[DataFrame] = None): Long = {
+                             dvAdd: Option[DataFrame] = None,
+                             renames: Option[Seq[(Long, String, String)]] = None)
+      : Long = {
     // same invariant as the TSV path: new ∪ carried must be nonEmpty —
     // a carried-only commit (delete-heavy fold that empties the
     // affected slice but leaves untouched files) is a legal version
@@ -623,7 +724,7 @@ final class SnapshotStore(
       landDv(dvStage)
       val tmpM = manifestDir.resolve(s".m$v.tsv.tmp")
       Files.writeString(tmpM, headerLine(txn, schema, parquetEntries = true,
-        dv = dvStage.map(_._2)))
+        dv = dvStage.map(_._2), renames = renames))
       protocol.landFile(tmpM, manifestDir.resolve(s"m$v.tsv"))
       flipPointer(v)
     } catch {
@@ -783,6 +884,49 @@ final class SnapshotStore(
     else
       publish(v, manifest(cur), txn, schemaOf(cur),
         expectedParent = Some(cur), dvAdd = Some(dvAdd))
+  }
+
+  /** COLUMN RENAME (r15, the second half of r14 verdict task 7's
+    * evolution story): a metadata-only commit — no data file is read
+    * or written. The new schema and an appended rename-log entry ride
+    * the next version's header; files written before the rename keep
+    * the old name on disk and [[readFiles]] maps them forward by
+    * write generation (path-parsed, no footer read). Later folds see
+    * the new name everywhere; a rewrite of an old file sheds its
+    * mapping naturally (the new file is written under the current
+    * name). At 100 TB a rename costs one header, not a table rewrite
+    * — the other operation (with int→long widening) a long-lived
+    * feed needs [ref: KuduManager.scala:86-108 coerces per-table at
+    * write; a lake format does it at read]. Restrictions: the key
+    * and secondary-index columns cannot be renamed (planning and DV
+    * identity hang off them), names must fit the header codec's
+    * alphabet, and the new name must be unused. Same txn replay
+    * guard as the merges.
+    */
+  def renameColumn(from: String, to: String, txn: Option[Long] = None): Long = {
+    if (txn.exists(id => lastTxn.exists(_ >= id)))
+      return currentVersion.getOrElse(-1L)
+    val cur = currentVersion.getOrElse(throw new IllegalStateException(
+      s"renameColumn on an empty store at $root"))
+    require(from != keyCol, "cannot rename the key column")
+    require(!indexCol.contains(from), "cannot rename the secondary index column")
+    require(from.matches("[A-Za-z0-9_]+") && to.matches("[A-Za-z0-9_]+"),
+      "rename names must be [A-Za-z0-9_]+ (the header codec's alphabet)")
+    val st = schemaOf(cur).getOrElse(throw new IllegalStateException(
+      "renameColumn needs a schema-recorded manifest"))
+    require(st.fieldNames.contains(from),
+      s"no column $from in ${st.fieldNames.mkString(",")}")
+    require(!st.fieldNames.contains(to), s"column $to already exists")
+    val v = cur + 1L
+    val newSchema = org.apache.spark.sql.types.StructType(
+      st.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val log = renamesOf(cur) :+ ((v, from, to))
+    if (entriesParquet(cur))
+      publishParquet(v, manifestFrame(cur), nonEmpty = true, txn,
+        Some(newSchema), expectedParent = Some(cur), renames = Some(log))
+    else
+      publish(v, manifest(cur), txn, Some(newSchema),
+        expectedParent = Some(cur), renames = Some(log))
   }
 
   /** Dim-update propagation (incremental view maintenance, r14): the

@@ -1205,4 +1205,97 @@ class StoreSpec extends AnyFunSuite {
     assert(store.readRange(10L, 10L).schema("a").dataType == LongType)
     assert(store.readRange(10L, 10L).head.getLong(1) == 20L)
   }
+
+  test("column rename: a metadata-only commit; carried files map forward by generation") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 4)
+    store.commit((0L until 400L).map(i => (i, i * 2, s"s$i")).toDF("k", "a", "tag"))
+    val v0Files = store.manifest(0L).map(_.path).toSet
+    // the rename itself: no data file read or written
+    store.renameColumn("a", "metric")
+    assert(store.currentVersion.contains(1L))
+    assert(store.manifest(1L).map(_.path).toSet == v0Files,
+      "rename must be metadata-only")
+    assert(store.schemaOf(1L).get.fieldNames.toSeq == Seq("k", "metric", "tag"))
+    val got = store.read().get
+    assert(got.columns.toSeq == Seq("k", "metric", "tag"))
+    assert(got.filter(col("k") === 5L).head.getLong(1) == 10L,
+      "old-name on-disk data must surface under the new name")
+    assert(got.count() === 400L)
+    // a fold AFTER the rename uses the new name; its new file is
+    // written under the new name while old files keep mapping
+    store.mergeWith(Seq((5L, 999L, "x")).toDF("k", "metric", "tag"),
+      identity[DataFrame], lastWriteWins)
+    val after = store.read().get
+    assert(after.filter(col("k") === 5L).head.getLong(1) == 999L)
+    assert(after.filter(col("k") === 300L).head.getLong(1) == 600L)
+    assert(after.count() === 400L)
+    // pruned-path reads map too
+    assert(store.readRange(10L, 10L).head.getLong(1) == 20L)
+    // guards: key column and occupied names are protected
+    intercept[IllegalArgumentException] { store.renameColumn("k", "kk") }
+    intercept[IllegalArgumentException] { store.renameColumn("tag", "metric") }
+    intercept[IllegalArgumentException] { store.renameColumn("gone", "x") }
+  }
+
+  test("column rename: chains compose and a freed name can be re-added") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 4)
+    store.commit((0L until 400L).map(i => (i, i * 3)).toDF("k", "a"))
+    // chain: a -> b (v1), b -> c (v2); first-generation files map a->c
+    store.renameColumn("a", "b")
+    store.renameColumn("b", "c")
+    val got = store.read().get
+    assert(got.columns.toSeq == Seq("k", "c"))
+    assert(got.filter(col("k") === 7L).head.getLong(1) == 21L)
+    // the freed name "a" is re-added by a fold as a NEW column: old
+    // files must null-fill it while their on-disk "a" still reads as c
+    store.mergeWith(Seq((7L, 21L, 777L)).toDF("k", "c", "a"),
+      identity[DataFrame],
+      (base, d) => d.unionByName(
+        base.join(d.select(col("k").as("dk")), col("k") === col("dk"),
+          "left_anti").drop("dk"), allowMissingColumns = true))
+    val evolved = store.read().get
+    assert(evolved.columns.sorted.toSeq == Seq("a", "c", "k"))
+    assert(evolved.filter(col("k") === 7L).select(col("a")).head.getLong(0) == 777L)
+    assert(evolved.filter(col("k") === 8L).select(col("c")).head.getLong(0) == 24L,
+      "pre-rename on-disk a must still read as c after the name was re-used")
+    assert(evolved.filter(col("k") === 8L).select(col("a")).head.isNullAt(0),
+      "the re-added column must null-fill pre-rename files")
+    assert(evolved.count() === 400L)
+    // relocatability: renames live in the header, not the store handle
+    val rehandle = new SnapshotStore(spark, store.root, "k")
+    assert(rehandle.read().get.filter(col("k") === 7L)
+      .select(col("c")).head.getLong(0) == 21L)
+  }
+
+  test("column rename composes with type widening across generations") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 4)
+    // v0: int32 column under the old name
+    store.commit((0 until 400).map(i => (i.toLong, i)).toDF("k", "a")
+      .select(col("k"), col("a").cast("int").as("a")))
+    // v1: widen via a long delta
+    store.mergeWith(Seq((3L, 6000000000L)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    // v2: rename the widened column
+    store.renameColumn("a", "metric")
+    val got = store.read().get
+    assert(got.schema("metric").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.filter(col("k") === 3L).head.getLong(1) == 6000000000L)
+    // a v0-era int32 file read through BOTH the rename mapping and
+    // the widening updater
+    assert(got.filter(col("k") === 200L).head.getLong(1) == 200L)
+    assert(got.count() === 400L)
+    // parquet-manifest twin: rename through the frame path
+    val pq = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 4,
+      parquetManifestFrom = 2)
+    pq.commit((0L until 100L).map(i => (i, i * 2)).toDF("k", "a"))
+    pq.renameColumn("a", "b")
+    assert(pq.read().get.columns.toSeq == Seq("k", "b"))
+    assert(pq.read().get.filter(col("k") === 9L).head.getLong(1) == 18L)
+    assert(pq.manifest(1L).map(_.path).toSet ==
+      pq.manifest(0L).map(_.path).toSet)
+  }
 }
