@@ -59,6 +59,7 @@ object SparkEntry {
   val eagerQueries: Set[String] = Set(
     "q_stream_cdc_snapshot", "q_stream_kafka_seam", "q_stream_late",
     "q_stream_backfill", "q_stream_multitopic", "q_stream_ivm",
+    "q_stream_forget",
     // store commit+purge/merge jobs run at construction (r14/r15)
     "q_forget_docs", "q_forget_ann", "q_ivm_denorm", "q_forget_neardup",
     "q_forget_docs_mor", "q_widen_evolution", "q_rename_evolution",

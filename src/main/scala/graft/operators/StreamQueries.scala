@@ -332,6 +332,55 @@ object StreamQueries {
       .orderBy(col("tier"))
   }
 
+  /** A46 under the gate (r15): STREAMING right-to-be-forgotten — the
+    * compliance family's streaming leg. A document store is committed
+    * once; forget-key batches (the A43 forget set, split in two
+    * arrival chunks) flow through a file stream, and each micro-batch
+    * purges via [[graft.store.SnapshotStore.purgeMor]] with
+    * txn = batchId — merge-on-read, so the purge costs a
+    * batch-sized deletion-vector write and ZERO data-file rewrites
+    * per batch (the weekly-forget-feed economics at 100 TB: the
+    * deferred rewrite is optimize()'s, run on the operator's
+    * schedule, not per batch), and the WAL txn guard makes the
+    * at-least-once foreachBatch delivery exactly-once on the table.
+    * Gate: the continuously-purged store equals the batch filter of
+    * the source — the SAME oracle as A43/A43b, so all three forget
+    * paths (batch CoW, batch MoR, streaming MoR) are pinned
+    * row-identical.
+    */
+  def qStreamForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = tmp("gq-sforget-store")
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs)
+    val forget = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id")).localCheckpoint(true)
+    val keyDir = tmp("gq-sforget-keys")
+    def arrive(mod26: Int, sub: String): Unit =
+      forget.filter(pmod(col("doc_id"), lit(26)) === mod26)
+        .coalesce(1).write.mode("overwrite").parquet(s"$keyDir/$sub")
+    arrive(0, "b0")
+    val q = spark.readStream
+      .schema("doc_id LONG").parquet(keyDir + "/*/")
+      .writeStream.option("checkpointLocation", tmp("gq-sforget-ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = new graft.store.SnapshotStore(batch.sparkSession, root,
+          "doc_id", filesPerCommit = 8)
+        s.purgeMor(batch, txn = Some(batchId))
+        ()
+      }.start()
+    q.processAllAvailable()
+    arrive(13, "b1")
+    q.processAllAvailable()
+    q.stop()
+    new graft.store.SnapshotStore(spark, root, "doc_id")
+      .read().get.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** A15 under the gate: at-least-once delivery (every event lands
     * TWICE) deduplicated by the watermarked streaming dedup. One
     * AvailableNow batch, so no event is ever "late" vs the watermark
@@ -1123,6 +1172,7 @@ object StreamQueries {
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
     "q_stream_multitopic" -> (qStreamMultitopic _),
     "q_stream_ivm" -> (qStreamIvm _),
+    "q_stream_forget" -> (qStreamForget _),
     "q_stream_auto_optimize" -> (qStreamAutoOptimize _),
     "q_stream_kafka_seam"   -> (qStreamKafkaSeam _),
     "q_stream_dedup"        -> (qStreamDedup _),
@@ -1313,6 +1363,14 @@ object StreamQueries {
 
     // streaming IVM converges to the batch recompute for any arrival
     // split of the dim delta (A44's oracle, split-invariant)
+    // streaming MoR forget == the batch filter (same oracle as
+    // q_forget_docs / q_forget_docs_mor — three paths, one truth)
+    "q_stream_forget" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 13 != 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_stream_ivm" ->
       """WITH f AS (SELECT event_id, user_id,
         |  CASE WHEN user_id % 5 = 0 THEN user_id % 3 + 10
