@@ -1003,6 +1003,18 @@ final class SnapshotStore(
       .select(col("path")).distinct().as[String].collect().toSeq
     if (affectedPaths.isEmpty) return cur // no file can hold any affected key
     val folded = fold(readFiles(cur, affectedPaths.map(resolvePath)), dimDelta)
+    // evolution guard, fast-pathed: dim folds normally preserve the
+    // schema (free StructType compare); only a reshaping fold pays
+    // the carried-existence check + validation
+    if (schemaOf(cur).exists(_ != folded.schema)) {
+      val hasCarried =
+        if (entriesParquet(cur))
+          !mf.join(broadcast(affectedPaths.toDF("path")), Seq("path"),
+            "left_anti").isEmpty
+        else manifest(cur).size > affectedPaths.length
+      if (hasCarried)
+        schemaOf(cur).foreach(validateCarriedEvolution(_, folded.schema))
+    }
     val newEntries = writeDataFiles(folded, v)
     if (entriesParquet(cur)) {
       // parquet-manifest twin: carried entries stay a FRAME end-to-end
@@ -1019,6 +1031,50 @@ final class SnapshotStore(
         hitSet.contains(relativizePath(e.path)) || hitSet.contains(e.path))
       publish(v, newEntries ++ carried, txn,
         Some(folded.schema), expectedParent = Some(cur))
+    }
+  }
+
+  /** Schema-evolution validation for COMMITS THAT CARRY FILES (r15):
+    * the recorded schema is the read schema for every carried file,
+    * so a fold's schema may only evolve in ways old files can serve —
+    * ADD a column (null-filled) or WIDEN one (the vectorized reader's
+    * updaters). Everything else fails AT COMMIT TIME with the repair
+    * path in the message, because it would otherwise fail — or
+    * corrupt — at READ time, possibly much later:
+    *   - DROP: carried files keep the bytes on disk; if the name were
+    *     ever re-added, reads would resurrect STALE values instead of
+    *     nulls (the field-id problem real formats solve) — dropping
+    *     requires a full rewrite (commit()/optimize());
+    *   - NARROW or retype (long→int, string→long, …): carried wide
+    *     files cannot be read through the narrow schema.
+    * Renames never pass through here ([[renameColumn]] is the
+    * metadata path with its own generation mapping). Full-snapshot
+    * commits rewrite every file, so they may reshape freely.
+    */
+  private def validateCarriedEvolution(
+      from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    val widenable: Set[(DataType, DataType)] = Set(
+      (IntegerType, LongType), (IntegerType, DoubleType),
+      (LongType, DoubleType), (FloatType, DoubleType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType))
+    from.fields.foreach { f =>
+      to.fields.find(_.name == f.name) match {
+        case None => throw new IllegalStateException(
+          s"fold dropped column '${f.name}' on a carried-file merge: " +
+            "carried files keep the bytes, and a later re-add of the " +
+            "name would resurrect stale values — drop via a full " +
+            "rewrite (commit()/optimize()) instead")
+        case Some(t) if t.dataType == f.dataType => ()
+        case Some(t) if widenable((f.dataType, t.dataType)) => ()
+        case Some(t) => throw new IllegalStateException(
+          s"fold changed column '${f.name}' from ${f.dataType.simpleString} " +
+            s"to ${t.dataType.simpleString} on a carried-file merge: only " +
+            "widening evolutions serve carried files — reshape via a " +
+            "full rewrite (commit()) instead")
+      }
     }
   }
 
@@ -1132,8 +1188,12 @@ final class SnapshotStore(
             readFiles(cur, Seq(all.head.path)).limit(0)
           } else readFiles(cur, affected.map(_.path))
         val folded = fold(baseAffected, keyed)
-        // the fold's schema becomes the TABLE schema (add-only
-        // evolution: carried files null-fill new columns on read)
+        // the fold's schema becomes the TABLE schema (add/widen
+        // evolution: carried files null-fill new columns and widen
+        // narrow ones on read; anything else is rejected HERE, at
+        // commit time, not at some later read)
+        if (carried.nonEmpty)
+          schemaOf(cur).foreach(validateCarriedEvolution(_, folded.schema))
         publish(v, writeDataFiles(folded, v) ++ carried, txn,
           Some(folded.schema), expectedParent = Some(cur))
     }
@@ -1214,6 +1274,8 @@ final class SnapshotStore(
             Seq(resolvePath(mf.select(col("path")).as[String].head()))).limit(0))
       else readFiles(cur, affectedPaths)
     val folded = fold(baseAffected, keyed)
+    if (affectedPaths.length < ranges.length) // some file carries
+      schemaOf(cur).foreach(validateCarriedEvolution(_, folded.schema))
     val newEntries = writeDataFiles(folded, v)
     publishParquet(v,
       carried.unionByName(manifestRowsDf(newEntries)),

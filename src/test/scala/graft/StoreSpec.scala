@@ -1206,6 +1206,45 @@ class StoreSpec extends AnyFunSuite {
     assert(store.readRange(10L, 10L).head.getLong(1) == 20L)
   }
 
+  test("evolution guard: drops and narrows are rejected at commit time on carried merges") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    store.commit((0L until 400L).map(i => (i, i * 2, s"s$i")).toDF("k", "a", "b"))
+    val delta = Seq((3L, 6L, "x")).toDF("k", "a", "b") // localized → files carry
+    // a fold that DROPS a column: carried files keep the bytes, and a
+    // later re-add would resurrect stale values — reject at commit
+    val eDrop = intercept[IllegalStateException] {
+      store.mergeWith(delta, identity[DataFrame],
+        (base, _) => base.drop("b"))
+    }
+    assert(eDrop.getMessage.contains("dropped column 'b'"), eDrop.getMessage)
+    // a fold that NARROWS a column: carried long files can't serve int
+    val eNarrow = intercept[IllegalStateException] {
+      store.mergeWith(delta, identity[DataFrame],
+        (base, _) => base.withColumn("a", col("a").cast("int")))
+    }
+    assert(eNarrow.getMessage.contains("'a'"), eNarrow.getMessage)
+    // nothing committed by either rejected fold
+    assert(store.currentVersion.contains(0L))
+    assert(store.read().get.count() === 400L)
+    // the SAME reshape via a full rewrite is legal (no carried files)
+    store.commit(store.read().get.drop("b"))
+    assert(store.currentVersion.contains(1L))
+    assert(store.read().get.columns.toSeq == Seq("k", "a"))
+    // widening on a carried merge still passes (the legal evolution)
+    store.mergeWith(Seq((3L, 6000000000L)).toDF("k", "a"),
+      identity[DataFrame], lastWriteWins)
+    assert(store.read().get.filter(col("k") === 3L).head.getLong(1) == 6000000000L)
+    // parquet-manifest twin: same rejection through mergeLarge
+    val pq = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8,
+      parquetManifestFrom = 2)
+    pq.commit((0L until 400L).map(i => (i, i * 2, s"s$i")).toDF("k", "a", "b"))
+    intercept[IllegalStateException] {
+      pq.mergeWith(delta, identity[DataFrame], (base, _) => base.drop("b"))
+    }
+    assert(pq.currentVersion.contains(0L))
+  }
+
   test("column rename: a metadata-only commit; carried files map forward by generation") {
     import spark.implicits._
     val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 4)
