@@ -63,6 +63,7 @@ object SparkEntry {
     // store commit+purge/merge jobs run at construction (r14/r15)
     "q_forget_docs", "q_forget_ann", "q_ivm_denorm", "q_forget_neardup",
     "q_forget_docs_mor", "q_widen_evolution", "q_rename_evolution",
+    "q_forget_audit",
     "q_stream_dedup", "q_stream_agg_table", "q_stream_ann_index",
     "q_stream_ann_pq", "q_stream_neardup", "q_stream_quality_gate",
     "q_stream_session", "q_stream_window", "q_stream_ingest",

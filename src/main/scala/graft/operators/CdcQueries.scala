@@ -508,6 +508,35 @@ object CdcQueries {
       .orderBy(col("source"))
   }
 
+  /** A43c (r15): the compliance AUDIT over the merge-on-read forget
+    * path — after a [[graft.store.SnapshotStore.purgeMor]] batch, the
+    * store's [[graft.store.SnapshotStore.deletions]] frame lists
+    * every masked-but-not-yet-erased key with the data file it is
+    * scheduled out of. The gate joins the distinct tombstoned keys
+    * back to the source table and reports per-source counts — the
+    * report a data-protection officer actually asks for ("how many
+    * records per source are pending physical erasure?"), and the
+    * proof that the DV contains EXACTLY the forget set (a missing
+    * key = a forget request silently dropped; an extra key = data
+    * masked that nobody asked to forget). Oracle: the batch
+    * recompute of the forget set per source.
+    */
+  def qForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("gq-fa").toString
+    val store = new graft.store.SnapshotStore(spark, root, "doc_id",
+      filesPerCommit = 8)
+    store.commit(docs)
+    store.purgeMor(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id")))
+    store.deletions().select(col("key").as("doc_id")).distinct()
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tombstoned"))
+      .orderBy(col("source"))
+  }
+
   /** A44: incremental view maintenance of a denormalized table — the
     * operation every reference deployment performed implicitly (Kudu
     * target tables were denormalized fact rows; a dimension change
@@ -551,6 +580,7 @@ object CdcQueries {
     "q_ivm_denorm"       -> (qIvmDenorm _),
     "q_forget_docs"      -> (qForgetDocs _),
     "q_forget_docs_mor"  -> (qForgetDocsMor _),
+    "q_forget_audit"     -> (qForgetAudit _),
     "q_dlq_replay"       -> (qDlqReplay _),
     "q_offset_audit"     -> (qOffsetAudit _),
     "q_table_checksum"   -> (qTableChecksum _),
@@ -594,6 +624,12 @@ object CdcQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 13 != 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the DV audit lists EXACTLY the forget set, attributed by source
+    "q_forget_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_tombstoned
+        |FROM documents WHERE doc_id % 13 = 0
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // the merge-on-read purge serves the SAME rows as the CoW purge

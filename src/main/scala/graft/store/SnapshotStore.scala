@@ -886,6 +886,29 @@ final class SnapshotStore(
         expectedParent = Some(cur), dvAdd = Some(dvAdd))
   }
 
+  /** The current version's outstanding merge-on-read tombstones as a
+    * frame — (path root-relative, key) — the COMPLIANCE-AUDIT surface
+    * of [[purgeMor]]: which keys are masked-but-not-yet-physically-
+    * erased, and in which data files (exactly what the next
+    * [[optimize]] will rewrite and vacuum will then reclaim). An
+    * auditor answers "prove key K is being forgotten" from this frame
+    * plus the store's read path (the row is unreadable NOW, the bytes
+    * are scheduled); an operator sizes the deferred-rewrite bill from
+    * its distinct-path count. Empty frame (same schema) when no
+    * tombstones are outstanding.
+    */
+  def deletions(): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version in $root"))
+    dvFrame(v).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("path", StringType),
+          StructField("key", LongType))))
+    }
+  }
+
   /** COLUMN RENAME (r15, the second half of r14 verdict task 7's
     * evolution story): a metadata-only commit — no data file is read
     * or written. The new schema and an appended rename-log entry ride

@@ -1145,11 +1145,15 @@ class StoreSpec extends AnyFunSuite {
     val dv1 = store.dvName(1L).get
     val dvPath = java.nio.file.Paths.get(root, "_deletes", dv1)
     assert(java.nio.file.Files.exists(dvPath))
+    // the audit surface lists EXACTLY the outstanding tombstone keys
+    assert(store.deletions().select(col("key")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L, 7L))
     // optimize: the deferred rewrite — all-new files, tombstones
     // folded in, DV dropped from the new version's header
     store.optimize()
     assert(store.currentVersion.contains(2L))
     assert(store.dvName(2L).isEmpty, "optimize must compact the DV away")
+    assert(store.deletions().isEmpty, "audit must read empty after compaction")
     val got = store.read().get
     assert(got.count() === 398)
     assert(got.filter(col("k").isin(3L, 7L)).isEmpty)
