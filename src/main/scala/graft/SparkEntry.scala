@@ -77,6 +77,9 @@ object SparkEntry {
     // two-pass prefix-scan (per-partition min job at construction, r9)
     "q_pareto_front",
     "q_ngram_adaptive", "q_containment_pairs",
+    // hot-bucket pre-check aggregates the band keys at construction
+    // (r15 verdict task 4 guard)
+    "q_dedup_minhash",
     // the zipWithIndex total-rank pattern (the scale-correct
     // alternative to a single-partition row_number window) counts
     // partitions with an eager job at construction

@@ -428,12 +428,50 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  /** HOT-BUCKET GUARD (r15 verdict task 4): a degenerate band bucket —
+    * near-empty docs, templated boilerplate, a replicated corpus —
+    * puts b docs behind one (band, bh) key and the candidate join
+    * emits b² rows from it; at corpus scale that single bucket is a
+    * quadratic plan the rest of the banding can't dilute. The guard
+    * measures max bucket occupancy up front (one aggregation on the
+    * SAME key the join would shuffle on) and refuses with remediation
+    * instead of launching the blowup — the same fail-fast discipline
+    * as [[containmentPairsAdaptive]]'s pairMassBudget. The per-bucket
+    * cap (not total mass) is the right knob here: legitimate near-dup
+    * corpora have small buckets (clusters of a handful of docs; 25x
+    * stress replication multiplies them 25x, still thousands under
+    * the default), while the failure mode is one bucket with 10^4+
+    * members. `maxBucketDocs <= 0` disables the pre-check for callers
+    * that have already bounded the corpus.
+    */
+  private[graft] def assertBucketsBounded(cand: DataFrame,
+                                          maxBucketDocs: Int): Unit = {
+    if (maxBucketDocs <= 0) return
+    val hot = cand.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucketDocs)
+      .agg(coalesce(max(col("cnt")), lit(0L)).as("worst"),
+        count(lit(1)).as("n_hot"))
+      .head()
+    if (hot.getLong(1) > 0)
+      throw new IllegalStateException(
+        s"minhash-LSH hot bucket: ${hot.getLong(1)} band bucket(s) exceed " +
+          s"maxBucketDocs=$maxBucketDocs (worst ${hot.getLong(0)} docs — " +
+          "~" + (hot.getLong(0) * hot.getLong(0)) + " candidate pairs from " +
+          "ONE bucket). This is a templated/boilerplate or near-empty-doc " +
+          "flood: dedupExact byte-identical docs first, cluster with " +
+          "dupClusters (linear output) instead of pair enumeration, or " +
+          "raise maxBucketDocs explicitly.")
+  }
+
+  def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8,
+                 maxBucketDocs: Int = 5000): DataFrame = {
     val withSig = hashedShingles(docs).select(col("doc_id"), col("shh"),
       graft.functions.minhash_sig(col("shh")).as("sig"))
     val bands = bandStructs(col("sig"))
     val cand = withSig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    assertBucketsBounded(cand, maxBucketDocs)
     val pairs = cand.alias("x").join(cand.alias("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -484,11 +522,16 @@ object Dedup {
     * LSH (graft.ann.Ann).
     */
   /** Dup-cluster formation: connected components over a near-dup pair
-    * graph by iterative min-label propagation (the DataFrame form of
-    * hash-min CC; converges in O(diameter) rounds — near-dup graphs
-    * are unions of small cliques, so a handful). Each round is one
-    * join + aggregate; the driver loop only checks the convergence
-    * counter, all data stays distributed.
+    * graph by LARGE-STAR/SMALL-STAR alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * public algorithm behind every production-scale CC). Round count
+    * is O(log n) in component size instead of the O(diameter) of
+    * min-label propagation (r15 verdict task 5): on a chain-shaped
+    * component the old hash-min loop paid one full-graph shuffle PER
+    * HOP and its 50-round safety cap silently returned unconverged
+    * labels past diameter 50 — the star alternation converges a
+    * 2^50-node component inside the same cap, and the cap now throws
+    * instead of silently mislabeling.
     *
     * Returns (id, cluster_id = min doc id reachable).
     *
@@ -501,6 +544,40 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame =
     connectedComponentsReleasable(pairs, vertices)._1
 
+  /** Rounds the last [[connectedComponentsReleasable]] loop ran —
+    * spec-visible so the O(log n) bound is pinned by a test.
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** One large-star step over a canonical (u > v) edge frame: every
+    * node u connects its strictly-larger neighbors to the minimum of
+    * its closed neighborhood. Output stays canonical (d > s >= m).
+    */
+  private def largeStarStep(e: DataFrame): DataFrame = {
+    val bidir = e.select(explode(array(
+        struct(col("u").as("s"), col("v").as("d")),
+        struct(col("v").as("s"), col("u").as("d")))).as("x"))
+      .select(col("x.s").as("s"), col("x.d").as("d"))
+    val mins = bidir.groupBy(col("s")).agg(min(col("d")).as("mn"))
+      .select(col("s"), least(col("mn"), col("s")).as("m"))
+    bidir.join(mins, "s").filter(col("d") > col("s"))
+      .select(col("d").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One small-star step: every node u connects its smaller neighbors
+    * (and itself) to the minimum of that neighborhood. Canonical in,
+    * canonical out.
+    */
+  private def smallStarStep(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u").select(col("v").as("x"), col("m"))
+      .unionAll(mins.select(col("u").as("x"), col("m")))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
   /** [[connectedComponents]] plus a release handle that unpersists the
     * internally-cached label frame. Call it only AFTER the result has
     * been fully materialized (written / collected) — unpersisting
@@ -508,83 +585,78 @@ object Dedup {
     */
   def connectedComponentsReleasable(
       pairs: DataFrame, vertices: DataFrame): (DataFrame, () => Unit) = {
-    // undirected edge list, both directions — exploded from ONE pass
-    // over `pairs` (a unionAll of two selects would evaluate the
-    // whole candidate-generation lineage twice when this cache
-    // materializes)
-    val edges0 = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().cache()
+    // canonical undirected edge list (u > v, no self-loops) — the
+    // eager localCheckpoint evaluates the (possibly expensive)
+    // candidate-generation lineage exactly once; every loop round
+    // starts from materialized blocks
+    val edges0 = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
     // the loop is eager by nature (a convergence check every round),
-    // so counting the cached edges here is not an extra pass — and it
-    // lets loop parallelism follow the DUP GRAPH's size, not the
-    // session's shuffle width: a near-dup graph is typically orders
-    // of magnitude smaller than the corpus, and running its tiny
+    // so counting the edges here is not an extra pass — and it lets
+    // loop parallelism follow the DUP GRAPH's size, not the session's
+    // shuffle width: a near-dup graph is typically orders of
+    // magnitude smaller than the corpus, and running its tiny
     // per-round joins at full width bills fixed task overhead 32x per
     // stage. ~100k edges per partition; at a billion edges this keeps
     // full width.
     val nEdges = edges0.count()
     val loopParts = math.max(1, math.min(
       edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
-    val edges = edges0.coalesce(loopParts)
-    // only vertices incident to an edge can ever change label: iterate
-    // on that (tiny) subgraph and union the untouched singletons back
-    // at the end — the loop's joins scale with the DUP graph, not the
-    // corpus (at 100 TB the dup graph is orders of magnitude smaller)
-    val active = edges.select(col("src").as("id")).distinct().cache()
-    // Each round's label frame is an EAGER localCheckpoint, not a
-    // cache: unpersisting a cached round's PARENT invalidates the
-    // dependent cache entry (CacheManager recompiles dependents when
-    // an upstream InMemoryRelation is evicted), so the
-    // cache/count/unpersist chain silently recomputed every round's
-    // full lineage — exponential in round count. Harmless on the
-    // near-clique text dup graph (diameter ~3); a 50s round-7 and an
-    // OOM on the embedding graph (long chains at cos >= 0.4, 20+
-    // rounds). The checkpoint truncates lineage, so round r+1's plan
-    // starts from round r's materialized blocks no matter what was
-    // dropped; retired round blocks are freed by the ContextCleaner
-    // when their RDDs go out of scope (label frames are
-    // dup-graph-sized, so the transient overlap is small).
-    var labels = active.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
-    var converged = false
+    // only vertices incident to an edge participate in the loop; the
+    // untouched singletons are unioned back at the end — the loop's
+    // joins scale with the DUP graph, not the corpus
+    val active = edges0.select(col("u").as("id"))
+      .unionAll(edges0.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    // Large-star/small-star alternation to the edge-set fixpoint (a
+    // set of stars rooted at each component's minimum id). Each
+    // round's edge frame is an EAGER localCheckpoint — lineage is
+    // truncated, so round r+1's plan starts from round r's blocks
+    // (the cache/count/unpersist chain recompiled dependents and went
+    // exponential; see r13 history). Convergence is the edge-set
+    // invariant (count, decimal-sum of per-edge hashes): stars are
+    // the alternation's only fixpoints, so two identical consecutive
+    // rounds == converged. The decimal(38,0) sum keeps the check
+    // exact at any edge count.
+    def stats(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = edges0.coalesce(loopParts)
+    var prev: (Long, java.math.BigDecimal) = null
+    var cur = stats(edges)
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (cur._1 > 0 &&
+      (prev == null || prev._1 != cur._1 || prev._2.compareTo(cur._2) != 0)) {
+      if (rounds >= 64)
+        throw new IllegalStateException(
+          "connected components did not converge in 64 star rounds — " +
+            "O(log n) bounds this at well beyond any real graph; the " +
+            "edge frame is non-deterministic across evaluations")
       val tR0 = System.nanoTime()
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_label")).as("n_min"))
-      // new label + change flag in one pass: the convergence count
-      // aggregates the checkpointed frame instead of re-joining next
-      // against the previous labels (one fewer shuffle per round)
-      val step = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
-            .cast("long").as("chg"))
-        .localCheckpoint(true)
-      // coalesce: sum() over an EMPTY step frame (corpus with zero
-      // near-dup pairs at the threshold) aggregates to NULL — getLong
-      // would NPE; an empty graph is simply "converged"
-      val changed = step.agg(coalesce(sum(col("chg")), lit(0L)))
-        .first().getLong(0)
-      labels = step.select(col("id"), col("cluster_id"))
-      converged = changed == 0
+      edges = smallStarStep(largeStarStep(edges)).localCheckpoint(true)
+      prev = cur
+      cur = stats(edges)
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $rounds%d changed=$changed%d ${(System.nanoTime()-tR0)/1e9}%.2f s")
+        println(f"[cc] round $rounds%d edges=${cur._1}%d ${(System.nanoTime()-tR0)/1e9}%.2f s")
     }
-    edges0.unpersist()
-    active.unpersist()
+    lastCcRounds = rounds
+    // at the fixpoint every non-root node appears exactly once as u
+    // with its component's minimum as v; roots and (defensively) any
+    // unmapped active node label themselves
+    val labels = active
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
     // anti-join against the (checkpointed) final labels, NOT against
-    // `active`/`edges`: those are unpersisted above, and referencing
-    // them from this lazily-evaluated result would re-run the whole
-    // candidate-generation lineage at the caller's action
+    // intermediates — referencing them from this lazily-evaluated
+    // result would re-run the whole lineage at the caller's action
     val singletons = vertices.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     (labels.unionAll(singletons), () => ())

@@ -1085,37 +1085,22 @@ object AnalyticsQueries {
     * — THE graph-clustering primitive under dedup-cluster maps,
     * entity resolution, and community seeds (E18's label propagation
     * finds dense neighborhoods; this finds exact reachability
-    * classes). Distributed min-label propagation to a true fixpoint:
-    * labels only ever decrease, so convergence is detected by the
-    * label-sum invariant (one cheap global agg per round — no
-    * change-count join), and each round is one hash join + one
-    * aggregate on the edge frame, lineage cut by localCheckpoint —
-    * the 100 TB shape (rounds = component diameter; nothing
-    * node-sized ever reaches the driver). Oracle replays it as a
-    * recursive reachability closure.
+    * classes). Computed by the shared large-star/small-star kernel
+    * ([[graft.dedup.Dedup.connectedComponents]], r15 verdict task 5):
+    * O(log n) rounds instead of O(diameter), each round two
+    * key-grouped shuffles, convergence by the exact edge-set
+    * (count, decimal-sum) invariant — the 100 TB shape (nothing
+    * node-sized ever reaches the driver, and a chain-shaped
+    * component no longer pays one full-graph shuffle per hop).
+    * Oracle replays it as a recursive reachability closure.
     */
   def qConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val e0 = copurchasePairs(spark, dir).filter(col("support") >= 2)
-      .select(col("p1").as("u"), col("p2").as("v"))
-    val both = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v")).cache()
-    var lab = both.select(col("u").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
-    var prevSum: java.math.BigDecimal = null
-    var curSum = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
-    while (prevSum == null || curSum.compareTo(prevSum) != 0) {
-      val nbr = both
-        .join(lab.select(col("node").as("v"), col("lab").as("nl")), "v")
-        .groupBy(col("u")).agg(min(col("nl")).as("nbr"))
-      lab = lab.join(nbr.select(col("u").as("node"), col("nbr")), Seq("node"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
-      prevSum = curSum
-      curSum = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
-    }
-    both.unpersist()
-    lab.groupBy(col("lab").as("comp")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("p1").as("id_a"), col("p2").as("id_b"))
+    val nodes = e0.select(col("id_a").as("id"))
+      .unionAll(e0.select(col("id_b").as("id"))).distinct()
+    graft.dedup.Dedup.connectedComponents(e0, nodes)
+      .groupBy(col("cluster_id").as("comp")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("comp"))
   }
 

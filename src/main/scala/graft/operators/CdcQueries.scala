@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.cdc.{CdcOps, ChangeModel}
+import graft.cdc.{AvroChangeModel, CdcOps, ChangeModel}
 import graft.sources.Tables
 
 /** A-block (SURVEY.md §2): the reference's CDC semantics exposed as
@@ -26,6 +26,31 @@ object CdcQueries {
       .select(col("id"), col("user_id"), col("event_type"), col("value"),
         col("op_type"), col("current_ts"))
       .orderBy(col("id"))
+
+  /** A1-Avro (r15 verdict task 6): the identical change records
+    * carried as binary Avro (schema-registry shape) and decoded
+    * in-stream — the decode yields [[CdcOps.parse]]'s exact column
+    * contract, so the oracle is q_cdc_parse's SQL verbatim and every
+    * downstream A2-A6 operator works on the Avro feed unchanged.
+    */
+  def qCdcParseAvro(spark: SparkSession, dir: String): DataFrame =
+    AvroChangeModel.parseAvro(AvroChangeModel.avroLinesTable(spark, dir))
+      .select(col("id"), col("user_id"), col("event_type"), col("value"),
+        col("op_type"), col("current_ts"))
+      .orderBy(col("id"))
+
+  /** A3 over the Avro feed: LWW upsert snapshot routed through the
+    * SAME CdcOps.snapshot kernel as q_cdc_upsert — proving the decode
+    * output drives the existing pipeline end-to-end (oracle is
+    * q_cdc_upsert's SQL verbatim; byte-identical snapshot).
+    */
+  def qCdcUpsertAvro(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.snapshot(
+        AvroChangeModel.parseAvro(AvroChangeModel.avroLinesTable(spark, dir)),
+        col("user_id"))
+      .select(col("user_id"), col("id").as("last_id"), col("op_type").as("last_op"),
+        col("value").as("last_value"), col("current_ts").as("last_ts"))
+      .orderBy(col("user_id"))
 
   /** A5: stringly-typed payload coerced against the target schema. */
   def qCdcTypemap(spark: SparkSession, dir: String): DataFrame = {
@@ -593,6 +618,8 @@ object CdcQueries {
     "q_cdc_scd2"       -> (qCdcScd2 _),
     "q_table_diff"     -> (qTableDiff _),
     "q_cdc_parse"      -> (qCdcParse _),
+    "q_cdc_parse_avro" -> (qCdcParseAvro _),
+    "q_cdc_upsert_avro" -> (qCdcUpsertAvro _),
     "q_cdc_typemap"    -> (qCdcTypemap _),
     "q_cdc_upsert"     -> (qCdcUpsert _),
     "q_cdc_compact"    -> (qCdcCompact _),
@@ -811,6 +838,20 @@ object CdcQueries {
       s"""SELECT event_id AS id, user_id, event_type, value,
          | $opCase AS op_type, $tsSec AS current_ts
          |FROM events ORDER BY id""".stripMargin,
+
+    // the Avro feed carries the SAME logical records — the oracles are
+    // q_cdc_parse's / q_cdc_upsert's verbatim
+    "q_cdc_parse_avro" ->
+      s"""SELECT event_id AS id, user_id, event_type, value,
+         | $opCase AS op_type, $tsSec AS current_ts
+         |FROM events ORDER BY id""".stripMargin,
+
+    "q_cdc_upsert_avro" ->
+      s"""SELECT user_id, event_id AS last_id, $opCase AS last_op,
+         | value AS last_value, $tsSec AS last_ts
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY $tsSec DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_cdc_typemap" ->
       s"""SELECT event_id AS id, user_id, event_type, value,

@@ -58,44 +58,93 @@ object ConditionalPutCommit extends CommitProtocol {
 
   def exclusive[T](root: String)(body: => T): T = {
     val lease = java.nio.file.Paths.get(root, ".LEASE")
+    // Every claim carries a UNIQUE token: release and stale-break are
+    // conditional deletes on that token (DELETE If-Match), so a holder
+    // can never delete a lease that was broken out from under it and
+    // re-claimed by someone else — the token IS the ownership proof.
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + claimTimeoutMs * 1000000L
     var claimed = false
     while (!claimed) {
       try {
         // conditional create: PUT If-None-Match:* — exactly one
-        // contender per object name succeeds
-        Files.createFile(lease)
-        Files.writeString(lease,
-          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
+        // contender per object name succeeds. CREATE_NEW writes the
+        // token in the same call, so no observer sees an empty lease
+        // with a settled mtime.
+        Files.writeString(lease, token,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
         claimed = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // held: break it only if the holder is provably dead (lease
-          // age beyond TTL) — the list-free takeover path
-          val stale = try {
+          // age beyond TTL) — the list-free takeover path. Capture the
+          // token OBSERVED stale, then delete only if the object still
+          // carries that token (conditional delete): a fresh re-claim
+          // between the age check and the delete has a new token and
+          // survives. The monitor stands in for the service-side
+          // atomicity of DELETE If-Match (same emulation discipline
+          // as flipPointer's conditional put).
+          val observedStale: Option[String] = try {
+            val tok = Files.readString(lease)
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lease).toMillis
-            age > leaseTtlMs
-          } catch { case _: java.nio.file.NoSuchFileException => false }
-          if (stale) Files.deleteIfExists(lease) // next loop re-claims
-          else if (System.nanoTime() > deadline)
-            throw new IllegalStateException(
-              s"could not claim commit lease $lease within ${claimTimeoutMs}ms")
-          else Thread.sleep(5)
+            if (age > leaseTtlMs) Some(tok) else None
+          } catch { case _: java.nio.file.NoSuchFileException => None }
+          observedStale match {
+            case Some(tok) =>
+              leaseMonitor(lease).synchronized {
+                val unchanged = try Files.readString(lease) == tok
+                  catch { case _: java.nio.file.NoSuchFileException => false }
+                if (unchanged) Files.deleteIfExists(lease)
+              } // next loop re-claims
+            case None =>
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  s"could not claim commit lease $lease within ${claimTimeoutMs}ms")
+              else Thread.sleep(5)
+          }
       }
     }
-    try body finally Files.deleteIfExists(lease)
+    heldLease.set((lease.toAbsolutePath.normalize(), token))
+    try body finally {
+      heldLease.remove()
+      // conditional release: delete only OUR lease. If the token no
+      // longer matches, the lease was broken (this holder overran the
+      // TTL) and the current holder's lease must not be destroyed.
+      leaseMonitor(lease).synchronized {
+        val mine = try Files.readString(lease) == token
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        if (mine) Files.deleteIfExists(lease)
+      }
+    }
   }
+
+  // the lease this thread currently holds (path -> token), carried so
+  // flipPointer can re-verify ownership at the commit point
+  private val heldLease = new ThreadLocal[(Path, String)]()
+
+  private val leaseMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def leaseMonitor(p: Path): Object =
+    leaseMonitors.computeIfAbsent(
+      p.toAbsolutePath.normalize().toString, _ => new Object)
 
   def readPointer(pointer: Path): Option[Long] = {
     // GET: record the etag this reader observed, so a flipPointer on
     // the same thread (the commit path: casCheck re-reads, then
-    // flips) carries it as its If-Match basis
-    val v =
-      if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
-      else None
-    seenEtag.put(etagKey(pointer), currentEtag(pointer))
-    v
+    // flips) carries it as its If-Match basis. Read UNDER the pointer
+    // monitor: flipPointer truncate-writes the object in place, and a
+    // real store serves either the old or the new object, never a
+    // torn one — the monitor emulates that read atomicity (a reader
+    // outside it could observe an empty/partial file and crash).
+    pointerMonitor(pointer).synchronized {
+      val v =
+        if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong)
+        else None
+      seenEtag.put(etagKey(pointer), currentEtag(pointer))
+      v
+    }
   }
 
   // etag observed by this committer's last read of each pointer —
@@ -117,6 +166,21 @@ object ConditionalPutCommit extends CommitProtocol {
     // service-side atomicity of the conditional PUT (see class doc).
     val expected =
       Option(seenEtag.get(etagKey(pointer))).getOrElse(currentEtag(pointer))
+    // Ownership re-verify at the commit point: if this thread claimed
+    // a lease for this store root (exclusive()), the lease object must
+    // still carry OUR token. A holder that overran the TTL and was
+    // broken must fail here — flipping anyway could publish the losing
+    // writer's manifest over the new holder's commit.
+    Option(heldLease.get()).foreach { case (leasePath, token) =>
+      if (leasePath.getParent == pointer.toAbsolutePath.normalize().getParent) {
+        val stillMine = try Files.readString(leasePath) == token
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        if (!stillMine)
+          throw new IllegalStateException(
+            s"commit lease $leasePath lost before pointer flip " +
+              "(lease broken as stale — this committer overran the TTL)")
+      }
+    }
     pointerMonitor(pointer).synchronized {
       if (currentEtag(pointer) != expected)
         throw new IllegalStateException(

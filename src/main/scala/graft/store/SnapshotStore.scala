@@ -365,9 +365,18 @@ final class SnapshotStore(
             .otherwise(concat(lit(absRoot + "/"), col("path")))
             .as("_dv_path"),
           col("key").as("_dv_key"))
+        // input_file_name() is a URL-ENCODED URI; manifest paths are
+        // raw filesystem paths. Percent-decode before comparing, or a
+        // root containing spaces/%/non-ASCII silently misses the
+        // anti-join and purged rows become readable again — a silent
+        // compliance failure. A literal '+' is legal in a URI path
+        // segment (it only means space in form encoding), so protect
+        // it as %2B before url_decode's form-decoding pass.
         base
           .withColumn("_graft_file",
-            regexp_replace(input_file_name(), "^file:/+", "/"))
+            url_decode(regexp_replace(
+              regexp_replace(input_file_name(), "^file:/+", "/"),
+              "\\+", "%2B")))
           .join(broadcast(dvAbs),
             col("_graft_file") === col("_dv_path") &&
               col(keyCol).cast("long") === col("_dv_key"),
@@ -1078,9 +1087,18 @@ final class SnapshotStore(
       from: org.apache.spark.sql.types.StructType,
       to: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
+    // Pinned to what Spark 4.1's VECTORIZED parquet reader actually
+    // serves (ParquetVectorUpdaterFactory has IntegerToLong,
+    // IntegerToDouble, FloatToDouble and the byte/short INT32 family —
+    // and NOTHING for long→double, which is lossy and was excluded by
+    // SPARK-40876). Every pair here is executed against a carried file
+    // in StoreSpec's widen-whitelist case; admitting a pair the reader
+    // can't serve would pass the commit gate and then fail every read
+    // of the carried files — the exact failure this guard exists to
+    // prevent.
     val widenable: Set[(DataType, DataType)] = Set(
       (IntegerType, LongType), (IntegerType, DoubleType),
-      (LongType, DoubleType), (FloatType, DoubleType),
+      (FloatType, DoubleType),
       (ShortType, IntegerType), (ShortType, LongType),
       (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType))
     from.fields.foreach { f =>
@@ -1412,15 +1430,27 @@ final class SnapshotStore(
     val retained: Set[String] =
       retainedVersions.flatMap(manifestLite(_).map(e => normalizePath(e.path))).toSet
     // deletion vectors are version-owned: drop any committed
-    // _deletes entry no retained header references (staging tmps —
-    // dot-prefixed — may belong to an in-flight writer and are left
-    // for their own publish/abort path to clear)
+    // _deletes entry no retained header references. Staging tmps
+    // (dot-prefixed) normally belong to an in-flight writer and are
+    // cleared by that writer's own publish/abort path — but a CRASH
+    // between stage and land orphans the dir forever (the attempt
+    // token in the name means no later attempt overwrites it), so
+    // anything dot-prefixed older than the staging retention window
+    // is a dead writer's garbage and is reclaimed here, mirroring how
+    // orphaned data files are.
     if (Files.exists(deletesDir)) {
       val retainedDvs: Set[String] = retainedVersions.flatMap(dvName).toSet
+      val now = System.currentTimeMillis()
       val dl = Files.list(deletesDir)
       try dl.forEach { d =>
         val name = d.getFileName.toString
-        if (!name.startsWith(".") && !retainedDvs.contains(name))
+        val orphanedStage = name.startsWith(".") && {
+          val age = try now - Files.getLastModifiedTime(d).toMillis
+            catch { case _: java.io.IOException => -1L }
+          age > SnapshotStore.dvStageRetentionMs
+        }
+        if ((!name.startsWith(".") && !retainedDvs.contains(name)) ||
+            orphanedStage)
           org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
       } finally dl.close()
     }
@@ -1466,10 +1496,20 @@ final class SnapshotStore(
   }
 
   /** input_file_name() and Path.toUri render the same file as
-    * file:/... vs file:///... — normalize for set membership.
+    * file:/... vs file:///... — and BOTH are URL-ENCODED URIs, while
+    * manifest rows and spark.read paths are raw filesystem paths. A
+    * `file:` input is therefore stripped AND percent-decoded (a root
+    * with a space would otherwise enter the manifest as `%20` and
+    * every later read of it would miss); a raw input passes through
+    * untouched. '+' is legal in a URI path segment (it only means
+    * space in form encoding), so it is protected before the decode.
     */
   private def normalizePath(p: String): String =
-    p.replaceFirst("^file:/+", "/")
+    if (p.startsWith("file:"))
+      java.net.URLDecoder.decode(
+        p.replaceFirst("^file:/+", "/").replace("+", "%2B"),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else p
 
   private lazy val absRoot: String =
     Paths.get(root).toAbsolutePath.normalize().toString
@@ -1499,6 +1539,13 @@ final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
 object SnapshotStore {
+  /** A dot-prefixed `_deletes` staging dir older than this belongs to
+    * a crashed writer (a live stage→land window is seconds) and is
+    * reclaimed by vacuum. Spec-visible so the orphan case can age a
+    * staging dir artificially.
+    */
+  private[graft] val dvStageRetentionMs: Long = 3600000L
+
   // one intrinsic lock per canonical store root: FileChannel file
   // locks guard cross-PROCESS writers but throw
   // OverlappingFileLockException on same-JVM contention, so the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -63,6 +63,29 @@ object NearDupStream {
       .groupBy(col(bucketKey))
       .agg(sort_array(array_distinct(flatten(collect_list(col("docs")))))
         .as("docs"))
+      // cumulative growth across batches is re-checked at fold time
+      .withColumn("docs", cappedDocs(col("docs")))
+
+  /** Fold-time twin of [[pairs]]' maxBucketDocs — spec-visible. */
+  private[graft] val maxFoldBucketDocs: Int = 5000
+
+  /** Hot-bucket guard on the INDEX WRITE path (mergeBatch): refuse to
+    * land a degenerate posting list rather than commit an index whose
+    * every read would explode quadratically — the same remediation
+    * story as [[Dedup.minhashLsh]]'s guard, raised inline
+    * (data-dependent, no extra pass). Applied to each batch's
+    * contribution (covers the v0/init commit) AND inside the fold
+    * (covers cumulative growth across batches). The failing batch
+    * dies loudly and the store's commit never happens, so the index
+    * stays at its pre-batch version.
+    */
+  private def cappedDocs(docs: Column): Column =
+    when(size(docs) <= maxFoldBucketDocs, docs)
+      .otherwise(raise_error(concat(
+        lit("minhash-LSH hot bucket at index write: a bucket exceeds "),
+        lit(s"$maxFoldBucketDocs docs — templated/boilerplate flood; " +
+          "dedup exact at ingest or cluster with dup clusters instead " +
+          "of pair enumeration."))))
 
   /** The two per-batch index contributions. */
   private def contributions(batch: DataFrame): (DataFrame, DataFrame) = {
@@ -71,6 +94,7 @@ object NearDupStream {
       .select(xxhash64(col("band"), col("bh")).as(bucketKey), col(sigKey))
       .groupBy(col(bucketKey))
       .agg(sort_array(collect_set(col(sigKey))).as("docs"))
+      .withColumn("docs", cappedDocs(col("docs")))
     (sig, buckets)
   }
 
@@ -151,11 +175,27 @@ object NearDupStream {
     * from the index alone (the corpus is never re-read).
     */
   def pairs(spark: SparkSession, storeDir: String,
-            minJaccard: Double = 0.8): DataFrame = {
-    val buckets = bucketStore(spark, storeDir).read().getOrElse(
+            minJaccard: Double = 0.8,
+            maxBucketDocs: Int = 5000): DataFrame = {
+    val buckets0 = bucketStore(spark, storeDir).read().getOrElse(
       throw new IllegalStateException(s"no bucket store at $storeDir"))
     val sh = sigStore(spark, storeDir).read().getOrElse(
       throw new IllegalStateException(s"no signature store at $storeDir"))
+    // the batch kernel's hot-bucket guard, served from the index: a
+    // degenerate bucket's posting list would explode quadratically
+    // below — refuse inline (raise_error is data-dependent and free:
+    // no extra pass, the check rides the same scan) with the same
+    // remediation story as Dedup.minhashLsh
+    val buckets =
+      if (maxBucketDocs <= 0) buckets0
+      else buckets0.withColumn("docs",
+        when(size(col("docs")) <= maxBucketDocs, col("docs"))
+          .otherwise(raise_error(concat(
+            lit("minhash-LSH hot bucket in the streamed index: bucket "),
+            col(bucketKey).cast("string"),
+            lit(s" holds more than maxBucketDocs=$maxBucketDocs docs — " +
+              "templated/boilerplate flood; dedup exact at ingest, use " +
+              "dup clusters, or raise maxBucketDocs explicitly.")))))
     val cand = buckets.filter(size(col("docs")) >= 2)
       .select(explode(col("docs")).as("id_a"), col("docs"))
       .select(col("id_a"), explode(col("docs")).as("id_b"))

@@ -18,9 +18,15 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   def registerFunction(spark: SparkSession, name: String,
-                       builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+                       builder: Seq[Expression] => Expression): Unit = {
+    // idempotent: re-registering an identical builder only buys a
+    // SimpleFunctionRegistry WARN per name per call — registerAll runs
+    // before every SQL-surface query, so skip names already present
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+  }
 
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

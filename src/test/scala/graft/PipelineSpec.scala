@@ -234,6 +234,63 @@ class PipelineSpec extends AnyFunSuite {
     zipf.unpersist()
   }
 
+  test("C2 guard: a 10^4-doc hot band bucket is refused before the quadratic join") {
+    import spark.implicits._
+    // r15 verdict task 4: templated boilerplate — every doc shares all
+    // 16 band hashes, so ONE bucket would emit ~10^8 candidate rows
+    // per band. The guard's pre-check is linear and must refuse fast.
+    val boiler = (0L until 10000L)
+      .map(i => (i, "the same boilerplate text repeated for every single document in this corpus"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashLsh(boiler, minJaccard = 0.8)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("hot bucket") &&
+      e.getMessage.contains("maxBucketDocs"), e.getMessage)
+    assert(secs < 60.0, s"guard must refuse in linear time, took ${secs}s")
+    // boundary pin on a small shared-signature corpus: cap at n-1
+    // refuses, cap at n admits and the full clique verifies at J=1
+    val tiny = (0L until 50L)
+      .map(i => (i, "identical short text shared by all fifty docs here"))
+      .toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      Dedup.minhashLsh(tiny, 0.8, maxBucketDocs = 49)
+    }
+    assert(Dedup.minhashLsh(tiny, 0.8, maxBucketDocs = 50).count() == 50L * 49 / 2)
+    // maxBucketDocs <= 0 disables the pre-check entirely
+    assert(Dedup.minhashLsh(tiny, 0.8, maxBucketDocs = 0).count() == 50L * 49 / 2)
+  }
+
+  test("CC kernel: large-star/small-star is O(log n) rounds on a path graph") {
+    import spark.implicits._
+    // r15 verdict task 5: hash-min needs diameter rounds (255 here —
+    // past its old 50-round cap, i.e. silently unconverged); the star
+    // alternation collapses the chain in O(log n)
+    val n = 256L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val verts = (0L until n).toDF("id")
+    val labs = Dedup.connectedComponents(pairs, verts)
+    val got = labs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "a 256-node path must collapse to one component rooted at 0")
+    assert(Dedup.lastCcRounds <= 20,
+      s"star alternation must be O(log n): ${Dedup.lastCcRounds} rounds on a 256-path")
+    // multi-component shape: a triangle, an edge, a singleton
+    val multi = Seq((11L, 10L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val mv = Seq(10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
+    val m = Dedup.connectedComponents(multi, mv).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 99L -> 99L))
+    // empty pair set: every vertex is its own component
+    val e = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), mv)
+    assert(e.filter(col("id") =!= col("cluster_id")).isEmpty && e.count() == 6)
+  }
+
   test("C11: rolling_hash64 runs inside codegen and separates all distinct texts") {
     import graft.functions.rolling_hash64
     val fp = docs.select(col("doc_id"), rolling_hash64(col("text")).as("fp"))

@@ -1341,4 +1341,228 @@ class StoreSpec extends AnyFunSuite {
     assert(pq.manifest(1L).map(_.path).toSet ==
       pq.manifest(0L).map(_.path).toSet)
   }
+
+  test("widen whitelist is pinned to what the vectorized parquet reader serves") {
+    // ADVICE r15 (medium): a whitelisted-but-unservable pair passes
+    // the commit gate and then every read of carried files throws —
+    // so every admitted pair is EXECUTED here against a carried
+    // narrow file, and the one lossy pair Spark's reader refuses
+    // (long→double, excluded by SPARK-40876) is asserted rejected.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val pairs: Seq[(DataType, DataType)] = Seq(
+      (IntegerType, LongType), (IntegerType, DoubleType),
+      (FloatType, DoubleType), (ShortType, IntegerType),
+      (ShortType, LongType), (ByteType, ShortType),
+      (ByteType, IntegerType), (ByteType, LongType))
+    pairs.foreach { case (from, to) =>
+      val store = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+      store.commit((0L until 120L).map(i => (i, i % 100L)).toDF("k", "a")
+        .select(col("k"), col("a").cast(from).as("a")))
+      assert(store.schemaOf(0L).get("a").dataType == from)
+      store.mergeWith(
+        Seq((3L, 91L)).toDF("k", "a")
+          .select(col("k"), col("a").cast(to).as("a")),
+        identity[DataFrame], lastWriteWins)
+      assert(store.schemaOf(1L).get("a").dataType == to,
+        s"$from→$to must be admitted and become the table schema")
+      assert((store.manifest(0L).map(_.path).toSet &
+        store.manifest(1L).map(_.path).toSet).nonEmpty,
+        s"$from→$to merge must carry files for the pin to mean anything")
+      // the read scans every carried narrow file through the wide
+      // schema — an unservable pair fails exactly here
+      val got = store.read().get
+      assert(got.schema("a").dataType == to)
+      val total = got.agg(sum(col("a").cast("long"))).head.getLong(0)
+      assert(total == 5228L, s"$from→$to carried-file read corrupted values")
+    }
+    // the lossy pair the reader has NO updater for is rejected at
+    // commit time, not admitted to fail at read time
+    val st2 = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    st2.commit((0L until 120L).map(i => (i, i)).toDF("k", "a"))
+    val e = intercept[IllegalStateException] {
+      st2.mergeWith(Seq((3L, 1.5)).toDF("k", "a"),
+        identity[DataFrame], lastWriteWins)
+    }
+    assert(e.getMessage.contains("'a'"), e.getMessage)
+    assert(st2.currentVersion.contains(0L))
+    assert(st2.read().get.count() === 120L)
+  }
+
+  test("conditional-put lease: an overrun holder never deletes the new holder's lease") {
+    // ADVICE r15 (medium): release was an unconditional delete — a
+    // holder whose lease was broken as stale would destroy the NEW
+    // holder's lease on exit, re-opening the two-committer window.
+    // Release is now a conditional delete on the claim token.
+    import graft.store.ConditionalPutCommit
+    import java.nio.file.{Files, Paths}
+    val root = newRoot()
+    val lease = Paths.get(root, ".LEASE")
+    ConditionalPutCommit.exclusive(root) {
+      // simulate the takeover: this holder overran its TTL, a taker
+      // broke the lease and re-claimed with its own token
+      Files.delete(lease)
+      Files.writeString(lease, "taker-token")
+    }
+    assert(Files.exists(lease) && Files.readString(lease) == "taker-token",
+      "overrun holder must not delete the new holder's lease")
+    Files.delete(lease)
+  }
+
+  test("conditional-put: the pointer flip fails once the lease is lost") {
+    // the ownership re-verify at the commit point: a holder broken as
+    // stale must NOT publish over the new holder's commit
+    import graft.store.ConditionalPutCommit
+    import java.nio.file.{Files, Paths}
+    val root = newRoot()
+    val pointer = Paths.get(root, "LATEST")
+    val e = intercept[IllegalStateException] {
+      ConditionalPutCommit.exclusive(root) {
+        ConditionalPutCommit.readPointer(pointer)
+        Files.delete(Paths.get(root, ".LEASE"))
+        Files.writeString(Paths.get(root, ".LEASE"), "taker-token")
+        ConditionalPutCommit.flipPointer(pointer, 0L)
+      }
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    assert(!Files.exists(pointer), "the losing flip must not publish")
+    Files.delete(Paths.get(root, ".LEASE"))
+  }
+
+  test("conditional-put: readers never observe a torn pointer under concurrent flips") {
+    // ADVICE r15 (low): readPointer used to read outside the pointer
+    // monitor while flipPointer truncate-writes in place — a racing
+    // reader could see an empty file and crash on toLong
+    import graft.store.ConditionalPutCommit
+    import java.nio.file.Paths
+    val root = newRoot()
+    val pointer = Paths.get(root, "LATEST")
+    ConditionalPutCommit.flipPointer(pointer, 0L)
+    @volatile var stop = false
+    @volatile var err: Throwable = null
+    val reader = new Thread(() => {
+      while (!stop) {
+        try { ConditionalPutCommit.readPointer(pointer); () }
+        catch { case t: Throwable => err = t; stop = true }
+      }
+    })
+    reader.start()
+    (1L to 500L).foreach(v => ConditionalPutCommit.flipPointer(pointer, v))
+    stop = true
+    reader.join(10000)
+    assert(err == null, s"reader observed a torn pointer: $err")
+  }
+
+  test("vacuum reclaims crash-orphaned DV staging dirs past the retention window") {
+    // ADVICE r15 (low): dot-prefixed _deletes staging dirs orphaned by
+    // a crash were never reclaimed (vacuum skipped all dot entries and
+    // the attempt token means no later attempt overwrites them)
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = newRoot()
+    val store = new SnapshotStore(spark, root, "k", filesPerCommit = 8)
+    store.commit((0L until 400L).map(i => (i, s"p-$i")).toDF("k", "payload"))
+    store.purgeMor(Seq(3L).toDF("k"))
+    val orphan = Paths.get(root, "_deletes", ".dv9.deadbeef.tmp")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    // fresh staging dir: could be an in-flight writer's — left alone
+    store.commit(store.read().get)
+    assert(Files.exists(orphan),
+      "a fresh staging dir may belong to a live writer")
+    // aged past the retention window: a dead writer's garbage
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * SnapshotStore.dvStageRetentionMs))
+    store.commit(store.read().get)
+    assert(!Files.exists(orphan),
+      "vacuum must reclaim an out-of-retention orphaned staging dir")
+    assert(store.read().get.count() === 399L)
+  }
+
+  test("purgeMor masks rows when the store root needs URI encoding (space, plus)") {
+    // ADVICE r15 (low): input_file_name() is URL-encoded; comparing it
+    // to raw manifest paths made the DV anti-join miss silently on
+    // such roots — purged rows became readable again
+    import spark.implicits._
+    // space → %20 in input_file_name(); '+' stays literal in a URI
+    // path but form-decoding would corrupt it to a space (the %2B
+    // protection) — the sandbox JVM's fs encoding is ASCII-only, so
+    // non-ASCII roots can't be created here, but they ride the same
+    // percent-decode path as the space
+    val root = java.nio.file.Files
+      .createTempDirectory("graft store+enc ").toString
+    val store = new SnapshotStore(spark, root, "k", filesPerCommit = 8)
+    store.commit((0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload"))
+    store.purgeMor(Seq(3L, 7L).toDF("k"))
+    val got = store.read().get
+    assert(got.count() === 98L,
+      "MoR tombstones must mask on a URI-encoded root")
+    assert(got.filter(col("k").isin(3L, 7L)).isEmpty)
+  }
+
+  test("purgeMor steady state: K batches accumulate bounded DV growth; optimize+vacuum restore CoW economics") {
+    // r15 verdict task 8: the MoR weekly-forget story at 100 TB rests
+    // on tombstone compaction actually bounding steady-state cost.
+    // Run K successive purge batches with NO compaction between them
+    // and assert the economics the design claims: (a) no data file is
+    // ever rewritten (the purge bill is metadata), (b) the live DV
+    // grows additively in purged keys — read amplification is the
+    // tombstone count, nothing superlinear, (c) reads stay correct the
+    // whole time, and (d) ONE optimize + retention-exit restores the
+    // CoW end-state: empty DV, equal bytes, tombstone files reclaimed.
+    import spark.implicits._
+    val root = newRoot()
+    // retention must span the whole accumulation phase, or the
+    // per-commit vacuum reclaims early DVs mid-experiment (that
+    // reclamation is itself asserted at the end)
+    val store = new SnapshotStore(spark, root, "k", filesPerCommit = 8,
+      keepVersions = 6)
+    val n = 400L
+    store.commit((0L until n).map(i => (i, s"p-$i")).toDF("k", "payload"))
+    val v0Files = store.manifest(0L).map(_.path).toSet
+    val batches: Seq[Seq[Long]] =
+      (0 until 5).map(b => Seq(10L + b, 100L + 2L * b, 300L + 3L * b))
+    var purged = Set.empty[Long]
+    batches.zipWithIndex.foreach { case (ks, i) =>
+      store.purgeMor(ks.toDF("k"), txn = Some(i + 1L))
+      purged ++= ks
+      val v = store.currentVersion.get
+      // (a) carried by reference: the manifest is v0's, bit for bit
+      assert(store.manifest(v).map(_.path).toSet == v0Files,
+        s"batch $i must rewrite no data file")
+      // (b) bounded growth: on this range-clustered table each key has
+      // exactly one covering file, so the live DV is exactly the
+      // purged-key set — the per-read anti-join mass IS |purged|
+      val dv = store.deletions()
+      assert(dv.count() === purged.size.toLong,
+        s"batch $i: DV rows must equal purged keys (1 covering file/key)")
+      assert(dv.select(col("key")).distinct().collect()
+        .map(_.getLong(0)).toSet == purged)
+      // (c) reads stay correct at every step
+      assert(store.read().get.count() === n - purged.size)
+    }
+    // K versions accumulated K DV files on disk (one per purge commit)
+    val deletesDir = java.nio.file.Paths.get(root, "_deletes")
+    val dvDirs = java.nio.file.Files.list(deletesDir)
+      .toArray.map(_.toString).filterNot(_.contains("/."))
+    assert(dvDirs.length === batches.size,
+      "one committed DV per purge batch before compaction")
+    // (d) the deferred rewrite: optimize folds all tombstones in...
+    store.optimize()
+    assert(store.dvName(store.currentVersion.get).isEmpty)
+    assert(store.deletions().isEmpty)
+    val cow = new SnapshotStore(spark, newRoot(), "k", filesPerCommit = 8)
+    cow.commit((0L until n).map(i => (i, s"p-$i")).toDF("k", "payload"))
+    cow.purge(purged.toSeq.toDF("k"))
+    assertSameRows(store.read().get, cow.read().get)
+    // ...and once the purge versions exit retention, vacuum reclaims
+    // every accumulated tombstone file — steady state is DV-free
+    (0 until 5).foreach { _ => store.commit(store.read().get) }
+    val left = java.nio.file.Files.list(deletesDir)
+      .toArray.map(_.toString).filterNot(_.contains("/."))
+    assert(left.isEmpty,
+      s"vacuum must reclaim all accumulated DV files, left: ${left.toSeq}")
+    assert(store.read().get.count() === n - purged.size)
+  }
 }

@@ -60,4 +60,40 @@ class NearDupStreamSpec extends AnyFunSuite {
     NearDupStream.mergeBatch(b, storeDir, txn = Some(2L))
     assert(fp(NearDupStream.pairs(spark, storeDir)) == before)
   }
+
+  test("hot-bucket guard: a boilerplate flood fails the fold loudly; the read side has its own cap") {
+    import spark.implicits._
+    val storeDir = tmp("nd3-store").toString
+    // 100 identical docs: legal under the fold cap — the index lands
+    val flood = (0L until 100L)
+      .map(i => (i, "identical boilerplate text shared by every doc in this batch"))
+      .toDF("doc_id", "text")
+    NearDupStream.mergeBatch(flood, storeDir, txn = Some(0L))
+    // the read-side cap refuses a bucket beyond maxBucketDocs inline
+    val eRead = intercept[Exception] {
+      NearDupStream.pairs(spark, storeDir, maxBucketDocs = 50).count()
+    }
+    assert(eRead.getMessage.contains("hot bucket"), eRead.getMessage)
+    // within the cap the full clique verifies at J=1
+    assert(NearDupStream.pairs(spark, storeDir).count() == 100L * 99 / 2)
+    // a flood past the FOLD cap fails the mergeBatch loudly instead of
+    // landing an index whose every read would be quadratic
+    val storeDir2 = tmp("nd4-store").toString
+    val bigFlood = (0L until (NearDupStream.maxFoldBucketDocs + 100L))
+      .map(i => (i, "identical boilerplate text shared by every doc in this batch"))
+      .toDF("doc_id", "text")
+    val eFold = intercept[Exception] {
+      NearDupStream.mergeBatch(bigFlood, storeDir2, txn = Some(0L))
+    }
+    def anyMsg(t: Throwable): String = {
+      var m = ""; var cur = t
+      while (cur != null) { m += Option(cur.getMessage).getOrElse(""); cur = cur.getCause }
+      m
+    }
+    assert(anyMsg(eFold).contains("hot bucket"), anyMsg(eFold).take(500))
+    // the bucket store refused the commit — no readable version landed
+    val buk = new SnapshotStore(spark, s"$storeDir2/bucket", "bkey")
+    assert(buk.currentVersion.isEmpty,
+      "the hot-bucket fold must not land a bucket-store version")
+  }
 }
