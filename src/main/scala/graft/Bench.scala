@@ -159,20 +159,46 @@ object Bench {
     // history even when the third run recovers — so no in-suite
     // number for a guard-fired query is committed as-is)
     val guardFired = scala.collection.mutable.ArrayBuffer.empty[String]
-    val insuite = benched.map { case (name, fn) =>
-      // periodic full GC: compact the old gen every 25 queries so
-      // heap fragmentation from earlier queries isn't billed to
-      // later ones (~8 pauses over the suite, outside any timer)
+    // DECORRELATED min-of-2 (r15 verdict task 2, closed r16): the two
+    // timed iterations used to run back-to-back, so a multi-second
+    // host transient (co-tenant load in the driver's window — the
+    // named cause; the r16 instrumented runs show heap flat at
+    // 3-4% of budget, GC 2-5% of timed wall, zero retriage, i.e.
+    // NO engine-internal suite state survives timeOnce's purge
+    // discipline) inflated BOTH samples and min-of-2 passed it
+    // through — that is exactly the 3-13x in-suite signature the
+    // post-suite re-triage kept recovering seconds later. Running
+    // iteration 1 for ALL queries, then iteration 2 as a second full
+    // pass, separates each query's two samples by the length of a
+    // pass (~minutes): a transient now has to persist across the
+    // entire suite to survive the min, and the re-triage pass becomes
+    // the rare backstop instead of a per-window tax. Same total work,
+    // same cold-cache discipline per sample (timeOnce clears
+    // SQL cache + persistent RDDs every call).
+    def gcTick(): Unit = {
+      // periodic full GC: compact the old gen every `gcEvery` queries
+      // so heap fragmentation from earlier queries isn't billed to
+      // later ones (~8 pauses per pass, outside any timer)
       sinceGc += 1
       if (sinceGc >= gcEvery) { System.gc(); sinceGc = 0 }
-      val gc0 = if (probe) gcMillis() else 0L
-      val (t1, ok1) = timeOnce(fn)
+    }
+    val pass1: Map[String, (Double, Boolean, Long)] =
+      benched.map { case (name, fn) =>
+        gcTick()
+        val gc0 = if (probe) gcMillis() else 0L
+        val (t1, ok1) = timeOnce(fn)
+        name -> (t1, ok1, if (probe) gcMillis() - gc0 else 0L)
+      }.toMap
+    val insuite = benched.map { case (name, fn) =>
+      val (t1, ok1, gcP1) = pass1(name)
       if (!ok1) name -> (-1.0)
       else {
+        gcTick()
+        val gc0 = if (probe) gcMillis() else 0L
         val (t2, ok2) = timeOnce(fn)
         if (probe) {
           probeOut.append(f"""{"q":"$name","t1":$t1%.3f,"t2":$t2%.3f""" +
-            s""","gc_ms":${gcMillis() - gc0},"heap_mb":${heapUsedMb()}}""" + "\n")
+            s""","gc_ms":${gcP1 + (gcMillis() - gc0)},"heap_mb":${heapUsedMb()}}""" + "\n")
         }
         if (!ok2) name -> (-1.0)
         else {

@@ -57,7 +57,8 @@ object SparkEntry {
     * around every builder).
     */
   val eagerQueries: Set[String] = Set(
-    "q_stream_cdc_snapshot", "q_stream_kafka_seam", "q_stream_late",
+    "q_stream_cdc_snapshot", "q_stream_cdc_avro", "q_stream_kafka_seam",
+    "q_stream_late",
     "q_stream_backfill", "q_stream_multitopic", "q_stream_ivm",
     "q_stream_forget",
     // store commit+purge/merge jobs run at construction (r14/r15)

@@ -57,6 +57,45 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A1b under the gate (r15 verdict task 6, the in-stream half): the
+    * SAME two-arrival CDC ingest as [[qStreamCdcSnapshot]], but the
+    * wire records arrive as schema-registry-shaped BINARY AVRO
+    * (parquet files of a `body: binary` column standing in for a
+    * Kafka value column) and are decoded in-stream by
+    * [[graft.cdc.AvroChangeModel.parseAvro]] plugged into
+    * [[CdcStream.startFromLines]]'s decode seam. Everything
+    * downstream — foreachBatch, SnapshotStore merge, soft-delete
+    * recompute — is the JSON pipeline's code, byte for byte; the
+    * oracle is q_stream_cdc_snapshot's SQL verbatim, which IS the
+    * byte-identical-snapshot claim.
+    */
+  def qStreamCdcAvro(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.AvroChangeModel
+    val bodies = AvroChangeModel
+      .avroChangeLines(Tables(spark, dir).events).select(col("id"), col("body"))
+    val linesDir = tmp("gq-avro-lines")
+    val snapDir = tmp("gq-avro-snap")
+    val ckpt = tmp("gq-avro-ckpt")
+    bodies.filter(col("id") % 2 === 0).select("body").coalesce(1)
+      .write.mode("overwrite").parquet(linesDir + "/batch0")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.BinaryType))))
+      .parquet(linesDir + "/*/")
+    val q = CdcStream.startFromLines(stream, snapDir, ckpt,
+      decode = b => AvroChangeModel.parseAvro(b.select("body")))
+    q.processAllAvailable()
+    bodies.filter(col("id") % 2 =!= 0).select("body").coalesce(1)
+      .write.mode("overwrite").parquet(linesDir + "/batch1")
+    q.processAllAvailable()
+    q.stop()
+    CdcStream.readSnapshot(spark, snapDir).get
+      .select(col("user_id"), col("id").as("last_id"), col("delete_state"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** A35 under the gate: continuous ingest + AUTO-COMPACTION — the
     * maintenance policy a long-running CDC table needs at 100 TB:
     * copy-on-write merges accrete a file set per micro-batch, and
@@ -1170,6 +1209,7 @@ object StreamQueries {
     "q_stream_sketch"       -> (qStreamSketch _),
     "q_stream_ingest"       -> (qStreamIngest _),
     "q_stream_cdc_snapshot" -> (qStreamCdcSnapshot _),
+    "q_stream_cdc_avro"     -> (qStreamCdcAvro _),
     "q_stream_multitopic" -> (qStreamMultitopic _),
     "q_stream_ivm" -> (qStreamIvm _),
     "q_stream_forget" -> (qStreamForget _),
@@ -1352,6 +1392,19 @@ object StreamQueries {
     // identical to q_cdc_softdelete's oracle: the streamed store must
     // converge to the batch soft-delete snapshot of the whole log
     "q_stream_cdc_snapshot" ->
+      """SELECT user_id, event_id AS last_id,
+        | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') DESC,
+        |                 event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the Avro wire feed decodes to the SAME logical records, so the
+    // oracle is q_stream_cdc_snapshot's verbatim (byte-identical
+    // snapshot through the shared pipeline)
+    "q_stream_cdc_avro" ->
       """SELECT user_id, event_id AS last_id,
         | CASE WHEN event_type = 'error' THEN '1' ELSE '0' END AS delete_state,
         | CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,

@@ -103,10 +103,21 @@ object CdcStream {
     * (topic, partition, offset) rows — the per-batch consumption
     * record q_stream_kafka_seam counts to prove exactly-once resume.
     */
+  /** `decode` turns a micro-batch of wire records into the typed
+    * change-record frame ([[CdcOps.parse]]'s column contract). The
+    * default is the JSON line parse; the binary-Avro feed swaps in
+    * [[graft.cdc.AvroChangeModel.parseAvro]] and NOTHING downstream
+    * changes — the decode is the only encoding-specific stage of the
+    * pipeline (the reference is JSON-only
+    * [ref: KuduManager.scala:50-66]; a schema-registry deployment
+    * differs exactly here).
+    */
   def startFromLines(lines: DataFrame, snapshotDir: String,
                      checkpointDir: String,
                      consumedDir: Option[String] = None,
-                     trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+                     trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                     decode: DataFrame => DataFrame =
+                       b => CdcOps.parse(b.select("line"))): StreamingQuery = {
     Files.createDirectories(Paths.get(snapshotDir))
     // the consumption record lands under rec=<ckpt-hash>_b<batchId>
     // (ADVICE r10): a failed-and-retried micro-batch — within one
@@ -142,7 +153,7 @@ object CdcStream {
         // persist: the copy-on-write merge evaluates the delta twice
         // (key-set for file pruning, then the fold) — without a cache
         // the source micro-batch would be re-scanned per pass
-        val parsed = CdcOps.parse(batch.select("line")).persist()
+        val parsed = decode(batch).persist()
         try store.merge(parsed)
         finally parsed.unpersist()
         consumedDir.foreach { d =>
