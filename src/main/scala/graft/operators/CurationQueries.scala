@@ -607,6 +607,48 @@ object CurationQueries {
         when(col("l_distinct") < 5, 1L).otherwise(0L))
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** C107 (r16): t-CLOSENESS audit — the third rung of the privacy
+    * ladder (C59 k-anonymity → C86 l-diversity → t-closeness): a QI
+    * group can be large AND sensitive-diverse yet still leak if its
+    * sensitive-value DISTRIBUTION deviates from the corpus-wide one
+    * (skewness attack — "this group is 90% low-balance" is a
+    * disclosure even with 5 distinct bands present). Per QI group
+    * (nation, mktsegment): total-variation distance to the global
+    * band distribution, exact in scaled integers —
+    * tv_ppm = 10⁶·Σ_s|n_gs·N − n_s·n_g| div (2·n_g·N) — and the
+    * violation flag against t = 0.3. The group×band domain frame is
+    * a broadcast cross join of two attribute-bounded aggregates
+    * (absent bands contribute their full global mass — the part a
+    * naive inner join silently drops), so the audit is one shuffle
+    * of group-sized partials at any corpus size. Long arithmetic
+    * holds to ~10⁹ rows × 10⁷-row groups; past that the num lane
+    * promotes to decimal(38,0) like the checksum gates.
+    */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("sb"))
+    val global = base.groupBy(col("sb")).agg(count(lit(1)).as("n_s"))
+    val nTotal = base.agg(count(lit(1)).as("n_total"))
+    val grp = base.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"))
+    val cell = base.groupBy(col("c_nationkey"), col("c_mktsegment"), col("sb"))
+      .agg(count(lit(1)).as("n_gs"))
+    grp.crossJoin(broadcast(global)).crossJoin(broadcast(nTotal))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "sb"), "left")
+      .na.fill(0L, Seq("n_gs"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(max(col("n_g")).as("grp_n"),
+        sum(abs(col("n_gs") * col("n_total") - col("n_s") * col("n_g")))
+          .as("num"),
+        max(col("n_total")).as("nt"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("grp_n"),
+        expr("1000000 * num div (2 * grp_n * nt)").as("tv_ppm"))
+      .withColumn("violates_t03",
+        when(col("tv_ppm") > 300000L, 1L).otherwise(0L))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   /** C87: temporal split with an EMBARGO gap — the time-series ML
     * split hygiene step: train is everything before the boundary,
     * test starts only after a purge window (3 days) so that
@@ -722,6 +764,7 @@ object CurationQueries {
     "q_domain_cap"    -> (qDomainCap _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_l_diversity"   -> (qLDiversity _),
+    "q_t_closeness"   -> (qTCloseness _),
     "q_embargo_split" -> (qEmbargoSplit _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_split_drift"     -> (qSplitDrift _),
@@ -803,6 +846,30 @@ object CurationQueries {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |      CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS sb
+        |    FROM customer),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+        |gsn AS (SELECT sb, CAST(count(*) AS BIGINT) AS n_s FROM b GROUP BY sb),
+        |grp AS (SELECT c_nationkey, c_mktsegment,
+        |          CAST(count(*) AS BIGINT) AS n_g FROM b GROUP BY 1, 2),
+        |cell AS (SELECT c_nationkey, c_mktsegment, sb,
+        |          CAST(count(*) AS BIGINT) AS n_gs FROM b GROUP BY 1, 2, 3),
+        |j AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, s.sb, s.n_s,
+        |        coalesce(c.n_gs, 0) AS n_gs, t.n_total
+        |      FROM grp g CROSS JOIN gsn s CROSS JOIN tot t
+        |      LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+        |        AND c.c_mktsegment = g.c_mktsegment AND c.sb = s.sb)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(max(n_g) AS BIGINT) AS grp_n,
+        |  CAST(1000000 * sum(abs(n_gs * n_total - n_s * n_g))
+        |    // (2 * max(n_g) * max(n_total)) AS BIGINT) AS tv_ppm,
+        |  CAST(CASE WHEN 1000000 * sum(abs(n_gs * n_total - n_s * n_g))
+        |    // (2 * max(n_g) * max(n_total)) > 300000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS violates_t03
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_embargo_split" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
