@@ -125,7 +125,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_chi2_contingency" -> ("margin cross product: <=20 sources x <=5 " +
         "langs (domain-bounded contingency grid)"),
       "q_psi_drift" -> ("source x n_chars-bucket grid: <=20 sources x " +
-        "value-domain buckets (domain-bounded)"))
+        "value-domain buckets (domain-bounded)"),
+      "q_t_closeness" -> ("QI-group x sensitive-band grid: bands = " +
+        "acctbal cents div 100000 over [-999.99, 9999.99] (<=12 rows, " +
+        "value-domain-bounded), broadcast"))
     val found = scala.collection.mutable.Set.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, b) =>
       if (!SparkEntry.eagerQueries(name)) {
