@@ -582,9 +582,26 @@ object Dedup {
     * internally-cached label frame. Call it only AFTER the result has
     * been fully materialized (written / collected) — unpersisting
     * first re-runs the whole propagation lineage at the next action.
+    *
+    * `driverFormAt` (r16 optimization): below this EDGE-COUNT bound
+    * the kernel runs union-find on the driver instead of the star
+    * loop — the [[graft.operators.AnalyticsQueries.bfsLevels]]
+    * driver-form/join-form discipline applied to CC. The star loop's
+    * per-round cost at a small edge count is pure scheduling floor
+    * (measured sf0.1: 3,572 edges, 4 rounds, ~0.7 s/round, 53
+    * AQE-stage jobs ≈ 3.5 s wall for a graph that union-finds in
+    * microseconds); a dup/co-purchase graph is typically orders of
+    * magnitude smaller than its corpus, so the bound is hit by real
+    * pipelines, not just test SFs. 2²⁰ edges ≈ 16 MB of collected
+    * longs — the same driver-memory class as the SnapshotStore's
+    * maxPlannedBroadcast and the BFS InSet frontier. The edge count
+    * is already computed (loop-parallelism sizing), so the dispatch
+    * adds no job. PipelineSpec pins both forms to identical labels
+    * and forces `driverFormAt = 0` to exercise the star loop.
     */
   def connectedComponentsReleasable(
-      pairs: DataFrame, vertices: DataFrame): (DataFrame, () => Unit) = {
+      pairs: DataFrame, vertices: DataFrame,
+      driverFormAt: Long = 1L << 20): (DataFrame, () => Unit) = {
     // canonical undirected edge list (u > v, no self-loops) — the
     // eager localCheckpoint evaluates the (possibly expensive)
     // candidate-generation lineage exactly once; every loop round
@@ -603,6 +620,59 @@ object Dedup {
     // stage. ~100k edges per partition; at a billion edges this keeps
     // full width.
     val nEdges = edges0.count()
+    if (nEdges <= driverFormAt) {
+      // DRIVER FORM: bounded collect (≤ driverFormAt edges of two
+      // longs), classic union-find (path compression + union by
+      // rank), then one relabel pass so every node gets its
+      // component's MINIMUM id — the exact contract of the star
+      // loop's fixpoint. One collect job + one parallelized label
+      // frame instead of ~5 shuffle-stage jobs per star round.
+      lastCcRounds = 0
+      val spark = pairs.sparkSession
+      val rows = edges0.select(col("u"), col("v")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val rank = scala.collection.mutable.LongMap.empty[Int]
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val nxt = parent(x); parent(x) = root; x = nxt
+        }
+        root
+      }
+      rows.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        if (ra != rb) {
+          val (ka, kb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+          if (ka < kb) parent(ra) = rb
+          else if (kb < ka) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) = ka + 1 }
+        }
+      }
+      val minOf = scala.collection.mutable.LongMap.empty[Long]
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
+      rows.foreach { r =>
+        nodes(r.getLong(0)) = (); nodes(r.getLong(1)) = ()
+      }
+      nodes.foreachKey { n =>
+        val root = find(n)
+        if (n < minOf.getOrElse(root, Long.MaxValue)) minOf(root) = n
+      }
+      val labelRows = nodes.keysIterator
+        .map(n => org.apache.spark.sql.Row(n, minOf(find(n)))).toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows,
+          math.max(1, labelRows.length / 500000)), schema)
+      val singletons = vertices.join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"))
+      return (labels.unionAll(singletons), () => ())
+    }
     val loopParts = math.max(1, math.min(
       edges0.rdd.getNumPartitions, (nEdges / 100000L).toInt + 1))
     // only vertices incident to an edge participate in the loop; the
@@ -844,7 +914,17 @@ object Dedup {
     // then a single codegen'd dot product.
     val normed = emb.select(col("vec_id"), col("embedding"),
       graft.functions.norm_double(col("embedding")).as("nrm"))
-    val a = normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // the broadcast NLJ's parallelism IS the streamed side's partition
+    // count, and its per-partition work is QUADRATIC (n·|part| dot
+    // products) — a 1-2 split embeddings scan serializes the whole
+    // pair loop onto 1-2 cores (measured sf0.1: 4 tasks, 2.3 s).
+    // Widening the streamed side ships each vector once (n rows, ~0.5
+    // KB each) to buy n²/width-way parallel dot products — the §2.3
+    // "shuffle a few bytes to place heavy compute" trade, and a no-op
+    // where the scan already has ≥ cores splits.
+    val width = math.min(64, emb.sparkSession.sparkContext.defaultParallelism)
+    val a0 = normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val a = if (a0.rdd.getNumPartitions < width) a0.repartition(width) else a0
     val b = normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos",

@@ -927,7 +927,13 @@ object AnalyticsQueries {
           if (cnt.isNullAt(0)) (0L, 0L) else (cnt.getLong(0), cnt.getLong(1))
         if (p + s > 0) {
           levels ::= ((lvl, p, s))
-          visitedDf = visitedDf.unionAll(next).localCheckpoint(true)
+          // LAZY union (r16): both inputs are already-materialized
+          // localCheckpoints, so the union's lineage is bounded by
+          // the round count (≤ 8) — re-checkpointing here paid a
+          // full rewrite of the GROWING visited set every round,
+          // O(V · rounds) total, purely to truncate a lineage that
+          // was never growing per-node work in the first place.
+          visitedDf = visitedDf.unionAll(next)
         }
         frontierDf = next
         exhausted = p + s == 0

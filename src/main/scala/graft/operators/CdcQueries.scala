@@ -419,9 +419,19 @@ object CdcQueries {
     */
   def qTableChecksum(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // spread a one-split scan across the machine BEFORE the canon
+    // concat + md5-per-row pass — that pass is this query's entire
+    // compute, and a single-file table serializes all of it onto one
+    // core (measured 6 tasks / 1.4-1.9 s for three table-sized hash
+    // folds; the checksum is order-free by construction, so the
+    // spread cannot move it). Column pruning pushes the projection
+    // below the round-robin exchange, so only the canon's source
+    // columns cross and every expression runs post-exchange. No-op at
+    // cluster scale where scans have many splits.
     def ck(df: org.apache.spark.sql.DataFrame, name: String,
            canon: org.apache.spark.sql.Column) =
-      df.select(graft.streaming.ChecksumStream.rowHash56(canon).as("h"))
+      graft.sources.Tables.spreadIfOneSplit(df)
+        .select(graft.streaming.ChecksumStream.rowHash56(canon).as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("s"))
         .select(lit(name).as("table_name"), col("n_rows"),
           expr("CAST(s % 72057594037927936 AS BIGINT)").as("checksum56"))

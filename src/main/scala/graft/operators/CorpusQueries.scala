@@ -1373,7 +1373,11 @@ object CorpusQueries {
     // bigram strings — counts agree absent 64-bit collisions
     // (~n²/2⁶⁴), and the string-concat transform disappears from the
     // hot path entirely
-    val big = docs
+    // spread the one-split scan before the bigram-hash explode — the
+    // per-row shingle kernel is the fact-sized compute here and a
+    // single-file corpus serializes it onto one core (r16)
+    val big = spreadIfOneSplit(docs.select(
+        col("source"), col("doc_id"), col("text")))
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("source"), col("doc_id"),
         explode(graft.functions.shingle_hashes(split(col("text"), " "), 2)).as("bg"))

@@ -258,7 +258,13 @@ object PipelineQueries {
     * q_triangles frames.
     */
   def qDedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    // spread a one-split corpus scan before the two per-row-expensive
+    // kernels (simhash signatures + shingle explode) — both channels'
+    // map work otherwise serializes on one core (r16; guide §2.3's
+    // move-the-compute-not-the-bytes: the exchange ships each doc
+    // once, the kernels then run machine-wide). No-op at cluster
+    // scale where the corpus scan has many splits.
+    val docs = Tables.spreadIfOneSplit(Tables(spark, dir).documents)
     val cand = Dedup.simhashPairs(docs, maxHamming = 3)
       .select(col("id_a"), col("id_b")).cache()
     val sh = Dedup.hashedShingles(docs)

@@ -809,13 +809,22 @@ object TimeSeriesQueries {
       .select(col("d0"), expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
     val tagged = li.crossJoin(broadcast(span))
       .withColumn("half", when(col("d") <= col("mid"), lit("a")).otherwise(lit("b")))
+    // ONE fact-sized aggregate shared by both halves (r16): the two
+    // top(half) rank jobs used to each re-run the lineitem⋈orders
+    // join — the query's only fact-sized work — once per half (and
+    // zipWithIndex's partition-count job re-evaluated it again). The
+    // per-(half, part) revenue frame is part-dimension-sized;
+    // session-lifetime cache like the q_triangles edge frames (the
+    // bench purges persistent RDDs between queries).
+    val byHalf = tagged.groupBy(col("half"), col("l_partkey"))
+      .agg(sum(col("cents")).as("rev_cents")).persist()
     // top-20 via distributed TakeOrdered + zipWithIndex (the C75
     // template) — no single-partition window ever touches the
     // part-dimension-sized revenue frame
     def top(half: String) = {
       import spark.implicits._
-      tagged.filter(col("half") === half)
-        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_cents"))
+      byHalf.filter(col("half") === half)
+        .select(col("l_partkey"), col("rev_cents"))
         .orderBy(col("rev_cents").desc, col("l_partkey")).limit(20)
         .as[(Long, Long)].rdd.zipWithIndex()
         .map { case ((pk, rc), i) => (pk, rc, i + 1L) }

@@ -489,8 +489,17 @@ final class SnapshotStore(
     // about directory naming; a losing attempt's orphans are
     // reference-count-collected by the next successful vacuum.
     val dataDir = Paths.get(root, "data", s"v$v-${attemptToken()}")
-    df.repartitionByRange(filesPerCommit, col(keyCol))
-      .write.mode("overwrite").parquet(dataDir.toString)
+    // evaluate the fold lineage ONCE (r16): repartitionByRange's
+    // range-boundary sampling is its own pass over the input, so an
+    // unpersisted fold would run end-to-end twice (sample, then
+    // write). Staging the fold costs one materialization bounded by
+    // the affected slice (never the table — merge planning already
+    // restricted it) and is released before this method returns.
+    val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      staged.repartitionByRange(filesPerCommit, col(keyCol))
+        .write.mode("overwrite").parquet(dataDir.toString)
+    } finally staged.unpersist(blocking = false)
     // the per-file stats job also builds the secondary Bloom when an
     // index column is declared (what real formats collect at write
     // time: key range + column-level skipping metadata per file).
@@ -805,12 +814,21 @@ final class SnapshotStore(
     */
   def purge(keys: DataFrame): Long =
     if (currentVersion.isEmpty) -1L
-    else mergeWith(keys,
-      init = _ => keys.limit(0), // unreachable: guarded non-empty above
-      fold = (baseAffected, keyed) =>
-        baseAffected.join(keyed.select(col(keyCol)).distinct(),
-          Seq(keyCol), "left_anti"),
-      deleteOnly = true)
+    else {
+      // stage the distinct key set once (r16): mergeWith reads its
+      // delta several times (hit-segment pass, range sampling, fold
+      // write) and purge callers typically pass a corpus-derived
+      // filter lineage — re-running that per pass multiplied scan
+      // jobs. A forget batch is small by contract, released on return.
+      val staged = keys.select(col(keyCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try mergeWith(staged,
+        init = _ => staged.limit(0), // unreachable: guarded non-empty above
+        fold = (baseAffected, keyed) =>
+          baseAffected.join(keyed, Seq(keyCol), "left_anti"),
+        deleteOnly = true)
+      finally staged.unpersist(blocking = false)
+    }
 
   /** Merge-on-read purge (r14 verdict task 4): the deletion-vector
     * twin of [[purge]]. CoW purge pays a rewrite of every COVERING
@@ -852,7 +870,12 @@ final class SnapshotStore(
     val cur = currentVersion.get
     val v = cur + 1L
     import spark.implicits._
+    // staged once (r16): the key set is read by the hit-segment pass
+    // AND the DV build (and the CoW fallback's merge passes); purge
+    // callers typically pass a corpus-derived filter lineage
     val keyed = keys.filter(col(keyCol).cast("long").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // which files can a purge key live in — the same elementary-
     // segment pass as the CoW merges (driver traffic bounded by
     // manifest size, never by forget-batch cardinality)
@@ -871,8 +894,8 @@ final class SnapshotStore(
       .select(col("path"), col("minKey"), col("maxKey"))
     if (aff.isEmpty) return cur // hit segments all in inter-file gaps
     if (aff.limit(maxPlannedBroadcast + 1).count() > maxPlannedBroadcast)
-      return mergeWith(keys,
-        init = _ => keys.limit(0),
+      return mergeWith(keyed,
+        init = _ => keyed.limit(0),
         fold = (baseAffected, k) =>
           baseAffected.join(k.select(col(keyCol)).distinct(),
             Seq(keyCol), "left_anti"),
@@ -893,6 +916,7 @@ final class SnapshotStore(
     else
       publish(v, manifest(cur), txn, schemaOf(cur),
         expectedParent = Some(cur), dvAdd = Some(dvAdd))
+    } finally keyed.unpersist(blocking = false)
   }
 
   /** The current version's outstanding merge-on-read tombstones as a

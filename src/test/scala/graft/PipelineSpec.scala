@@ -271,20 +271,33 @@ class PipelineSpec extends AnyFunSuite {
     val n = 256L
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val verts = (0L until n).toDF("id")
-    val labs = Dedup.connectedComponents(pairs, verts)
+    // driverFormAt = 0 forces the distributed star loop (the default
+    // dispatch would union-find a 255-edge graph on the driver)
+    val labs = Dedup.connectedComponentsReleasable(pairs, verts, 0L)._1
     val got = labs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.size == n && got.values.forall(_ == 0L),
       "a 256-node path must collapse to one component rooted at 0")
     assert(Dedup.lastCcRounds <= 20,
       s"star alternation must be O(log n): ${Dedup.lastCcRounds} rounds on a 256-path")
-    // multi-component shape: a triangle, an edge, a singleton
+    // driver-form/star-form equivalence (r16): the default dispatch
+    // (union-find on the driver below the edge bound) must label the
+    // same path graph identically to the star loop
+    val gotDriver = Dedup.connectedComponents(pairs, verts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDriver == got, "driver union-find must equal the star loop")
+    // multi-component shape: a triangle, an edge, a singleton —
+    // asserted on BOTH forms
     val multi = Seq((11L, 10L), (11L, 12L), (10L, 12L), (21L, 20L))
       .toDF("id_a", "id_b")
     val mv = Seq(10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
+    val expected = Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 99L -> 99L)
     val m = Dedup.connectedComponents(multi, mv).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L, 99L -> 99L))
+    assert(m == expected)
+    val mStar = Dedup.connectedComponentsReleasable(multi, mv, 0L)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mStar == expected)
     // empty pair set: every vertex is its own component
     val e = Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), mv)
