@@ -73,7 +73,12 @@ object Dedup {
     // posting rows (a few extra bytes each) instead of being joined
     // back per pair — that removes three join shuffles from the
     // round-1 shape (docs⋈shingles, pairs⋈cnt_a, pairs⋈cnt_b).
-    val tri = docs.select(col("doc_id"), col("n_chars"),
+    // spread a one-split corpus scan before the shingle kernel — the
+    // per-row hash explode is the fact-sized compute and a single
+    // parquet file serializes it onto one core (r16; no-op at cluster
+    // scale where scans have many splits)
+    val tri = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"), col("n_chars"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .select(col("doc_id"), col("n_chars"), size(col("shh")).as("c"),
         explode(col("shh")).as("gh"))
@@ -99,7 +104,12 @@ object Dedup {
     * ONCE.
     */
   def ngramPairStats(docs: DataFrame, lenBand: Int = 20): DataFrame = {
-    val tri = docs.select(col("doc_id"), col("n_chars"),
+    // spread a one-split corpus scan before the shingle kernel — the
+    // per-row hash explode is the fact-sized compute and a single
+    // parquet file serializes it onto one core (r16; no-op at cluster
+    // scale where scans have many splits)
+    val tri = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"), col("n_chars"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .select(col("doc_id"), col("n_chars"), size(col("shh")).as("c"),
         explode(col("shh")).as("gh"))
@@ -134,7 +144,10 @@ object Dedup {
         .select(col("doc_id").as(idName), size(col("shh")).as(cName),
           explode(col("shh")).as("gh"))
     val e = postings(evalDocs, "eval_id", "ce")
-    val t = postings(trainDocs, "train_id", "ct")
+    // spread only the TRAIN side (the corpus-sized one; the eval side
+    // is broadcast-tiny and an exchange there is pure overhead)
+    val t = postings(graft.sources.Tables.spreadIfOneSplit(trainDocs),
+      "train_id", "ct")
     t.join(broadcast(e), Seq("gh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("inter"),
@@ -187,7 +200,7 @@ object Dedup {
 
   def shingleStats(docs: DataFrame, k: Int = 3, sampleBits: Int = 4): ShingleStats = {
     val mask = (1L << sampleBits) - 1L
-    val df = hashedShingles(docs, k)
+    val df = hashedShingles(graft.sources.Tables.spreadIfOneSplit(docs), k)
       .select(explode(col("shh")).as("gh"))
       .filter(col("gh").bitwiseAND(lit(mask)) === 0L)
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
@@ -230,7 +243,10 @@ object Dedup {
     * size-asymmetric pairs). Emits (id_small, id_big, containment).
     */
   def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
-    val tri = docs.select(col("doc_id"),
+    // spread a one-split scan before the shingle kernel (see
+    // ngramJaccardPairs)
+    val tri = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .select(col("doc_id"), size(col("shh")).as("c"), explode(col("shh")).as("gh"))
     val a = tri.select(col("gh"), col("doc_id").as("id_x"), col("c").as("cx"))
@@ -270,7 +286,10 @@ object Dedup {
     * with one set intersection on the full shingle arrays.
     */
   def containmentPairsPrefix(docs: DataFrame, minContainment: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    // spread a one-split scan before the shingle kernel (see
+    // ngramJaccardPairs)
+    val sh = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .withColumn("c", size(col("shh")))
     val posting = sh.select(col("doc_id"), col("c"), explode(col("shh")).as("gh"))
@@ -350,7 +369,10 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, minJaccard: Double,
                               lenBand: Int = 20): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("n_chars"),
+    // spread a one-split scan before the shingle kernel (see
+    // ngramJaccardPairs)
+    val sh = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"), col("n_chars"),
         graft.functions.shingle_hashes(split(col("text"), " "), 3).as("shh"))
       .withColumn("c", size(col("shh")))
     val posting = sh.select(col("doc_id"), col("n_chars"), col("c"),
@@ -466,8 +488,12 @@ object Dedup {
 
   def minhashLsh(docs: DataFrame, minJaccard: Double = 0.8,
                  maxBucketDocs: Int = 5000): DataFrame = {
-    val withSig = hashedShingles(docs).select(col("doc_id"), col("shh"),
-      graft.functions.minhash_sig(col("shh")).as("sig"))
+    // spread a one-split scan before the shingle+signature kernels
+    // (see ngramJaccardPairs); the streaming path (NearDupStream)
+    // shingles its own micro-batches and is untouched
+    val withSig = hashedShingles(graft.sources.Tables.spreadIfOneSplit(docs))
+      .select(col("doc_id"), col("shh"),
+        graft.functions.minhash_sig(col("shh")).as("sig"))
     val bands = bandStructs(col("sig"))
     val cand = withSig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -495,8 +521,10 @@ object Dedup {
     * exact hamming distance.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col("doc_id"),
-      simhash64(split(col("text"), " ")).as("sig"))
+    // spread a one-split scan before the signature kernel (see
+    // ngramJaccardPairs)
+    val sig = graft.sources.Tables.spreadIfOneSplit(docs)
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
     val expl = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
