@@ -874,12 +874,18 @@ object AnalyticsQueries {
       .distinct()
     val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    // seed = the smallest PART node, computed from the un-reversed
-    // edge frame's part column — the same frame the oracle's `seed`
-    // CTE reads (min over both orientations would pick a supplier
-    // node whenever min(l_suppkey)*2+1 < min(l_partkey)*2, e.g. a
-    // tiny SF where partkey 1 never ships)
-    val seed = e.agg(min(col("a"))).first().getLong(0)
+    // seed = the smallest PART node — part nodes are the EVEN ids
+    // (2·partkey), so min over the checkpointed edge frame's even
+    // sources equals min over the un-reversed part column (every part
+    // with an edge appears as a source in both orientations). Reading
+    // the CHECKPOINTED frame (r16) instead of `e` saves a second full
+    // lineitem-distinct pass: `e` was not checkpointed, so the old
+    // seed agg re-ran the whole scan+distinct lineage. (min over both
+    // orientations unfiltered would pick a supplier node whenever
+    // min(l_suppkey)*2+1 < min(l_partkey)*2 — the parity filter keeps
+    // the oracle's `seed` CTE semantics exactly.)
+    val seed = edges.filter(col("a") % 2 === 0)
+      .agg(min(col("a"))).first().getLong(0)
     var levels = List((0L, 1L - seed % 2, seed % 2)) // (lvl, parts, supps)
     var lvl = 0L
     // driver-form state (active while the frontier stays small)
