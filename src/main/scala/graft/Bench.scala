@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // see GraftSession: the inferred size(generator)>0 filter
+      // re-runs expensive generator-child kernels below the spread
+      // exchange; excluding the rule is result-neutral and
+      // scale-independent (r16, measured + plan-verified)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

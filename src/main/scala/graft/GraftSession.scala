@@ -18,6 +18,21 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // InferFiltersFromGenerate re-evaluates the GENERATOR CHILD
+      // expression inside an inferred size(...)>0 filter that then
+      // pushes below any repartition — for the shingle/signature
+      // kernels (expensive codegen'd per-row work) that means one
+      // full serialized evaluation of the kernel on the pre-spread
+      // side (r16, plan-verified). The rule only ever ADDS inferred
+      // filters (results are identical without it), its benefit is
+      // skipping Generate on null/empty inputs — which Generate
+      // handles cheaply anyway — and the engine's explodes run on
+      // text-derived arrays that are almost never empty. Measured:
+      // q_ngram_jaccard 1.14→0.83 s, q_dedup_eval 1.55→1.32 s,
+      // q_containment_pairs 1.05→0.88 s. Scale-independent (the
+      // double evaluation exists on a cluster identically).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
