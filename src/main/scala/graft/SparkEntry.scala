@@ -86,7 +86,10 @@ object SparkEntry {
     // partitions with an eager job at construction
     "q_curriculum_order", "q_export_shards", "q_global_shuffle",
     "q_rarity_score", "q_rfm", "q_winsorize", "q_lm_buckets",
-    "q_zipf_octaves", "q_rank_migration",
+    // NOT q_rank_migration (since r16): its two top-20 ranks come off
+    // a TakeOrdered whose RDD is single-partition, so zipWithIndex
+    // skips its partition-count job — construction is lazy again
+    "q_zipf_octaves",
     // composes q_lm_buckets, inheriting its eager rank pass
     "q_quality_confusion",
     // eager-checkpoints its result to release the barrier caches

@@ -68,7 +68,22 @@ object Tables {
     */
   private[graft] def spreadIfOneSplit(df: DataFrame): DataFrame = {
     val width = math.min(32, df.sparkSession.sparkContext.defaultParallelism)
-    if (df.rdd.getNumPartitions == 1) df.repartition(width) else df
+    // Never probe .rdd on a frame whose plan already redistributes:
+    // under AQE, materializing the RDD of a plan that contains an
+    // exchange RUNS its query stages — a full eager pass billed at
+    // construction and then repeated by the real action (the r16
+    // nested-spread regression: dedup kernel entries re-spread a
+    // frame their caller had already spread). Any node below also
+    // means the rows leave the scan's split layout downstream, so the
+    // one-split serialization this guard exists for cannot occur.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val redistributed = df.queryExecution.analyzed.exists {
+      case _: RepartitionOperation | _: Join | _: Aggregate | _: Sort |
+          _: Window | _: Distinct | _: GlobalLimit => true
+      case _ => false
+    }
+    if (redistributed) df
+    else if (df.rdd.getNumPartitions == 1) df.repartition(width) else df
   }
 
   private[graft] def loadCached(spark: SparkSession, path: String): DataFrame = {
