@@ -123,10 +123,40 @@ object Ann {
     * (vec_id, embedding, list_id).
     */
   private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(cents))
+    val embN = emb.withColumn("_vn",
+      graft.functions.norm_double(col("embedding")))
+    val centsN = cents.withColumn("_cn",
+      graft.functions.norm_double(col("carr")))
+    val scored = embN.crossJoin(broadcast(centsN))
       .withColumn("sim", dot_double(col("embedding"), col("carr")) /
-        (graft.functions.norm_double(col("embedding")) *
-          graft.functions.norm_double(col("carr"))))
+        (col("_vn") * col("_cn")))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("list_id"), col("embedding")),
+        struct(col("sim"), (-col("list_id")).as("nl"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.list_id").as("list_id"))
+  }
+
+  /** [[assignToCentroids]] plus the vector's L2 norm (`vnorm`) carried
+    * through the argmax — consumers that score against the assignment
+    * (list entries, outlier cosines) read the norm here instead of
+    * re-joining the corpus by key (r16: that join was a full corpus
+    * shuffle whose only payload was a value this pass already had).
+    */
+  private def assignWithNorm(emb: DataFrame, cents: DataFrame): DataFrame = {
+    // both norms are hoisted OUT of the (vector × centroid) loop: the
+    // corpus norm is computed once per vector below the join (not
+    // nLists times per vector), the centroid norm once per centroid on
+    // the broadcast side. sim sees the identical doubles in the
+    // identical expression shape (dot / (vn * cn)), so assignment and
+    // tie-breaks are bit-unchanged.
+    val embN = emb.withColumn("vnorm",
+      graft.functions.norm_double(col("embedding")))
+    val centsN = cents.withColumn("cnorm",
+      graft.functions.norm_double(col("carr")))
+    val scored = embN.crossJoin(broadcast(centsN))
+      .withColumn("sim", dot_double(col("embedding"), col("carr")) /
+        (col("vnorm") * col("cnorm")))
     // argmax as max_by, NOT a row_number window: the window would
     // shuffle AND sort the nLists-times-exploded corpus; max_by gets
     // map-side partial aggregation, so the exploded rows collapse to
@@ -134,10 +164,10 @@ object Ann {
     // oracle's rank (sim DESC, then list_id ASC via the negated
     // second struct field).
     scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("list_id"), col("embedding")),
+      .agg(max_by(struct(col("list_id"), col("embedding"), col("vnorm")),
         struct(col("sim"), (-col("list_id")).as("nl"))).as("b"))
       .select(col("vec_id"), col("b.embedding").as("embedding"),
-        col("b.list_id").as("list_id"))
+        col("b.vnorm").as("vnorm"), col("b.list_id").as("list_id"))
   }
 
   /** Every corpus vector's refined-centroid list id — the clustering
@@ -153,6 +183,14 @@ object Ann {
   def ivfAssignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     assignToCentroids(emb, cents)
       .select(col("vec_id"), col("list_id"))
+
+  /** Assignment that KEEPS each vector's embedding and L2 norm
+    * (`vnorm`) — for consumers that score against the assignment
+    * (outlier cosines): reading them here replaces a corpus-wide
+    * key re-join (r16).
+    */
+  def ivfAssignEmb(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignWithNorm(emb, cents)
 
   /** The two artifact frames of a plain-IVF index, the landable
     * form: centroids `(list_id, carr)` and the assigned+normed
@@ -176,9 +214,14 @@ object Ann {
     * production IVF service.
     */
   def ivfListEntries(emb: DataFrame, cents: DataFrame): DataFrame =
-    assignToCentroids(emb, cents)
-      .select(col("vec_id").as("neighbor_id"), col("list_id"))
-      .join(normed(emb, "neighbor_id", "ce", "nc"), "neighbor_id")
+    // the embedding and its norm ride through the assignment argmax —
+    // re-joining `emb` by key here cost a full corpus shuffle whose
+    // only payload was columns the assign pass already carried (r16,
+    // guide §2.4: remove shuffles outright). Values bit-identical:
+    // same vector, same norm fold.
+    assignWithNorm(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"),
+        col("embedding").as("ce"), col("vnorm").as("nc"))
 
   /** The IVF-PQ row set for `emb` against FROZEN quantizers (landed
     * centroids + codebooks): the [[ivfListEntries]] row plus the

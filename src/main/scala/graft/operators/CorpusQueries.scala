@@ -1589,30 +1589,37 @@ object CorpusQueries {
     * 1/distance-weighted mass (integer ppm: 1e6 div d, so the decay
     * is engine-exact — GloVe's own 1/d weighting with no float).
     * C35/C43 count ADJACENT pairs; embeddings training wants the
-    * windowed table. The band join is BLOCK-BUCKETED: joining raw
-    * on doc_id would pair every token with every token of its own
-    * document (doc-quadratic — fatal on a 1e5-token document), so
-    * the left keys on (doc_id, pos div 5) and the right explodes
-    * into its ≤2 candidate blocks — per-token work stays window-
-    * bounded at ANY document length. One aggregate, top-40 via
-    * distributed TakeOrdered.
+    * windowed table. Pair generation is MAP-ONLY: the window never
+    * leaves a document, so each row emits its own (i, j), j-i ∈
+    * [1,5] pairs directly — ≤5 per token, window-bounded at ANY
+    * document length (the same bound the earlier block-bucketed
+    * self-join enforced, minus that join's two token-table shuffles).
+    * One aggregate, top-40 via distributed TakeOrdered.
     */
   def qWindowCooccur(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir).documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val a = toks.select(col("doc_id"), col("pos").as("p1"), col("w").as("wa"),
-      expr("pos div 5").as("blk"))
-    val b = toks.select(col("doc_id"), col("pos").as("p2"), col("w").as("wb"))
-      // the window [p2-5, p2-1] spans at most two 5-blocks;
-      // array_distinct collapses them when they coincide so every
-      // (p1, p2) pair matches exactly once
-      .withColumn("blk", explode(array_distinct(
-        array(expr("greatest(p2 - 5, 0) div 5"), expr("greatest(p2 - 1, 0) div 5")))))
-    val pairs = a.join(b, Seq("doc_id", "blk"))
-      .filter(col("p2") - col("p1") >= 1 && col("p2") - col("p1") <= 5)
-      .select(least(col("wa"), col("wb")).as("w1"),
-        greatest(col("wa"), col("wb")).as("w2"),
-        expr("1000000 div (p2 - p1)").as("wt"))
+    // r16 (guide §2.4): the window is DOC-LOCAL, so the pair stream
+    // needs no join at all — the old shape exploded the token table
+    // twice and shuffled both sides on (doc_id, blk) just to pair
+    // positions the row already had side by side. One map-only pass
+    // emits each (i, j), j-i ∈ [1,5] pair directly (≤5 structs per
+    // token, window-bounded at ANY document length — same bound the
+    // block join enforced) and the only exchange left is the final
+    // (w1, w2) aggregate, with map-side partials. Pair set, weights
+    // and tie-breaks are value-identical: least/greatest on the same
+    // tokens, the same integer `div` weight.
+    val pairs = spreadIfOneSplit(
+      Tables(spark, dir).documents.select(col("text")))
+      .select(split(col("text"), " ").as("w"))
+      // outer sequence stops at size-2 and the inner at
+      // least(i+5, size-1), so neither can DESCEND (sequence(a, b)
+      // counts down when a > b, fabricating null-token pairs)
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(w) - 2), i ->
+          |  transform(sequence(i + 1, least(i + 5, size(w) - 1)), j ->
+          |    struct(least(w[i], w[j]) AS w1, greatest(w[i], w[j]) AS w2,
+          |           1000000 div (j - i) AS wt))))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.wt").as("wt"))
     pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("wt")).as("weight_ppm"))
       .orderBy(col("weight_ppm").desc, col("w1"), col("w2"))

@@ -458,13 +458,19 @@ object PipelineQueries {
   def qEmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val cents = Ann.ivfCentroids(emb, nLists = 8)
-    Ann.ivfAssignTo(emb, cents)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(cents), "list_id")
+    // r16 (guide §2.4): the assignment pass already carries each
+    // vector's embedding and norm — re-joining `emb` by vec_id here
+    // was a full corpus shuffle for columns the pass had in hand; the
+    // centroid norm is likewise computed once per centroid on the
+    // 8-row broadcast side instead of once per corpus row. The cosine
+    // sees the identical doubles in the identical expression shape.
+    val centsN = cents.withColumn("cnorm",
+      graft.functions.norm_double(col("carr")))
+    Ann.ivfAssignEmb(emb, cents)
+      .join(broadcast(centsN), "list_id")
       .select(col("vec_id"), col("list_id").cast("long").as("cluster_id"),
         (graft.functions.dot_double(col("embedding"), col("carr")) /
-          (graft.functions.norm_double(col("embedding")) *
-            graft.functions.norm_double(col("carr")))).as("cos_centroid"))
+          (col("vnorm") * col("cnorm"))).as("cos_centroid"))
       .orderBy(col("vec_id"))
   }
 
