@@ -642,10 +642,21 @@ object CorpusQueries {
       .select(col("doc_id"), col("ppl_milli_ebits"))
       .join(Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
         Seq("doc_id"))
-    val ranked = scores
+    // persist the SORTED rdd before zipWithIndex (r16, guide §5:
+    // reused AND expensive): zipWithIndex's partition-offset job
+    // materializes it into the cache, and the two ranked consumers
+    // below (the per-lang offset aggregate and the rank join) then
+    // read it back — without the pin the global sort AND the whole
+    // upstream C69 scoring pass re-ran once per consumer (3 full
+    // computations per call, measured 16 jobs on q_quality_confusion).
+    // Bench purges persistent RDDs between queries, so every timed
+    // run still pays the sort+score once from parquet.
+    val sorted = scores
       .select(col("lang"), col("ppl_milli_ebits"), col("doc_id"))
       .orderBy(col("lang"), col("ppl_milli_ebits"), col("doc_id"))
-      .as[(String, Long, Long)].rdd.zipWithIndex()
+      .as[(String, Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = sorted.zipWithIndex()
       .map { case ((lang, ppl, id), i) => (lang, ppl, id, i + 1L) }
       .toDF("lang", "ppl_milli_ebits", "doc_id", "gpos")
     val offs = ranked.groupBy(col("lang"))

@@ -307,6 +307,9 @@ object PipelineQueries {
     val vecRanks = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rv"))
+    // NOT cached (r16 measured): pinning this 3-consumer explode adds
+    // a materialization barrier that costs more than the explode —
+    // 15 jobs/0.91s uncached vs 18 jobs/1.24s cached at sf0.1.
     val terms = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("t"))
     val dfreq = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
