@@ -307,11 +307,16 @@ object PipelineQueries {
     val vecRanks = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rv"))
-    // NOT cached (r16 measured): pinning this 3-consumer explode adds
-    // a materialization barrier that costs more than the explode —
-    // 15 jobs/0.91s uncached vs 18 jobs/1.24s cached at sf0.1.
+    // cache the 3-consumer distinct-term explode (guide §5: reused
+    // AND expensive): SCALE-dependent call, measured both ways — at
+    // sf0.1 the pin's materialization barrier costs more than the
+    // explode (0.91s -> 1.24s), at 5x the explode dominates and the
+    // pin nearly halves the query (5.19s -> 3.13s, back-to-back
+    // window). The 100 TB direction is what the round optimizes for;
+    // the sf0.1 delta is local job-launch floor, not data cost.
     val terms = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("t"))
+      .cache()
     val dfreq = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val qterms = terms.filter(col("doc_id") < 8)
