@@ -103,6 +103,16 @@ object Bench {
       // query starts from the same storage-memory floor.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // r17 (verdict item 2): landed derived tables (DerivedTable's
+      // corpus-keyed graft-* roots — dup-cluster map, posting/tf
+      // tables, interchange round-trip bytes, landed stores, ANN
+      // truth/index) survive across JVM runs, so a timed query on a
+      // machine where a prior run landed them read warm parquet
+      // instead of paying its own derivation — under-billing ~15
+      // queries and contradicting the cold-cache contract above.
+      // Purge them (outside the timer) so BOTH timed samples of every
+      // query derive from the parquet inputs.
+      graft.sources.DerivedTable.purgeLanded(spark)
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -115,11 +125,20 @@ object Bench {
     // reading for a query whose true cold cost is ~1.3s came from the
     // old ">10s gets one run" rule. Min-of-2 cold-cache runs strips
     // contention while still charging every real cost.
+    // canonical run = full suite at the canonical SF AND core count:
+    // the only configuration whose readings are comparable with the
+    // committed bench.json (and the only one allowed to write it)
+    val canonicalRun = only.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+      cpus == "32"
     // previous committed per-query readings: the reference point for
     // the transient-stall guard below. Parsed leniently (flat "name":
     // seconds pairs inside the "queries" object); absent/corrupt file
-    // → empty map → guard inert.
-    val prevReadings: Map[String, Double] = try {
+    // → empty map → guard inert. Only a canonical run loads them —
+    // an 8-core scaling run comparing against 32-core committed
+    // numbers would fire the guard on every parallelism-bound query
+    // and burn the suite on re-triage (r17, verdict item 3).
+    val prevReadings: Map[String, Double] = if (!canonicalRun) Map.empty
+    else try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench.json")), "UTF-8")
       // readings only compare within the SAME scale factor — a
@@ -264,14 +283,16 @@ object Bench {
         case None => name -> v
       }
     }
-    // The driver parses this line out of a bounded 2000-char stdout
-    // TAIL. Two past failure modes, both fixed: (a) the full per-query
-    // map (~5 KB at 200+ queries) can never fit the window — it lives
-    // ONLY in the committed bench.json now; (b) sbt's LoggedOutput used
-    // to prefix the line with "[info] " so a start-of-line JSON parse
-    // never matched — build.sbt now sets run/outputStrategy :=
-    // StdoutOutput so this line starts at column 0. stdout gets ONE
-    // compact summary line (total/n/errors), guaranteed to fit.
+    // The one-line stdout JSON carries the FULL per-query map (r17,
+    // verdict item 1): the driver's per-query round-over-round and
+    // scaling comparison was BLIND for two rounds (PERF n_common=0,
+    // empty scaling.per_query) because this line printed
+    // "queries":{} on the theory that the driver's bounded stdout
+    // tail could not fit it — a theory the driver's own captured
+    // tail disproves (BENCH_r16's tail is far longer than this
+    // line). bench.json remains the committed copy. (sbt's
+    // LoggedOutput "[info] " prefix issue stays fixed via
+    // run/outputStrategy := StdoutOutput in build.sbt.)
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -289,23 +310,18 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_full":"bench.json","errors":$errJson,"outliers":$outJson,"retriaged":$retrJson,"n_queries":${results.size},"sf":"$sfDir"}"""
     }
     val fullJson = mkJson(results.toSeq)
-    // filtered triage runs (dev-only) print the full per-query map —
-    // they don't write bench.json, and the 2000-char driver window
-    // only matters for the unfiltered driver run
-    if (only.nonEmpty) println(fullJson)
-    println(mkJson(Seq.empty))
-    // the complete map goes to a committed file — the reliable copy.
-    // ONLY a full-suite run at the canonical benchmark SF may write
-    // bench.json: filtered triage runs AND full runs at other SF
-    // dirs (5x/25x stress) write bench_filtered.json instead, so
-    // neither a SPARK_GRAFT_BENCH_ONLY subset nor a stress sweep can
-    // clobber the committed artifact (both clobber modes have now
-    // fired once — r9 close and the r10 5x run).
-    val canonicalSf = "/root/testdata/sf0.1"
+    println(fullJson)
+    // the complete map also goes to a committed file — the durable
+    // copy. ONLY a full-suite run at the canonical benchmark SF AND
+    // the canonical core count may write bench.json: filtered triage
+    // runs, full runs at other SF dirs (5x/25x stress) and
+    // scaling-mode runs at other core counts (r17, verdict item 3:
+    // the driver's 8-core scaling pass used to clobber the committed
+    // 32-core table and poison the stall guard's prevReadings with
+    // 8-core numbers) write bench_filtered.json (untracked) instead.
     try {
       val out = java.nio.file.Paths.get(
-        if (only.isEmpty && sfDir == canonicalSf) "bench.json"
-        else "bench_filtered.json")
+        if (canonicalRun) "bench.json" else "bench_filtered.json")
       java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     if (probe) try java.nio.file.Files.write(

@@ -78,6 +78,43 @@ object DerivedTable {
     read(root)
   }
 
+  /** Purge EVERY corpus-keyed landed root (`graft-*` under tmpdir)
+    * plus the bucketed interchange tables' catalog registrations
+    * (external `graft_*` tables whose data lives under a purged
+    * root). The BENCH calls this inside `timeOnce` next to
+    * clearCache(): a landed artifact that survives across timed runs
+    * is a cross-run result cache — the timed query would read warm
+    * parquet instead of paying its own derivation (r16 verdict: ~15
+    * benched queries under-billed; Bench's cold-cache contract says
+    * "never a warm re-read"). Purging here makes every timed sample
+    * derive from the parquet inputs. NOT called by Verify or library
+    * code: the landing discipline itself (build once per corpus,
+    * atomic publish) is the production design and stays.
+    */
+  def purgeLanded(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    if (java.nio.file.Files.isDirectory(tmp)) {
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft-"))
+        .toVector
+        .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      finally s.close()
+    }
+    // external bucketed tables: the catalog entry must go with the
+    // files, or qBucketedJoin's tableExists fast-path would serve a
+    // registration whose LOCATION was just deleted. DROP through the
+    // SQL command path, not SessionCatalog.dropTable: only the
+    // command invalidates the cached relation/file listing, and the
+    // re-landed table reuses the SAME name+location with fresh part
+    // files — a stale listing fails the next scan with
+    // FILE_NOT_EXIST (observed on the first purged bench run).
+    spark.sessionState.catalog.listTables("default")
+      .filter(_.table.startsWith("graft_"))
+      .foreach(id => spark.sql(s"DROP TABLE IF EXISTS ${id.quotedString}"))
+  }
+
   /** Metadata-only fingerprint (never reads data). Package-visible:
     * artifacts that cannot land by atomic rename (the snapshot store
     * records absolute file paths in its manifests) key their
