@@ -307,9 +307,18 @@ object CdcQueries {
         // process may be reading
         val tmp = root + ".build-" + ProcessHandle.current().pid()
         val b = new graft.store.SnapshotStore(spark, tmp, "user_id")
+        // stage the parse ONCE (r17, guide §5): mergeWith reads its
+        // delta twice (key-segment pass + fold) per merge, so the
+        // JSON parse lineage ran up to 4x per build — invisible while
+        // the landed store was a cross-run cache, billed per sample
+        // now that the bench purges landed roots. Released before
+        // return; build-sized, never table-sized.
         val p = parsed(spark, dir)
-        b.merge(p.filter(pmod(col("id"), lit(2)) === 0))
-        b.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.merge(p.filter(pmod(col("id"), lit(2)) === 0))
+          b.merge(p.filter(pmod(col("id"), lit(2)) =!= 0))
+        } finally p.unpersist(blocking = false)
         try java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(root),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

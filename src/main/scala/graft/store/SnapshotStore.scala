@@ -481,7 +481,27 @@ final class SnapshotStore(
     java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
 
-  private def writeDataFiles(df: DataFrame, v: Long): Seq[DataFileEntry] = {
+  private def writeDataFiles(df: DataFrame, v: Long): Seq[DataFileEntry] =
+    try writeDataFilesInner(df, v)
+    catch {
+      case e: ConcurrentCommitException => throw e
+      case e: Throwable
+          if currentVersion != (if (v == 0L) None else Some(v - 1L)) =>
+        // the pointer moved past this attempt's basis while it was
+        // writing: a concurrent winner committed, and its vacuum may
+        // have reclaimed this attempt's in-flight directory out from
+        // under the write/stats pass. The attempt was doomed at the
+        // CAS anyway — surface the retry-contract exception so
+        // optimistic writers re-read + re-fold instead of dying on a
+        // raw I/O error (the age-gated vacuum makes this window rare;
+        // this converts what remains of it)
+        throw new ConcurrentCommitException(
+          s"write of v$v in $root lost its attempt dir to a concurrent " +
+            s"winner's vacuum (${e.getClass.getSimpleName}: ${e.getMessage}) " +
+            "— re-read the snapshot, re-fold, retry")
+    }
+
+  private def writeDataFilesInner(df: DataFrame, v: Long): Seq[DataFileEntry] = {
     // attempt-unique directory: two optimistic writers racing to the
     // same version number must never interleave parquet output in
     // one directory (mode=overwrite would eat the winner's files).
@@ -496,29 +516,98 @@ final class SnapshotStore(
     // the affected slice (never the table — merge planning already
     // restricted it) and is released before this method returns.
     val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-file manifest stats (rows, key range, secondary Bloom)
+    // are collected DURING the write via observe() + FileStatsAgg
+    // (r17, verdict item 4): the old path ran a SECOND job that
+    // re-read every just-written file — at 100 TB a full re-read of
+    // the commit's output, locally ~1 job per commit (4 per forget
+    // gate). Real formats collect these in the writer; observe() is
+    // the Dataset seam for that. The output partition id is projected
+    // ABOVE the exact range exchange (spark_partition_id is
+    // nondeterministic, so Catalyst cannot push it below), and one
+    // output partition = one part file (`part-<pid>-…`), verified
+    // against the directory listing below before the stats are
+    // trusted; any mismatch (empty pid-0 placeholder file, a
+    // maxRecordsPerFile split, a non-integral key type) falls back to
+    // the old stats job, which also keeps its exclude-empty-files
+    // behavior.
+    val integralKey = {
+      import org.apache.spark.sql.types._
+      df.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val obs = new org.apache.spark.sql.Observation(s"fstats-${attemptToken()}")
     try {
-      staged.repartitionByRange(filesPerCommit, col(keyCol))
-        .write.mode("overwrite").parquet(dataDir.toString)
+      val clustered = staged.repartitionByRange(filesPerCommit, col(keyCol))
+      val toWrite =
+        if (!integralKey) clustered
+        else {
+          import org.apache.spark.sql.{functions => F}
+          import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+          val withPid = clustered.withColumn("_graft_pid", F.spark_partition_id())
+          val agg = FileStatsAgg(
+            toExpr(withPid.col("_graft_pid")),
+            toExpr(F.col(keyCol).cast("long")),
+            indexCol.map(c => toExpr(F.xxhash64(F.col(c)))),
+            numBits = indexBits)
+          withPid
+            .observe(obs, toCol(agg.toAggregateExpression()).as("stats"))
+            .select(df.columns.map(col).toIndexedSeq: _*)
+        }
+      toWrite.write.mode("overwrite").parquet(dataDir.toString)
     } finally staged.unpersist(blocking = false)
-    // the per-file stats job also builds the secondary Bloom when an
-    // index column is declared (what real formats collect at write
-    // time: key range + column-level skipping metadata per file).
-    // Read back through df's OWN schema: exact by construction (no
-    // footer-inference job), and an EMPTY fold (delete-heavy merge
-    // that empties the affected slice — a carried-only commit) writes
-    // no part files, which a schema-less read would refuse to infer
-    val base = spark.read.schema(df.schema).parquet(dataDir.toString)
-      .groupBy(input_file_name().as("path"))
-    val aggs = Seq(count(lit(1)).as("rows"),
-      min(col(keyCol)).cast("long").as("mn"),
-      max(col(keyCol)).cast("long").as("mx")) ++
-      indexCol.map(c => graft.functions.bloom_agg(xxhash64(col(c)),
-        numBits = indexBits).as("bloom"))
-    base.agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        if (indexCol.isDefined) Some(r.getAs[Array[Byte]]("bloom")) else None))
-      .toSeq
+    val fromObserve: Option[Seq[DataFileEntry]] =
+      if (!integralKey) None
+      else {
+        val stats: Map[Int, (Long, Long, Long, Option[Array[Byte]])] =
+          obs.get("stats").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+            .map(r => r.getInt(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3),
+                Option(r.getAs[Array[Byte]](4))))
+            .toMap
+        val partFiles: Seq[(Int, String)] = {
+          val ls = Files.list(dataDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala.flatMap { p =>
+              val n = p.getFileName.toString
+              "^part-(\\d+)-".r.findFirstMatchIn(n)
+                .filter(_ => n.endsWith(".parquet"))
+                .map(m => m.group(1).toInt -> p.toString)
+            }.toVector
+          } finally ls.close()
+        }
+        val pidsMatch = partFiles.map(_._1).sorted == stats.keys.toSeq.sorted &&
+          partFiles.map(_._1).distinct.length == partFiles.length &&
+          stats.valuesIterator.forall { case (rows, mn, mx, _) =>
+            rows > 0L && mn <= mx }
+        if (!pidsMatch) None
+        else Some(partFiles.map { case (p, path) =>
+          val (rows, mn, mx, bloom) = stats(p)
+          DataFileEntry(path, rows, mn, mx, bloom)
+        })
+      }
+    fromObserve.getOrElse {
+      // fallback stats job (pre-r17 path). Read back through df's OWN
+      // schema: exact by construction (no footer-inference job), and
+      // an EMPTY fold (delete-heavy merge that empties the affected
+      // slice — a carried-only commit) writes no part files, which a
+      // schema-less read would refuse to infer
+      val base = spark.read.schema(df.schema).parquet(dataDir.toString)
+        .groupBy(input_file_name().as("path"))
+      val aggs = Seq(count(lit(1)).as("rows"),
+        min(col(keyCol)).cast("long").as("mn"),
+        max(col(keyCol)).cast("long").as("mx")) ++
+        indexCol.map(c => graft.functions.bloom_agg(xxhash64(col(c)),
+          numBits = indexBits).as("bloom"))
+      base.agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => DataFileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (indexCol.isDefined) Some(r.getAs[Array[Byte]]("bloom")) else None))
+        .toSeq
+    }
   }
 
   /** Publish a manifest (new + carried-over entries) as version `v`
@@ -1424,6 +1513,28 @@ final class SnapshotStore(
     */
   private def vacuum(current: Long): Unit = {
     val cutoff = current - keepVersions
+    // Files referenced by the manifests about to be DROPPED are
+    // reclaimed immediately below (they fell out of retention by
+    // version arithmetic — deterministic, test-visible). Files
+    // referenced by NO manifest at all are a different population:
+    // either a crashed attempt's debris, or a CONCURRENT writer's
+    // in-flight attempt dir (its files exist before its publish).
+    // Those are age-gated like DV staging dirs — deleting them
+    // immediately yanks the directory out from under a live write
+    // (r17: the two-writer race began failing once the winner reached
+    // vacuum one job sooner).
+    val droppedRefs: Set[String] = {
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ml = Files.list(manifestDir)
+      try ml.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("m") && name.endsWith(".tsv") &&
+            name.stripPrefix("m").stripSuffix(".tsv").forall(_.isDigit) &&
+            name.stripPrefix("m").stripSuffix(".tsv").toLong <= cutoff)
+          vs += name.stripPrefix("m").stripSuffix(".tsv").toLong
+      } finally ml.close()
+      vs.flatMap(v => manifestLite(v).map(e => normalizePath(e.path))).toSet
+    }
     val mlisting = Files.list(manifestDir)
     try mlisting.forEach { p =>
       val name = p.getFileName.toString
@@ -1491,24 +1602,45 @@ final class SnapshotStore(
           buf.toSeq
         } finally walk.close()
       }
+      val now = System.currentTimeMillis()
+      def pastAttemptRetention(p: java.nio.file.Path): Boolean = {
+        val age = try now - Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => -1L }
+        age > SnapshotStore.dvStageRetentionMs
+      }
       files.foreach { f =>
         val name = f.getFileName.toString
+        val norm = normalizePath(f.toUri.toString)
         if (name.endsWith(".parquet") && Files.isRegularFile(f) &&
-            !retained(normalizePath(f.toUri.toString))) {
+            !retained(norm) &&
+            // never-referenced files (a live concurrent attempt, or a
+            // crashed one) are only reclaimed past the staging window;
+            // files a dropped manifest referenced go immediately
+            (droppedRefs(norm) || pastAttemptRetention(f))) {
           Files.deleteIfExists(f)
           Files.deleteIfExists(f.resolveSibling(s".$name.crc"))
         }
       }
       // pass 2: a version dir with no parquet left holds only write
-      // markers — remove it entirely
+      // markers — remove it, EXCEPT a dir a live writer is still
+      // filling (its parquet sits under `_temporary` until the job
+      // commits): skip any dir that still has a _temporary entry and
+      // is younger than the staging window
       val dirs = Files.list(dataRoot)
       try dirs.forEach { d =>
         if (Files.isDirectory(d)) {
           val ls = Files.list(d)
-          val hasParquet =
-            try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-            finally ls.close()
-          if (!hasParquet) {
+          val (hasParquet, inFlight) =
+            try {
+              var pq = false; var tmp = false
+              ls.forEach { p =>
+                val n = p.getFileName.toString
+                if (n.endsWith(".parquet")) pq = true
+                if (n == "_temporary") tmp = true
+              }
+              (pq, tmp)
+            } finally ls.close()
+          if (!hasParquet && !(inFlight && !pastAttemptRetention(d))) {
             val w = Files.walk(d)
             try w.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))

@@ -1565,4 +1565,37 @@ class StoreSpec extends AnyFunSuite {
       s"vacuum must reclaim all accumulated DV files, left: ${left.toSeq}")
     assert(store.read().get.count() === n - purged.size)
   }
+
+  test("write-time file stats equal the stats-job definition bit-for-bit") {
+    // r17: writeDataFiles collects per-file manifest stats (rows, key
+    // range, secondary Bloom) DURING the write via observe() +
+    // FileStatsAgg instead of a second job re-reading the output.
+    // This pins the new path to the old job's definition: for every
+    // committed file, rows/min/max must equal a direct recount and
+    // the Bloom blob must be BYTE-IDENTICAL to bloom_agg(xxhash64(c))
+    // over that file — the probe side depends on exact bit equality.
+    import spark.implicits._
+    val store = new SnapshotStore(spark, newRoot(), "k",
+      indexCol = Some("grp"), filesPerCommit = 4)
+    store.commit((0L until 1000L).map(i => (i, s"g${i % 7}", i * 3))
+      .toDF("k", "grp", "payload"))
+    val entries = store.manifest(store.currentVersion.get)
+    assert(entries.size === 4, "range clustering contract: 4 files")
+    entries.foreach { e =>
+      val f = spark.read.parquet(e.path)
+      assert(f.count() === e.rows)
+      val mm = f.agg(min(col("k")), max(col("k"))).head()
+      assert(mm.getLong(0) === e.minKey && mm.getLong(1) === e.maxKey)
+      val jobBlob = f.agg(graft.functions.bloom_agg(xxhash64(col("grp")),
+        numBits = 1 << 14)).head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(e.bloom.get, jobBlob),
+        s"write-time Bloom blob must be bit-identical for ${e.path}")
+    }
+    // ranges are disjoint (the manifest-pruning contract)
+    val sorted = entries.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey)
+      case _ => ()
+    }
+  }
 }
