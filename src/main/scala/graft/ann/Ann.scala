@@ -122,20 +122,14 @@ object Ann {
     * corpus (the corpus never shuffles). Returns
     * (vec_id, embedding, list_id).
     */
-  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val embN = emb.withColumn("_vn",
-      graft.functions.norm_double(col("embedding")))
-    val centsN = cents.withColumn("_cn",
-      graft.functions.norm_double(col("carr")))
-    val scored = embN.crossJoin(broadcast(centsN))
-      .withColumn("sim", dot_double(col("embedding"), col("carr")) /
-        (col("_vn") * col("_cn")))
-    scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("list_id"), col("embedding")),
-        struct(col("sim"), (-col("list_id")).as("nl"))).as("b"))
-      .select(col("vec_id"), col("b.embedding").as("embedding"),
-        col("b.list_id").as("list_id"))
-  }
+  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame =
+    // ONE argmax kernel (ADVICE r16): this is assignWithNorm minus the
+    // carried norm — defining it as a projection keeps the sim
+    // expression and the (sim, -list_id) tie-break in exactly one
+    // place, so the two consumers can never silently diverge.
+    // Dropping vnorm from the output does not change which row wins.
+    assignWithNorm(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
 
   /** [[assignToCentroids]] plus the vector's L2 norm (`vnorm`) carried
     * through the argmax — consumers that score against the assignment

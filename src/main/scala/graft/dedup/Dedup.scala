@@ -634,11 +634,15 @@ object Dedup {
     // eager localCheckpoint evaluates the (possibly expensive)
     // candidate-generation lineage exactly once; every loop round
     // starts from materialized blocks
+    // LAZY checkpoint + count (r17, verdict item 5): the count below
+    // is the first action, so it materializes the checkpoint blocks
+    // AND returns the edge count in ONE job — the eager form paid a
+    // materialization job and then a second block-reading count job.
     val edges0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the loop is eager by nature (a convergence check every round),
     // so counting the edges here is not an extra pass — and it lets
     // loop parallelism follow the DUP GRAPH's size, not the session's
@@ -737,7 +741,15 @@ object Dedup {
             "O(log n) bounds this at well beyond any real graph; the " +
             "edge frame is non-deterministic across evaluations")
       val tR0 = System.nanoTime()
-      edges = smallStarStep(largeStarStep(edges)).localCheckpoint(true)
+      // LAZY checkpoint (r17, verdict item 5): the convergence stats
+      // aggregate is the round's first action, so one job both
+      // computes the round's edges (persisting the blocks — local
+      // checkpointing rides the computing job) and returns the
+      // invariant; the eager form ran a materialization job and then
+      // a separate stats job re-reading the fresh blocks. Lineage is
+      // truncated identically (the Dataset wraps the checkpointed
+      // RDD), so round r+1 still plans from round r's blocks.
+      edges = smallStarStep(largeStarStep(edges)).localCheckpoint(false)
       prev = cur
       cur = stats(edges)
       rounds += 1

@@ -485,16 +485,23 @@ object AnalyticsQueries {
     val stats = (1 to 4).map { r =>
       val deg = e.select(explode(array(col("u"), col("v"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("d"))
-      // eager localCheckpoints, not cache/count/unpersist chains:
-      // dropping round r-1's cache invalidates round r's entry (the
-      // CC lesson — dependents recompute their full lineage)
-      val nodes = deg.filter(col("d") >= k).select(col("w")).localCheckpoint(true)
+      // LAZY localCheckpoints fused with the round's counts (r17,
+      // verdict item 5): each count is the first action over its
+      // frame, so one job computes + persists the blocks AND returns
+      // the stat — the eager form ran materialize-then-count twice
+      // (4 jobs/round instead of 2). nodes is counted BEFORE pruned
+      // so its blocks are materialized once before pruned's two
+      // semi-join branches read them. Still checkpoints, never
+      // cache/count/unpersist chains: dropping round r-1's cache
+      // invalidates round r's entry (the CC lesson — dependents
+      // recompute their full lineage)
+      val nodes = deg.filter(col("d") >= k).select(col("w")).localCheckpoint(false)
+      val nNodes = nodes.count()
       val pruned = e
         .join(nodes.withColumnRenamed("w", "u"), Seq("u"), "left_semi")
         .join(nodes.withColumnRenamed("w", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")).localCheckpoint(false)
       val nEdges = pruned.count()
-      val nNodes = nodes.count()
       e = pruned
       (r.toLong, nNodes, nEdges)
     }
@@ -872,8 +879,12 @@ object AnalyticsQueries {
     val e = Tables(spark, dir).lineitem
       .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    // LAZY checkpoint (r17, verdict item 5): the seed aggregate just
+    // below is the first action over this frame, so one job both
+    // computes/persists the edge blocks and returns the seed — the
+    // eager form paid a materialization job plus a block-reading agg
     val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // seed = the smallest PART node — part nodes are the EVEN ids
     // (2·partkey), so min over the checkpointed edge frame's even
     // sources equals min over the un-reversed part column (every part
@@ -921,11 +932,15 @@ object AnalyticsQueries {
         // frontier-sized build side: broadcast while it fits, let
         // AQE fall back to a shuffled hash join when it doesn't —
         // on a real cluster the hint is advisory, not an OOM
+        // LAZY checkpoint (r17, verdict item 5): the per-level count
+        // aggregate is the round's first action — one job computes
+        // the frontier, persists its blocks and returns the counts,
+        // where the eager form ran materialize-then-count
         val next = edges.join(broadcast(frontierDf.select(col("node").as("a"))),
             Seq("a"))
           .select(col("b").as("node")).distinct()
           .join(visitedDf, Seq("node"), "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val cnt = next.agg(
           sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("p"),
           sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("s")).first()
@@ -1142,10 +1157,23 @@ object AnalyticsQueries {
     */
   def qHitsScores(spark: SparkSession, dir: String): DataFrame = {
     val e = supplierPartEdges(spark, dir)
-    val a1 = e.groupBy(col("p")).agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
-    val h1 = e.join(a1, Seq("p")).groupBy(col("s")).agg(sum(col("a1")).as("h1"))
-    val a2 = e.join(h1, Seq("s")).groupBy(col("p")).agg(sum(col("h1")).as("a2"))
-    val h2 = e.join(a2, Seq("p")).groupBy(col("s")).agg(sum(col("a2")).as("h2"))
+    // r17 (guide §2.1/§2.4, verdict item 7): the four layers used to
+    // shuffle their edge-scale join output once EACH (4 exchanges, 4
+    // edge scans). The edge frame is now exchanged exactly twice —
+    // once keyed by p, once by s — and every layer is arranged so its
+    // groupBy key matches its edge side's partitioning: the
+    // mutual-reinforcement joins attach the previous (aggregate-
+    // sized, degree-bounded) layer by BROADCAST, which preserves the
+    // streamed side's partitioning, so all four aggregates are
+    // exchange-free and ReuseExchange serves each repartition to both
+    // of its consumers (2 edge scans total). Values are unchanged:
+    // the same joins, the same decimal(38,0) sums.
+    val ep = e.repartition(col("p"))
+    val es = e.repartition(col("s"))
+    val a1 = ep.groupBy(col("p")).agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+    val h1 = es.join(broadcast(a1), Seq("p")).groupBy(col("s")).agg(sum(col("a1")).as("h1"))
+    val a2 = ep.join(broadcast(h1), Seq("s")).groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    val h2 = es.join(broadcast(a2), Seq("p")).groupBy(col("s")).agg(sum(col("a2")).as("h2"))
     h1.join(h2, Seq("s"))
       .select(col("s").as("l_suppkey"),
         col("h1").cast("long").as("hub1"), col("h2").cast("long").as("hub2"))

@@ -764,15 +764,20 @@ object CorpusQueries {
     */
   private def bpeLoop(spark: SparkSession, dir: String)
       : Seq[(Long, String, String, Long)] = {
-    // eager localCheckpoint per generation, not cache/count/unpersist:
-    // dropping generation k-1's cache invalidates generation k's entry
-    // (the CC lesson — dependents recompute their full lineage);
-    // checkpointed generations are freed by the ContextCleaner as
-    // their frames go out of scope
+    // LAZY localCheckpoint per generation (r17, verdict item 5),
+    // fused with the round's pair-count collect: the collect is each
+    // generation's first action, so one job computes + persists the
+    // generation AND returns the winning pair — the eager form paid a
+    // materialization job plus the collect per round. Still
+    // checkpoints, never cache/count/unpersist: dropping generation
+    // k-1's cache invalidates generation k's entry (the CC lesson —
+    // dependents recompute their full lineage); checkpointed
+    // generations are freed by the ContextCleaner as their frames go
+    // out of scope
     var corpus = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (k <- 1 to 5) {
       val best = corpus.select(explode(expr(
@@ -785,7 +790,7 @@ object CorpusQueries {
       merges += ((k.toLong, l, r, n))
       if (k < 5)
         corpus = corpus.select(col("doc_id"), applyMerge(l, r).as("w"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
     }
     merges.toSeq
   }
@@ -1611,24 +1616,40 @@ object CorpusQueries {
     // r16 (guide §2.4): the window is DOC-LOCAL, so the pair stream
     // needs no join at all — the old shape exploded the token table
     // twice and shuffled both sides on (doc_id, blk) just to pair
-    // positions the row already had side by side. One map-only pass
-    // emits each (i, j), j-i ∈ [1,5] pair directly (≤5 structs per
-    // token, window-bounded at ANY document length — same bound the
-    // block join enforced) and the only exchange left is the final
-    // (w1, w2) aggregate, with map-side partials. Pair set, weights
-    // and tie-breaks are value-identical: least/greatest on the same
-    // tokens, the same integer `div` weight.
+    // positions the row already had side by side. The only exchange
+    // left is the final (w1, w2) aggregate, with map-side partials.
+    //
+    // r17 (ADVICE r16, medium): the r16 single-shot generator built
+    // the WHOLE ~5×doc-length pair-struct array (with copied token
+    // strings) per document row before explode — output cardinality
+    // was window-bounded, but PEAK MEMORY was O(doc_len), so one
+    // multi-MB document could OOM an executor where the old block
+    // join streamed. Pair generation is now CHUNKED: the token array
+    // is sliced into C-token chunks carrying a 5-token overlap
+    // (exploded first), and pairs are emitted per chunk — each global
+    // start position i is OWNED by exactly one chunk and every
+    // j ≤ i+5 lies inside that chunk's overlap, so the pair multiset
+    // is identical while per-row peak memory is O(C). A doc with
+    // ≤ C+5 tokens is exactly one chunk (the r16 plan plus one
+    // single-element explode). Pair set, weights and tie-breaks are
+    // value-identical: least/greatest on the same tokens, the same
+    // integer `div` weight.
+    val C = 512
     val pairs = spreadIfOneSplit(
       Tables(spark, dir).documents.select(col("text")))
       .select(split(col("text"), " ").as("w"))
-      // outer sequence stops at size-2 and the inner at
+      // outer sequence stops at the last owned start and the inner at
       // least(i+5, size-1), so neither can DESCEND (sequence(a, b)
-      // counts down when a > b, fabricating null-token pairs)
+      // counts down when a > b, fabricating null-token pairs); the
+      // last chunk always has ≥ 2 tokens ((size-2) div C floors)
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(w) - 2), i ->
-          |  transform(sequence(i + 1, least(i + 5, size(w) - 1)), j ->
-          |    struct(least(w[i], w[j]) AS w1, greatest(w[i], w[j]) AS w2,
+        s"transform(sequence(0, (size(w) - 2) div $C), k -> " +
+          s"slice(w, k * $C + 1, $C + 5))")).as("c"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, least($C, size(c) - 1) - 1), i ->
+          |  transform(sequence(i + 1, least(i + 5, size(c) - 1)), j ->
+          |    struct(least(c[i], c[j]) AS w1, greatest(c[i], c[j]) AS w2,
           |           1000000 div (j - i) AS wt))))""".stripMargin)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.wt").as("wt"))
     pairs.groupBy(col("w1"), col("w2"))

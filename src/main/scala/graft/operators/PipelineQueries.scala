@@ -314,32 +314,46 @@ object PipelineQueries {
     // pin nearly halves the query (5.19s -> 3.13s, back-to-back
     // window). The 100 TB direction is what the round optimizes for;
     // the sf0.1 delta is local job-launch floor, not data cost.
+    // EAGER-EXECUTION CONTRACT (r17, ADVICE r16: the pin had no
+    // unpersist point, so a long-lived service calling this
+    // repeatedly accumulated token-scale caches — the qPagerank /
+    // qDecileLift precedent): the fused output is ≤ 5 rows per query
+    // of an 8-query probe set, so the builder runs the query, returns
+    // the snapshot as a local relation, and RELEASES the pin in a
+    // finally.
     val terms = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("t"))
       .cache()
-    val dfreq = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val qterms = terms.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"), col("t"))
-    val lex = qterms.join(terms, "t")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "t").crossJoin(broadcast(nDocs))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(expr("n_docs * 1000000 div df")).as("lexscore"))
-    val wl = Window.partitionBy(col("query_id"))
-      .orderBy(col("lexscore").desc, col("doc_id"))
-    val lexRanks = lex.withColumn("rl", row_number().over(wl))
-      .filter(col("rl") <= 10).select(col("query_id"), col("doc_id"), col("rl"))
-    val fused = vecRanks.join(lexRanks, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(expr("1000000 div (60 + rv)"), lit(0L)) +
-          coalesce(expr("1000000 div (60 + rl)"), lit(0L)))
-    val wf = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(wf).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf").as("rrf_ppm"))
-      .orderBy(col("query_id"), col("rank"))
+    try {
+      val dfreq = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val qterms = terms.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("t"))
+      val lex = qterms.join(terms, "t")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfreq), "t").crossJoin(broadcast(nDocs))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("n_docs * 1000000 div df")).as("lexscore"))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("lexscore").desc, col("doc_id"))
+      val lexRanks = lex.withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 10).select(col("query_id"), col("doc_id"), col("rl"))
+      val fused = vecRanks.join(lexRanks, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000 div (60 + rv)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rl)"), lit(0L)))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      val out = fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf").as("rrf_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+      import spark.implicits._
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+        .toDF("query_id", "rank", "doc_id", "rrf_ppm")
+        .orderBy(col("query_id"), col("rank"))
+    } finally terms.unpersist(blocking = false)
   }
 
   /** C105: forget-propagation into the ANN index — the compliance
@@ -860,39 +874,55 @@ object PipelineQueries {
     // The former inline corpus explode ran every stage on the ONE
     // split of the documents file (16 jobs x 1 task measured); the
     // landed artifact scans 32-way and never re-derives the corpus.
+    // ONE persisted posting frame for the call's four consumers (r17,
+    // verdict item 7, guide §5 — the lm_buckets pattern): dl, dfreq,
+    // qterms and the candidate join each scanned the landed artifact
+    // separately (and with the r17 bench purging landed artifacts, the
+    // first scan now carries the derivation). The output is ≤ 5 rows
+    // per query of an 8-doc probe set, so the builder runs the query
+    // eagerly and RELEASES the pin in a finally (the qPagerank /
+    // qDecileLift contract).
     val tf = CorpusQueries.docTermFreq(spark, dir).withColumnRenamed("w", "t")
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    // "tok_total" not "T": the term column is `t`, and Spark resolves
-    // column names case-insensitively — `T` would be ambiguous
-    val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
-      count(lit(1)).as("n_docs")))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val qterms = tf.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"), col("t"))
-    val scored = qterms.join(tf, "t")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "t")
-      // explicit broadcast: dl is doc-count-bounded (tiny next to
-      // the candidate frame) but its landed-artifact lineage hides
-      // that from the size estimator, which otherwise plans a
-      // sort-merge join on doc_id (the lmScoreAgainst lesson)
-      .join(broadcast(dl), "doc_id")
-      .crossJoin(stats)
-      .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
-      .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
-      .withColumn("inner_ppm", expr("250000 + (750000 * ratio_ppm) div 1000000"))
-      .withColumn("denom_ppm", expr("tf * 1000000 + (1200000 * inner_ppm) div 1000000"))
-      .withColumn("sat_ppm", expr("tf * 2200000 * 1000000 div denom_ppm"))
-      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
-      .withColumn("term_ppm", expr("idf_ppm * sat_ppm div 1000000"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("term_ppm")).as("score_ppm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
-      .orderBy(col("query_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // "tok_total" not "T": the term column is `t`, and Spark resolves
+      // column names case-insensitively — `T` would be ambiguous
+      val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
+        count(lit(1)).as("n_docs")))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val qterms = tf.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("t"))
+      val scored = qterms.join(tf, "t")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfreq), "t")
+        // explicit broadcast: dl is doc-count-bounded (tiny next to
+        // the candidate frame) but its landed-artifact lineage hides
+        // that from the size estimator, which otherwise plans a
+        // sort-merge join on doc_id (the lmScoreAgainst lesson)
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(stats)
+        .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
+        .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
+        .withColumn("inner_ppm", expr("250000 + (750000 * ratio_ppm) div 1000000"))
+        .withColumn("denom_ppm", expr("tf * 1000000 + (1200000 * inner_ppm) div 1000000"))
+        .withColumn("sat_ppm", expr("tf * 2200000 * 1000000 div denom_ppm"))
+        .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+        .withColumn("term_ppm", expr("idf_ppm * sat_ppm div 1000000"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_ppm")).as("score_ppm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+      import spark.implicits._
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+        .toDF("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy(col("query_id"), col("rank"))
+    } finally tf.unpersist(blocking = false)
   }
 
   /** C99: embedding norm audit per label — the vector-hygiene gate a

@@ -77,9 +77,19 @@ object Tables {
     // means the rows leave the scan's split layout downstream, so the
     // one-split serialization this guard exists for cannot occur.
     import org.apache.spark.sql.catalyst.plans.logical._
+    // ADVICE r16: Dataset.distinct()/dropDuplicates lower to
+    // Deduplicate (not Distinct), and Except/Intersect also imply a
+    // shuffle — all must be treated as already-redistributed or the
+    // probe below would eagerly execute their shuffle under AQE (the
+    // exact regression this guard fixed). KNOWN LIMITATION, accepted:
+    // a broadcast-only Join keeps the streamed side's 1-split scan
+    // layout, so a single-split frame behind one silently skips the
+    // spread — perf-only, and no current call site passes a join
+    // (they pass scan/project/filter/generate shapes).
     val redistributed = df.queryExecution.analyzed.exists {
       case _: RepartitionOperation | _: Join | _: Aggregate | _: Sort |
-          _: Window | _: Distinct | _: GlobalLimit => true
+          _: Window | _: Distinct | _: Deduplicate | _: Except |
+          _: Intersect | _: GlobalLimit => true
       case _ => false
     }
     if (redistributed) df

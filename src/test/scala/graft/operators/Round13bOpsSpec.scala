@@ -314,4 +314,40 @@ class Round13bOpsSpec extends AnyFunSuite {
     assert(real.nonEmpty)
     real.foreach(r => assert(r.getAs[Long]("chi2_milli") >= 0L))
   }
+
+  test("C103: chunked pair generation equals the whole-doc reference across chunk boundaries") {
+    // r17: qWindowCooccur bounds per-row peak memory by slicing the
+    // token array into 512-token chunks with a 5-token overlap. Every
+    // corpus doc is <= 100 tokens, so the MULTI-chunk branch is
+    // invisible to the oracle — this pins it: docs of 2 / 513 / 517 /
+    // 518 / 1200 tokens (both sides of every boundary) must aggregate
+    // to exactly the reference pair table computed in plain Scala.
+    import spark.implicits._
+    def doc(id: Long, n: Int): (Long, String, String) =
+      // small vocab so pairs recur across chunks; deterministic
+      (id, (0 until n).map(i => s"t${(i * 7 + id) % 37}").mkString(" "), "srcT")
+    val docs = Seq(doc(1, 2), doc(2, 513), doc(3, 517), doc(4, 518),
+      doc(5, 1200), doc(6, 100))
+    val dir = java.nio.file.Files.createTempDirectory("wcc-chunk").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference: the pre-chunking single-shot definition
+    val agg = scala.collection.mutable.HashMap.empty[(String, String), (Long, Long)]
+    docs.foreach { case (_, text, _) =>
+      val w = text.split(" ")
+      for (i <- 0 until w.length - 1; j <- (i + 1) to math.min(i + 5, w.length - 1)) {
+        val k = if (w(i) <= w(j)) (w(i), w(j)) else (w(j), w(i))
+        val (n, s) = agg.getOrElse(k, (0L, 0L))
+        agg(k) = (n + 1L, s + 1000000L / (j - i))
+      }
+    }
+    val expect = agg.toSeq
+      .map { case ((a, b), (n, s)) => (a, b, n, s) }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }
+      .take(40)
+    val got = CorpusQueries.qWindowCooccur(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
 }
