@@ -106,10 +106,13 @@ object SparkEntry {
     // 1-row moment collect: the corr2_ppm ratio runs in unbounded
     // BigInteger on the driver (decimal-38 headroom, r12 verdict)
     "q_assortativity",
-    // r17: eager-execution contract (the qPagerank pattern) — each
-    // pins a token-scale frame across 3-4 consumers and returns its
-    // ≤40-row snapshot so the pin is released in a finally
-    "q_bm25", "q_hybrid_search",
+    // r17: eager-execution contract (the qPagerank pattern) — the r16
+    // term-explode cache gets a release point: the ≤40-row snapshot
+    // is returned and the pin released in a finally. (q_bm25 was
+    // measured with the same treatment and REVERTED: its consumers
+    // read the landed posting artifact, so the pin's materialization
+    // barrier cost more than the re-scans it saved at sf0.1 AND 5×.)
+    "q_hybrid_search",
     // streaming drive + per-arrival optimize policy (A35)
     "q_stream_auto_optimize")
   // NOT in the set: q_store_concurrent — its two-thread CAS-retry

@@ -123,13 +123,14 @@ object Ann {
     * (vec_id, embedding, list_id).
     */
   private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame =
-    // ONE argmax kernel (ADVICE r16): this is assignWithNorm minus the
-    // carried norm — defining it as a projection keeps the sim
-    // expression and the (sim, -list_id) tie-break in exactly one
-    // place, so the two consumers can never silently diverge.
-    // Dropping vnorm from the output does not change which row wins.
-    assignWithNorm(emb, cents)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+    // ONE argmax kernel (ADVICE r16): same body as assignWithNorm with
+    // the norm carry off — the sim expression and the (sim, -list_id)
+    // tie-break exist exactly once (assignArgmax), so the two
+    // consumers can never silently diverge. carryNorm=false keeps the
+    // max_by payload struct as narrow as r16's (an extra carried
+    // double across the Lloyd + assignment passes measured +0.1-0.2s
+    // per index build at sf0.1).
+    assignArgmax(emb, cents, carryNorm = false)
 
   /** [[assignToCentroids]] plus the vector's L2 norm (`vnorm`) carried
     * through the argmax — consumers that score against the assignment
@@ -137,7 +138,11 @@ object Ann {
     * re-joining the corpus by key (r16: that join was a full corpus
     * shuffle whose only payload was a value this pass already had).
     */
-  private def assignWithNorm(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private def assignWithNorm(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignArgmax(emb, cents, carryNorm = true)
+
+  private def assignArgmax(emb: DataFrame, cents: DataFrame,
+                           carryNorm: Boolean): DataFrame = {
     // both norms are hoisted OUT of the (vector × centroid) loop: the
     // corpus norm is computed once per vector below the join (not
     // nLists times per vector), the centroid norm once per centroid on
@@ -156,12 +161,20 @@ object Ann {
     // map-side partial aggregation, so the exploded rows collapse to
     // one per vector before the exchange. Tie-break identical to the
     // oracle's rank (sim DESC, then list_id ASC via the negated
-    // second struct field).
-    scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("list_id"), col("embedding"), col("vnorm")),
+    // second struct field). The carried payload is only as wide as
+    // the consumer needs (carryNorm); the winner is unaffected.
+    val payload =
+      if (carryNorm) struct(col("list_id"), col("embedding"), col("vnorm"))
+      else struct(col("list_id"), col("embedding"))
+    val out = scored.groupBy(col("vec_id"))
+      .agg(max_by(payload,
         struct(col("sim"), (-col("list_id")).as("nl"))).as("b"))
-      .select(col("vec_id"), col("b.embedding").as("embedding"),
+    if (carryNorm)
+      out.select(col("vec_id"), col("b.embedding").as("embedding"),
         col("b.vnorm").as("vnorm"), col("b.list_id").as("list_id"))
+    else
+      out.select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.list_id").as("list_id"))
   }
 
   /** Every corpus vector's refined-centroid list id — the clustering

@@ -874,55 +874,47 @@ object PipelineQueries {
     // The former inline corpus explode ran every stage on the ONE
     // split of the documents file (16 jobs x 1 task measured); the
     // landed artifact scans 32-way and never re-derives the corpus.
-    // ONE persisted posting frame for the call's four consumers (r17,
-    // verdict item 7, guide §5 — the lm_buckets pattern): dl, dfreq,
-    // qterms and the candidate join each scanned the landed artifact
-    // separately (and with the r17 bench purging landed artifacts, the
-    // first scan now carries the derivation). The output is ≤ 5 rows
-    // per query of an 8-doc probe set, so the builder runs the query
-    // eagerly and RELEASES the pin in a finally (the qPagerank /
-    // qDecileLift contract).
+    // NOT a persisted posting frame (r17, measured both ways — the
+    // verdict item-7 suggestion assumed post-purge consumers would
+    // re-derive per scan, but the in-call LANDING already shares the
+    // derivation and the four consumers read cheap landed parquet):
+    // pinning the posting frame + eager snapshot read 2.53-2.70s →
+    // 2.71-3.17s at sf0.1 and 4.28 → 4.39s at 5× in back-to-back
+    // A/B, i.e. the materialization barrier costs more than the three
+    // parquet re-scans it saves at both scales. Kept the r16 shape.
     val tf = CorpusQueries.docTermFreq(spark, dir).withColumnRenamed("w", "t")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      // "tok_total" not "T": the term column is `t`, and Spark resolves
-      // column names case-insensitively — `T` would be ambiguous
-      val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
-        count(lit(1)).as("n_docs")))
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val qterms = tf.filter(col("doc_id") < 8)
-        .select(col("doc_id").as("query_id"), col("t"))
-      val scored = qterms.join(tf, "t")
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(broadcast(dfreq), "t")
-        // explicit broadcast: dl is doc-count-bounded (tiny next to
-        // the candidate frame) but its landed-artifact lineage hides
-        // that from the size estimator, which otherwise plans a
-        // sort-merge join on doc_id (the lmScoreAgainst lesson)
-        .join(broadcast(dl), "doc_id")
-        .crossJoin(stats)
-        .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
-        .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
-        .withColumn("inner_ppm", expr("250000 + (750000 * ratio_ppm) div 1000000"))
-        .withColumn("denom_ppm", expr("tf * 1000000 + (1200000 * inner_ppm) div 1000000"))
-        .withColumn("sat_ppm", expr("tf * 2200000 * 1000000 div denom_ppm"))
-        .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
-        .withColumn("term_ppm", expr("idf_ppm * sat_ppm div 1000000"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("term_ppm")).as("score_ppm"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_ppm").desc, col("doc_id"))
-      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
-        .orderBy(col("query_id"), col("rank"))
-      import spark.implicits._
-      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3))).toSeq
-        .toDF("query_id", "rank", "doc_id", "score_ppm")
-        .orderBy(col("query_id"), col("rank"))
-    } finally tf.unpersist(blocking = false)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // "tok_total" not "T": the term column is `t`, and Spark resolves
+    // column names case-insensitively — `T` would be ambiguous
+    val stats = broadcast(dl.agg(sum(col("dl")).as("tok_total"),
+      count(lit(1)).as("n_docs")))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val scored = qterms.join(tf, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "t")
+      // explicit broadcast: dl is doc-count-bounded (tiny next to
+      // the candidate frame) but its landed-artifact lineage hides
+      // that from the size estimator, which otherwise plans a
+      // sort-merge join on doc_id (the lmScoreAgainst lesson)
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(stats)
+      .withColumn("avgdl100", expr("tok_total * 100 div n_docs"))
+      .withColumn("ratio_ppm", expr("dl * 100 * 1000000 div avgdl100"))
+      .withColumn("inner_ppm", expr("250000 + (750000 * ratio_ppm) div 1000000"))
+      .withColumn("denom_ppm", expr("tf * 1000000 + (1200000 * inner_ppm) div 1000000"))
+      .withColumn("sat_ppm", expr("tf * 2200000 * 1000000 div denom_ppm"))
+      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+      .withColumn("term_ppm", expr("idf_ppm * sat_ppm div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_ppm")).as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** C99: embedding norm audit per label — the vector-hygiene gate a
